@@ -1,0 +1,266 @@
+"""Hierarchical discrete global grid (DGG) — the engine's `GeoInfo`.
+
+The reference addresses pixels through an affine grid
+(`eodal/core/band.py:151-256` ``GeoInfo``: epsg/ulx/uly/pixres ≡ affine
+transform; `as_affine()` band.py:231-240).  The Spark engine replaces the
+per-scene affine grid with ONE global, CRS-free, hierarchical grid:
+
+* resolution ``r`` divides the world into ``2^r × 2^r`` equal-angle cells
+  (equirectangular).  ``r`` plays the role of ``pixres``
+  (`band.py:1771-1948` resample ≡ moving between resolutions);
+* a cell is identified by a single ``long``::
+
+      cell_id = (res << 58) | (x << 29) | y      0 <= res <= 28
+
+  so cell ids sort by (res, x, y) — sorting/partitioning a table by
+  ``cell_id`` co-locates spatial neighbours in the same data files, which
+  is what makes min/max footer stats prune spatially (the layout decision
+  called out in SURVEY.md §4).
+
+Everything here is **pure Catalyst Column arithmetic** — no UDF at all on
+the hot path, so cell encoding stays inside whole-stage codegen.  An
+Arrow-vectorized pandas-UDF variant (`cell_encode_arrow`) exists for API
+parity with the batched-encoding contract and for kernels that need
+numpy anyway; a numpy reference (`np_cell_encode`) backs the test oracles.
+
+Design note (no external geo libs): the sandbox has neither h3 nor s2
+bindings, and an equal-angle quadtree grid has the same algebraic
+structure (parent = bit shift, children = bit append, ring = ±dx/±dy)
+while being exactly reproducible in ANSI SQL for the DuckDB oracle —
+a property H3's icosahedral math does not have.  At 10^12-row scale the
+grid choice only changes the cell-area distribution, not the plan shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MAX_RES = 28
+_RES_SHIFT = 58
+_X_SHIFT = 29
+_XY_MASK = (1 << 29) - 1
+
+# Powers used when generating dialect-portable SQL (no shift operators).
+_P_RES = 1 << _RES_SHIFT
+_P_X = 1 << _X_SHIFT
+
+
+def _col(c) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+# ---------------------------------------------------------------------------
+# Native Column path (whole-stage codegen — the hot path)
+# ---------------------------------------------------------------------------
+
+def cell_x(lon, res: int) -> Column:
+    """Grid x index of a longitude at resolution ``res`` (clamped)."""
+    n = 1 << res
+    raw = F.floor((_col(lon) + F.lit(180.0)) / F.lit(360.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def cell_y(lat, res: int) -> Column:
+    """Grid y index of a latitude at resolution ``res`` (clamped)."""
+    n = 1 << res
+    raw = F.floor((_col(lat) + F.lit(90.0)) / F.lit(180.0) * F.lit(float(n)))
+    return F.greatest(F.lit(0), F.least(F.lit(n - 1), raw)).cast("long")
+
+
+def pack_cell(x: Column, y: Column, res: int) -> Column:
+    """Pack (x, y, res) into the 64-bit cell id."""
+    return (
+        F.lit(res << _RES_SHIFT)
+        + F.shiftleft(x.cast("long"), _X_SHIFT)
+        + y.cast("long")
+    ).cast("long")
+
+
+def cell_encode(lon, lat, res: int) -> Column:
+    """lon/lat (double degrees) → cell_id at resolution ``res``.
+
+    Replaces the reference's coords→row/col affine math
+    (`eodal/core/utils/raster.py:70-104` bounds_window and
+    `band.py:1431-1454` nearest-cell snap).
+    """
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"res must be in [0, {MAX_RES}], got {res}")
+    return pack_cell(cell_x(lon, res), cell_y(lat, res), res)
+
+
+def cell_res_of(cell) -> Column:
+    return F.shiftrightunsigned(_col(cell), _RES_SHIFT).cast("int")
+
+
+def cell_x_of(cell) -> Column:
+    return F.shiftrightunsigned(_col(cell), _X_SHIFT).bitwiseAND(F.lit(_XY_MASK))
+
+
+def cell_y_of(cell) -> Column:
+    return _col(cell).bitwiseAND(F.lit(_XY_MASK))
+
+
+def cell_centroid_lon(cell, res: int) -> Column:
+    n = 1 << res
+    return (cell_x_of(cell).cast("double") + F.lit(0.5)) / F.lit(float(n)) * F.lit(
+        360.0
+    ) - F.lit(180.0)
+
+
+def cell_centroid_lat(cell, res: int) -> Column:
+    n = 1 << res
+    return (cell_y_of(cell).cast("double") + F.lit(0.5)) / F.lit(float(n)) * F.lit(
+        180.0
+    ) - F.lit(90.0)
+
+
+def cell_parent(cell, res: int, parent_res: int) -> Column:
+    """Coarsen a cell from ``res`` to ``parent_res`` — ≡ downsampling
+    `Band.resample` to a coarser pixres (`eodal/core/band.py:1771-1860`).
+    Pure bit shifts, whole-stage codegen."""
+    if parent_res > res:
+        raise ValueError("parent_res must be <= res")
+    dr = res - parent_res
+    c = _col(cell)
+    x = F.shiftrightunsigned(cell_x_of(c).cast("long"), dr)
+    y = F.shiftrightunsigned(cell_y_of(c).cast("long"), dr)
+    return (
+        F.lit(parent_res << _RES_SHIFT) + F.shiftleft(x, _X_SHIFT) + y
+    ).cast("long")
+
+
+def cell_children(cell, res: int, child_res: int) -> Column:
+    """Array of all child cells at a finer resolution — ≡ upsampling
+    resample / pixel-division (`eodal/utils/arrays.py:66-109`); the caller
+    `explode()`s it (value carry-down to children)."""
+    if child_res < res:
+        raise ValueError("child_res must be >= res")
+    c = _col(cell)
+    dr = child_res - res
+    k = F.lit(1 << dr).cast("long")  # 2^dr children per axis
+    bx = F.shiftleft(cell_x_of(c).cast("long"), dr)
+    by = F.shiftleft(cell_y_of(c).cast("long"), dr)
+    base = F.lit(child_res << _RES_SHIFT)
+    # flatten(transform(0..k-1, dx -> transform(0..k-1, dy -> id)))
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(0).cast("long"), k - 1),
+            lambda dx: F.transform(
+                F.sequence(F.lit(0).cast("long"), k - 1),
+                lambda dy: base
+                + F.shiftleft(bx + dx, _X_SHIFT)
+                + (by + dy),
+            ),
+        )
+    )
+
+
+def cell_ring(cell, k: int, res: int) -> Column:
+    """All cells within Chebyshev distance ``k`` (the (2k+1)² block),
+    longitude-wrapping in x, clamped in y.  The building block of the
+    ring-expansion kNN (generalizes the reference's argmin nearest-cell
+    snap, `eodal/core/band.py:1431-1454`, to k>1).  Returns array<long>.
+    """
+    c = _col(cell)
+    n = 1 << res
+    x = cell_x_of(c)
+    y = cell_y_of(c)
+    base = F.lit(res << _RES_SHIFT)
+    ids = F.flatten(
+        F.transform(
+            F.sequence(F.lit(-k), F.lit(k)),
+            lambda dx: F.transform(
+                F.sequence(F.lit(-k), F.lit(k)),
+                lambda dy: F.when(
+                    (y + dy >= 0) & (y + dy < n),
+                    base
+                    + F.shiftleft(F.pmod(x + dx, F.lit(n)).cast("long"), _X_SHIFT)
+                    + (y + dy).cast("long"),
+                ),
+            ),
+        )
+    )
+    return F.array_distinct(F.filter(ids, lambda v: v.isNotNull()))
+
+
+def tile_of(cell, res: int, tile_res: int, ts, bucket: str = "30 days") -> Column:
+    """Tile id = (coarse cell, time bucket) — the engine's analogue of the
+    reference's (tile_id, rounded sensing_time) mosaic grouping key
+    (`eodal/mapper/mapper.py:554-570`). String for human-readable output."""
+    coarse = cell_parent(cell, res, tile_res)
+    return F.concat_ws(
+        "/",
+        F.lit(f"r{tile_res}"),
+        cell_x_of(coarse).cast("string"),
+        cell_y_of(coarse).cast("string"),
+        F.date_trunc("day", F.window(_col(ts), bucket).start).cast("date").cast(
+            "string"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized variant + numpy reference (used by oracles/tests)
+# ---------------------------------------------------------------------------
+
+def np_cell_xy(lon: np.ndarray, lat: np.ndarray, res: int):
+    n = 1 << res
+    x = np.clip(np.floor((lon + 180.0) / 360.0 * n), 0, n - 1).astype(np.int64)
+    y = np.clip(np.floor((lat + 90.0) / 180.0 * n), 0, n - 1).astype(np.int64)
+    return x, y
+
+
+def np_cell_encode(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Numpy reference implementation — bit-identical to `cell_encode`."""
+    x, y = np_cell_xy(np.asarray(lon, dtype=np.float64), np.asarray(lat, dtype=np.float64), res)
+    return (np.int64(res) << _RES_SHIFT) | (x << _X_SHIFT) | y
+
+
+def np_cell_centroid(cell: np.ndarray, res: int):
+    n = 1 << res
+    x = (cell >> _X_SHIFT) & _XY_MASK
+    y = cell & _XY_MASK
+    lon = (x + 0.5) / n * 360.0 - 180.0
+    lat = (y + 0.5) / n * 180.0 - 90.0
+    return lon, lat
+
+
+def cell_encode_arrow(res: int):
+    """Arrow-batched pandas UDF lon,lat → cell_id.
+
+    Functionally identical to `cell_encode`; exists to satisfy the
+    batched-Arrow encoding contract and as the template for kernels that
+    genuinely need numpy. Prefer `cell_encode` (JVM codegen) in plans.
+    """
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def _encode(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np_cell_encode(lon.to_numpy(np.float64), lat.to_numpy(np.float64), res)
+        return pd.Series(out)
+
+    return _encode
+
+
+# ---------------------------------------------------------------------------
+# Dialect-portable SQL builders (exact integer arithmetic, no shifts) —
+# used to express the SAME assignment in Spark SQL and the DuckDB oracle.
+# Inputs are *centi-degree integers* (lon_centi ∈ [0, 36000), lat_centi ∈
+# [0, 18000)) so both engines do pure bigint math → bit-identical ids.
+# ---------------------------------------------------------------------------
+
+def sql_cell_encode_centi(lon_centi: str, lat_centi: str, res: int, dialect: str) -> str:
+    n = 1 << res
+    if dialect == "spark":
+        idiv = "div"
+        x = f"(({lon_centi}) * {n} {idiv} 36000)"
+        y = f"(({lat_centi}) * {n} {idiv} 18000)"
+    elif dialect == "duckdb":
+        x = f"(({lon_centi}) * {n} // 36000)"
+        y = f"(({lat_centi}) * {n} // 18000)"
+    else:
+        raise ValueError(dialect)
+    return f"(CAST({res} AS BIGINT) * {_P_RES} + {x} * {_P_X} + {y})"

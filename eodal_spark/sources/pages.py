@@ -1,0 +1,184 @@
+"""Deterministic synthetic Common-Crawl-style pages table.
+
+The engine's base relation (BASELINE.json ``input_hint``)::
+
+    url: string, warc_ts: timestamp, html: binary, text: string, lang: string
+
+Pages are *geocoded*: the lat/lon (centi-degree integers) are embedded in
+the page body, so geography is a pure function of ``html`` bytes — the
+engine re-derives it via `extract_text` + `parse_geo` (≡ the reference
+reading pixel coordinates out of the raster itself).
+
+Every column is **pure integer/string arithmetic over a row id** — the
+generator is ``spark.range(n)`` plus Column expressions, so it
+materializes nothing, scales to any n (the 10M-row bench input costs no
+I/O), and the *identical* table is reproducible in DuckDB via
+`sql_pages_subquery` for the row-for-row oracle gate.
+
+Spatial distribution mirrors FIXTURES.md §1: 60% uniform background +
+40% split across three city hotspots (skew driver for salting/AQE
+tests).  ~Duplicate (cell, time-bucket) collisions arise naturally and
+exercise the mosaic first-wins dedup (`eodal/mapper/mapper.py:565-667`).
+
+Column derivation (i = row id, all bigint, both dialects):
+
+    h          = (i * 2654435761) % 2147483648          # Knuth hash
+    hotspot?   = h % 10 >= 6                            # 40% in cities
+    city       = (h / 10) % 3                           # which hotspot
+    lon_centi  = uniform: (i*9973  + 17) % 36000
+                 city:    city_lon + (h/30)   % 200 - 100
+    lat_centi  = uniform: 3000 + (i*7919 + 23) % 12000  # avoid poles
+                 city:    city_lat + (h/6000) % 200 - 100
+    ts_off     = (i*104729 + h % 97) % 7948800          # 92-day window
+    lang       = ['en','de','fr','it'][h % 4]
+    payload    = md5(cast(i as string))
+    text       = 'page {i} geo {lat_centi} {lon_centi} lang {lang} payload {md5}'
+    html       = '<html><head><title>p{i}</title></head><body><p>{text}</p></body></html>'
+    url        = 'https://site{h%1000}.example/p/{i}'
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eodal_spark import grid
+
+EPOCH_BASE = 1556668800  # 2019-05-01T00:00:00Z
+WINDOW_SECONDS = 7948800  # 92 days
+CITIES = [(18854, 13737), (10600, 13070), (31970, 12570)]  # Zürich, NYC, Tokyo
+
+
+def _exprs(dialect: str, i: str) -> dict[str, str]:
+    """The shared column derivations as dialect SQL strings."""
+    if dialect == "spark":
+        s = lambda e: f"CAST({e} AS STRING)"  # noqa: E731
+        idiv = "div"
+    elif dialect == "duckdb":
+        s = lambda e: f"CAST({e} AS VARCHAR)"  # noqa: E731
+        idiv = "//"
+    else:
+        raise ValueError(dialect)
+
+    h = f"(({i}) * 2654435761 % 2147483648)"
+    city = f"(({h} {idiv} 10) % 3)"
+    city_lon = (
+        f"(CASE {city} WHEN 0 THEN {CITIES[0][0]} WHEN 1 THEN {CITIES[1][0]} "
+        f"ELSE {CITIES[2][0]} END + ({h} {idiv} 30) % 200 - 100)"
+    )
+    city_lat = (
+        f"(CASE {city} WHEN 0 THEN {CITIES[0][1]} WHEN 1 THEN {CITIES[1][1]} "
+        f"ELSE {CITIES[2][1]} END + ({h} {idiv} 6000) % 200 - 100)"
+    )
+    lon_centi = (
+        f"(CASE WHEN {h} % 10 < 6 THEN (({i}) * 9973 + 17) % 36000 "
+        f"ELSE {city_lon} END)"
+    )
+    lat_centi = (
+        f"(CASE WHEN {h} % 10 < 6 THEN 3000 + (({i}) * 7919 + 23) % 12000 "
+        f"ELSE {city_lat} END)"
+    )
+    ts_sec = f"({EPOCH_BASE} + (({i}) * 104729 + {h} % 97) % {WINDOW_SECONDS})"
+    lang = (
+        f"(CASE {h} % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+        f"WHEN 2 THEN 'fr' ELSE 'it' END)"
+    )
+    text = (
+        f"('page ' || {s(i)} || ' geo ' || {s(lat_centi)} || ' ' || "
+        f"{s(lon_centi)} || ' lang ' || {lang} || ' payload ' || md5({s(i)}))"
+    )
+    html = (
+        f"('<html><head><title>p' || {s(i)} || '</title></head><body><p>' || "
+        f"{text} || '</p></body></html>')"
+    )
+    url = f"('https://site' || {s(f'{h} % 1000')} || '.example/p/' || {s(i)})"
+    return {
+        "h": h,
+        "lon_centi": lon_centi,
+        "lat_centi": lat_centi,
+        "ts_sec": ts_sec,
+        "lang": lang,
+        "text": text,
+        "html": html,
+        "url": url,
+    }
+
+
+def synth_pages(spark: SparkSession, n: int, partitions: int | None = None) -> DataFrame:
+    """The pages table as a lazy DataFrame — exactly the input_hint schema."""
+    e = _exprs("spark", "id")
+    df = spark.range(0, n, 1, partitions) if partitions else spark.range(n)
+    return df.select(
+        F.expr(e["url"]).alias("url"),
+        F.timestamp_seconds(F.expr(e["ts_sec"])).alias("warc_ts"),
+        F.expr(e["html"]).cast("binary").alias("html"),
+        F.expr(e["text"]).alias("text"),
+        F.expr(e["lang"]).alias("lang"),
+    )
+
+
+def sql_pages_subquery(n: int, dialect: str) -> str:
+    """The identical table as a SQL subquery (DuckDB oracle / Spark SQL).
+
+    Timestamps are exposed as bigint epoch seconds (``ts_sec``) to keep
+    the cross-engine comparison timezone-free; geo centi-degrees are
+    exposed directly (in the engine they are re-parsed from html).
+    """
+    i = "id" if dialect == "spark" else "range"
+    src = f"range({n})"
+    e = _exprs(dialect, i)
+    return (
+        f"(SELECT {e['url']} AS url, {e['ts_sec']} AS ts_sec, "
+        f"{e['text']} AS text, {e['lang']} AS lang, "
+        f"{e['lat_centi']} AS lat_centi, {e['lon_centi']} AS lon_centi "
+        f"FROM {src})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# html → text extraction and geocoding (the engine-side derivations)
+# ---------------------------------------------------------------------------
+
+def extract_text(html: Column) -> Column:
+    """Byte-identical text extraction — a pure function of ``html`` bytes.
+
+    Native `regexp_extract` (JVM, codegen); the invariant gate
+    (BASELINE.json input_hint) checks ``extract_text(html) == text``
+    byte-for-byte per url.  ≡ the reference's raster→value read path
+    being a pure function of file bytes.
+    """
+    return F.regexp_extract(html.cast("string"), r"<p>(.*)</p>", 1)
+
+
+def parse_geo(text: Column) -> tuple[Column, Column, Column, Column]:
+    """text → (lat_centi, lon_centi, lat, lon). Native regexp + arithmetic."""
+    lat_centi = F.regexp_extract(text, r" geo (\d+) (\d+) ", 1).cast("long")
+    lon_centi = F.regexp_extract(text, r" geo (\d+) (\d+) ", 2).cast("long")
+    lat = lat_centi.cast("double") / 100.0 - 90.0
+    lon = lon_centi.cast("double") / 100.0 - 180.0
+    return lat_centi, lon_centi, lat, lon
+
+
+def geocode(df: DataFrame, res: int, html_col: str = "html") -> DataFrame:
+    """Full geocoding stage: html → text → lat/lon → cell_id.
+
+    The cell id is computed with **exact integer arithmetic** on the
+    centi-degree values (`grid.sql_cell_encode_centi`) so the assignment
+    is bit-identical to the DuckDB oracle — no float rounding at cell
+    boundaries.  Entirely native Catalyst; an Arrow pandas-UDF variant
+    exists in `grid.cell_encode_arrow` for float inputs.
+    """
+    extracted = extract_text(F.col(html_col)).alias("text_extracted")
+    out = df.withColumn("text_extracted", extracted)
+    lat_centi, lon_centi, lat, lon = parse_geo(F.col("text_extracted"))
+    out = (
+        out.withColumn("lat_centi", lat_centi)
+        .withColumn("lon_centi", lon_centi)
+        .withColumn("lat", lat)
+        .withColumn("lon", lon)
+        .withColumn(
+            "cell_id",
+            F.expr(grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")),
+        )
+    )
+    return out

@@ -1,0 +1,144 @@
+"""Grid invariants — the analogue of the reference's GeoInfo tests
+(`tests/core/test_band.py:94-134` geo-referencing golden checks)."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from eodal_spark import grid
+
+
+def test_encode_roundtrip_native_vs_numpy(spark):
+    res = 12
+    df = spark.range(2000).select(
+        (F.col("id") % 3600 / 10.0 - 180.0).alias("lon"),
+        (F.col("id") % 1700 / 10.0 - 85.0).alias("lat"),
+    )
+    out = df.select(
+        "lon", "lat", grid.cell_encode("lon", "lat", res).alias("cell")
+    ).toPandas()
+    expect = grid.np_cell_encode(
+        out["lon"].to_numpy(), out["lat"].to_numpy(), res
+    )
+    assert (out["cell"].to_numpy() == expect).all()
+
+
+def test_arrow_udf_matches_native(spark):
+    res = 9
+    df = spark.range(500).select(
+        (F.col("id") * 0.7 % 360 - 180.0).alias("lon"),
+        (F.col("id") * 0.3 % 180 - 90.0).alias("lat"),
+    )
+    out = df.select(
+        grid.cell_encode("lon", "lat", res).alias("native"),
+        grid.cell_encode_arrow(res)(F.col("lon"), F.col("lat")).alias("arrow"),
+    )
+    assert out.filter("native != arrow").count() == 0
+
+
+def test_decode_centroid_reencodes_to_same_cell(spark):
+    res = 10
+    df = spark.range(1000).select(
+        (F.col("id") * 1.37 % 360 - 180.0).alias("lon"),
+        (F.col("id") * 0.59 % 170 - 85.0).alias("lat"),
+    )
+    cells = df.select(grid.cell_encode("lon", "lat", res).alias("cell"))
+    back = cells.select(
+        "cell",
+        grid.cell_encode(
+            grid.cell_centroid_lon("cell", res),
+            grid.cell_centroid_lat("cell", res),
+            res,
+        ).alias("cell2"),
+    )
+    assert back.filter("cell != cell2").count() == 0
+
+
+def test_parent_child_roundtrip(spark):
+    res, parent_res = 12, 8
+    df = spark.range(300).select(
+        (F.col("id") * 1.1 % 360 - 180.0).alias("lon"),
+        (F.col("id") * 0.77 % 170 - 85.0).alias("lat"),
+    )
+    cells = df.select(grid.cell_encode("lon", "lat", res).alias("cell"))
+    par = cells.select(
+        "cell", grid.cell_parent("cell", res, parent_res).alias("parent")
+    )
+    # every child of the parent set contains the original cell
+    kids = par.select(
+        "cell", F.explode(grid.cell_children("parent", parent_res, res)).alias("kid")
+    )
+    hit = kids.filter("cell = kid").count()
+    assert hit == 300
+    # child count is exactly 4^(res-parent_res)
+    cnt = par.select(
+        F.size(grid.cell_children("parent", parent_res, res)).alias("n")
+    ).agg(F.min("n"), F.max("n")).first()
+    assert cnt[0] == cnt[1] == 4 ** (res - parent_res)
+
+
+def test_ring_contains_self_and_neighbors(spark):
+    res = 6
+    df = spark.createDataFrame([(0.0, 0.0)], ["lon", "lat"])
+    cells = df.select(grid.cell_encode("lon", "lat", res).alias("cell"))
+    ring = cells.select(
+        "cell", grid.cell_ring("cell", 1, res).alias("ring")
+    ).first()
+    assert len(ring["ring"]) == 9
+    assert ring["cell"] in ring["ring"]
+    # Chebyshev distance of every member is <= 1
+    x0 = (ring["cell"] >> 29) & ((1 << 29) - 1)
+    y0 = ring["cell"] & ((1 << 29) - 1)
+    for c in ring["ring"]:
+        x = (c >> 29) & ((1 << 29) - 1)
+        y = c & ((1 << 29) - 1)
+        assert max(abs(x - x0), abs(y - y0)) <= 1
+
+
+def test_ring_clamps_at_pole_and_wraps_lon(spark):
+    res = 4
+    n = 1 << res
+    # cell at the north edge, lon edge: y = n-1, x = n-1
+    df = spark.createDataFrame([(179.9, 89.9)], ["lon", "lat"])
+    ring = df.select(
+        grid.cell_ring(grid.cell_encode("lon", "lat", res), 1, res).alias("r")
+    ).first()["r"]
+    assert len(ring) == 6  # 3x3 minus the 3 cells beyond the pole
+    xs = [(c >> 29) & ((1 << 29) - 1) for c in ring]
+    assert 0 in xs  # wrapped across the antimeridian
+
+
+def test_sql_centi_encode_matches_duckdb():
+    import duckdb
+
+    res = 12
+    expr = grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "duckdb")
+    got = duckdb.sql(
+        f"SELECT {expr} AS cell FROM (SELECT range % 36000 AS lon_centi, "
+        f"range % 18000 AS lat_centi FROM range(5000))"
+    ).fetchnumpy()["cell"]
+    lon = (np.arange(5000) % 36000) / 100.0 - 180.0
+    lat = (np.arange(5000) % 18000) / 100.0 - 90.0
+    expect = grid.np_cell_encode(lon, lat, res)
+    assert (got == expect).all()
+
+
+def test_spark_and_duckdb_centi_encode_agree(spark):
+    import duckdb
+
+    res = 14
+    sexpr = grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")
+    got_spark = (
+        spark.range(3000)
+        .selectExpr("id % 36000 AS lon_centi", "id % 18000 AS lat_centi")
+        .selectExpr(f"{sexpr} AS cell")
+        .toPandas()["cell"]
+        .to_numpy()
+    )
+    dexpr = grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "duckdb")
+    got_duck = duckdb.sql(
+        f"SELECT {dexpr} AS cell FROM (SELECT range % 36000 AS lon_centi, "
+        f"range % 18000 AS lat_centi FROM range(3000))"
+    ).fetchnumpy()["cell"]
+    assert (got_spark == got_duck).all()
