@@ -1,0 +1,126 @@
+"""kNN via cell-ring expansion.
+
+The reference only supports k=1 nearest-cell snapping via a per-point
+argmin loop (`eodal/core/band.py:1431-1454`, loop :1460-1473); the
+north rule requires general kNN.  Algorithm:
+
+1. encode each query point to its cell; explode the Chebyshev ring of
+   radius r around it (`grid.cell_ring`) — a small broadcast side;
+2. equi-join pages on ``cell_id`` (broadcast-hash: the big side never
+   shuffles), compute the squared equirectangular distance;
+3. rank per query (``row_number`` ordered by distance, tie-broken by
+   url — total order ⇒ deterministic under any parallelism);
+4. queries whose k-th distance is not provably inside the searched ring
+   (kth_dist > r·cell_height) escalate to radius 2r; after
+   ``max_rounds`` the remainder falls back to a brute-force broadcast
+   scan (correct for any density, including empty regions).
+
+Distance is **squared centi-degree distance** — pure integer/float
+arithmetic with no transcendentals, so rankings are bit-identical
+across engines (the DuckDB oracle brute-forces the same metric).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from eodal_spark import grid
+
+
+def _ranked(cand: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sqdist").asc(), F.col("url").asc()
+    )
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def _sqdist() -> F.Column:
+    dlat = F.col("lat_centi") - F.col("q_lat_centi")
+    dlon = F.col("lon_centi") - F.col("q_lon_centi")
+    return (dlat * dlat + dlon * dlon).cast("long")
+
+
+def knn(
+    queries: DataFrame,
+    pages_geo: DataFrame,
+    res: int,
+    k: int,
+    start_radius: int = 1,
+    max_rounds: int = 3,
+) -> DataFrame:
+    """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
+    geocoded pages with cell_id, lat_centi, lon_centi, url.
+    Returns (query_id, url, sqdist, rank), rank 1..k."""
+    q = queries.select(
+        "query_id",
+        F.col("lat_centi").alias("q_lat_centi"),
+        F.col("lon_centi").alias("q_lon_centi"),
+        F.expr(
+            grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")
+        ).alias("q_cell"),
+    )
+    pages_side = pages_geo.select("cell_id", "url", "lat_centi", "lon_centi")
+    # cell height in centi-degrees: guarantees points outside ring r are
+    # at least r*height away (height <= width on this grid).
+    cell_h_centi = 18000.0 / (1 << res)
+
+    results = None
+    remaining = q
+    radius = start_radius
+    for _ in range(max_rounds):
+        ring = remaining.select(
+            "query_id", "q_lat_centi", "q_lon_centi",
+            F.explode(grid.cell_ring("q_cell", radius, res)).alias("cell_id"),
+        )
+        cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
+        topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+            "query_id", "url", "sqdist", "rank"
+        )
+        # resolved: k candidates AND kth distance provably inside ring
+        bound = (radius * cell_h_centi) ** 2
+        stats = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
+        )
+        resolved_ids = stats.filter(
+            (F.col("n") == k) & (F.col("kth") <= F.lit(bound))
+        ).select("query_id")
+        res_rows = topk.join(F.broadcast(resolved_ids), "query_id", "semi")
+        results = res_rows if results is None else results.unionByName(res_rows)
+        remaining = remaining.join(
+            F.broadcast(resolved_ids), "query_id", "anti"
+        )
+        if not remaining.take(1):
+            remaining = None
+            break
+        radius *= 2
+
+    if remaining is not None and remaining.take(1):
+        # brute force for the stragglers: broadcast the queries, scan once
+        cand = pages_side.crossJoin(
+            F.broadcast(remaining.select("query_id", "q_lat_centi", "q_lon_centi"))
+        )
+        brute = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+            "query_id", "url", "sqdist", "rank"
+        )
+        results = brute if results is None else results.unionByName(brute)
+    return results.select("query_id", "url", "sqdist", "rank")
+
+
+def knn_brute(queries: DataFrame, pages_geo: DataFrame, k: int) -> DataFrame:
+    """Reference brute-force kNN (the baseline the ring version must
+    match row-for-row — and the shape of the DuckDB oracle)."""
+    q = queries.select(
+        "query_id",
+        F.col("lat_centi").alias("q_lat_centi"),
+        F.col("lon_centi").alias("q_lon_centi"),
+    )
+    cand = pages_geo.select("url", "lat_centi", "lon_centi").crossJoin(
+        F.broadcast(q)
+    )
+    return _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+        "query_id", "url", "sqdist", "rank"
+    )

@@ -1,0 +1,131 @@
+"""Broadcast spatial join: pages × polygon layer.
+
+Re-expresses the reference's clip/mask read path — polygons reprojected
+onto the raster grid, bbox-windowed read, out-of-geometry pixels masked
+(`eodal/core/band.py:758-775`, ``:828-835``, ``:1197-1340``) and the
+declared-but-unimplemented ``RasterCollection.join`` stub
+(`eodal/core/raster.py:1594-1600`) — as a two-stage Spark join:
+
+1. **coarse stage** — the polygon layer is exploded into covering cells
+   (`geometry.polygon_cover_cells`) and *broadcast*; the pages side joins
+   on ``cell_id`` with a plain equi-join (broadcast-hash, no shuffle of
+   the big side);
+2. **refine stage** (exact mode only) — rows in boundary cells get an
+   exact point-in-polygon test: native Catalyst expression for convex
+   rings, Arrow-batched numpy ray-casting for concave ones.  Rows in
+   *full* cells (cell ⊆ polygon) skip refinement entirely.
+
+Membership rules:
+
+* ``rule="centroid"`` (default, pinned in FIXTURES.md §5): a page
+  belongs to a polygon iff its **cell centroid** is inside —
+  boundary-inclusive, the analogue of ``all_touched=True``
+  (`band.py:832`).  With this rule the covering join is already exact:
+  zero refinement work, one broadcast-hash join total.
+* ``rule="exact"``: the page's own lon/lat must be inside the polygon.
+
+At 100 TB the pages side never shuffles: the covering is a dimension of
+at most |polys| × bbox-cells rows, broadcast to every executor, and the
+refine predicate is evaluated map-side.  Skewed city cells therefore
+skew only the *output*, not a shuffle — and AQE handles the downstream
+aggregation skew.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from eodal_spark import geometry
+
+
+def _pip_concave_udf():
+    """Arrow-batched even-odd PIP for concave rings.
+
+    Vectorized per distinct polygon within each batch — never per-row
+    Python (input_hint hard rule)."""
+
+    @F.pandas_udf(T.BooleanType())
+    def pip(
+        px: pd.Series, py: pd.Series, pid: pd.Series, xs: pd.Series, ys: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(px), dtype=bool)
+        pxv = px.to_numpy(np.float64)
+        pyv = py.to_numpy(np.float64)
+        pidv = pid.to_numpy()
+        for p in np.unique(pidv):
+            m = pidv == p
+            i = int(np.argmax(m))
+            ring_x = np.asarray(xs.iloc[i], dtype=np.float64)
+            ring_y = np.asarray(ys.iloc[i], dtype=np.float64)
+            out[m] = geometry.np_pip_even_odd(pxv[m], pyv[m], ring_x, ring_y)
+        return pd.Series(out)
+
+    return pip
+
+
+def spatial_join(
+    pages_geo: DataFrame,
+    polys: DataFrame,
+    res: int,
+    rule: str = "centroid",
+    how: str = "inner",
+    page_cols: tuple[str, ...] = ("url",),
+    poly_cols: tuple[str, ...] = ("poly_id",),
+) -> DataFrame:
+    """Join geocoded pages (must carry ``cell_id``, ``lon``, ``lat``)
+    to the polygon layer. Returns page_cols + poly_cols (+ cell_id)."""
+    if rule == "centroid":
+        cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
+        cover = cover.select("poly_id", "cell_id")
+        joined = pages_geo.join(F.broadcast(cover), "cell_id", how)
+        return joined.select("cell_id", *page_cols, *poly_cols)
+
+    if rule != "exact":
+        raise ValueError(rule)
+
+    cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
+    ring = polys.select("poly_id", "xs", "ys", "is_convex")
+    cover = cover.join(ring, "poly_id")  # both tiny, executes driver-free
+    cand = pages_geo.join(F.broadcast(cover), "cell_id", "inner")
+
+    full = cand.filter(F.col("full"))
+    part_cvx = cand.filter(~F.col("full") & F.col("is_convex")).filter(
+        geometry.pip_convex(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys"))
+    )
+    pip = _pip_concave_udf()
+    part_ccv = cand.filter(~F.col("full") & ~F.col("is_convex")).filter(
+        pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("xs"), F.col("ys"))
+    )
+    out_cols = ["cell_id", *page_cols, *poly_cols]
+    return (
+        full.select(*out_cols)
+        .unionByName(part_cvx.select(*out_cols))
+        .unionByName(part_ccv.select(*out_cols))
+    )
+
+
+def sample_points(
+    points: DataFrame,
+    pages_geo: DataFrame,
+    res: int,
+    value_cols: tuple[str, ...] = ("url",),
+    how: str = "left",
+) -> DataFrame:
+    """Point sampling — ``Band.read_pixels`` / ``get_pixels``
+    (`eodal/core/band.py:1087-1166`, ``:1398-1480``): for each query
+    point, the pages in its grid cell.  The reference's per-row argmin
+    loop (band.py:1460-1473) becomes one equi-join on ``cell_id``;
+    points outside any populated cell yield NULLs (≡ nodata fill,
+    band.py:1126-1129). ``points`` needs (id, lon, lat)."""
+    from eodal_spark import grid
+
+    pts = points.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    return pts.join(
+        pages_geo.select("cell_id", *value_cols), "cell_id", how
+    )

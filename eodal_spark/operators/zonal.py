@@ -1,0 +1,95 @@
+"""Zonal statistics — ``Band.reduce`` / ``band_summaries``.
+
+The reference computes per-polygon stats through a rasterstats loop
+(`eodal/core/band.py:2049-2203`, call :2166-2173) with the method set
+{min, mean, std, max, count, median, …} (band.py:2051-2053) and
+per-band concat (`eodal/core/raster.py:1309-1357`).  Here it is one
+``groupBy(poly_id).agg(...)`` after the broadcast spatial join — Spark
+does map-side partial aggregation automatically, so the shuffle carries
+only per-(partition, poly) partials, not pages.
+
+Numeric policy for the cross-engine oracle: sums/averages are computed
+in DECIMAL (exact, order-independent) and medians with the exact
+``median`` — no float nondeterminism in gated outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STAT_SET = ("count", "min", "max", "sum", "avg", "stddev", "median")
+
+
+def stat_exprs(value: str, stats=STAT_SET, decimals: int = 4) -> list[Column]:
+    """The Band.reduce method set as aggregate expressions.
+    Unknown names raise — ≡ the reference's method check
+    (band.py:2123-2150)."""
+    v = F.col(value)
+    dec = v.cast("decimal(28,6)")
+    mapping = {
+        "count": F.count(v).alias("cnt"),
+        "min": F.min(v).alias("min_v"),
+        "max": F.max(v).alias("max_v"),
+        "sum": F.sum(dec).cast("decimal(28,6)").alias("sum_v"),
+        "avg": F.avg(dec).cast("decimal(28,6)").alias("avg_v"),
+        "stddev": F.round(F.stddev(v), decimals).alias("stddev_v"),
+        "median": F.median(v).alias("median_v"),
+    }
+    bad = [s for s in stats if s not in mapping]
+    if bad:
+        raise ValueError(f"unknown stats {bad}; allowed: {sorted(mapping)}")
+    return [mapping[s] for s in stats]
+
+
+def zonal_stats(
+    joined: DataFrame,
+    value: str,
+    by: str = "poly_id",
+    stats=STAT_SET,
+    keep_empty: bool = False,
+    polys: DataFrame | None = None,
+) -> DataFrame:
+    """Per-polygon stats over the joined (page × polygon) relation.
+
+    ``keep_empty=True`` left-joins the full polygon dimension back so
+    polygons with no pages appear with count 0 / NULL stats — ≡ the
+    reference's ``keep_nans`` flag (band.py:2079-2081, :2186-2197):
+    empty polygons are *dropped* unless requested."""
+    out = joined.groupBy(by).agg(*stat_exprs(value, stats))
+    if keep_empty:
+        if polys is None:
+            raise ValueError("keep_empty requires the polygon dimension")
+        dim = polys.select(by).distinct()
+        out = dim.join(out, by, "left")
+        if "count" in stats:
+            out = out.withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    return out
+
+
+def value_counts(
+    df: DataFrame,
+    value: str,
+    classes: list,
+    by: str | None = None,
+) -> DataFrame:
+    """Class histogram with zero-backfill for absent classes + relative
+    share — ≡ ``Sentinel2.get_scl_stats``
+    (`eodal/core/sensors/sentinel2.py:701-778`, backfill :760-776).
+    ``classes`` is the full class dimension (a small literal table)."""
+    spark = df.sparkSession
+    dim = spark.createDataFrame([(c,) for c in classes], [value])
+    keys = [by, value] if by else [value]
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    if by:
+        groups = df.select(by).distinct()
+        dim = groups.crossJoin(dim)
+    out = dim.join(counts, keys, "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    total = F.sum("n").over(Window.partitionBy(*([by] if by else [])))
+    return out.withColumn(
+        "share",
+        F.when(total > 0, (F.col("n").cast("decimal(28,6)") / total).cast("decimal(28,6)")).otherwise(None),
+    )

@@ -1,0 +1,81 @@
+"""kNN: ring-expansion must equal brute force row-for-row (total-order
+tie-break ⇒ unique answer). Generalizes `eodal/core/band.py:1431-1454`."""
+
+from __future__ import annotations
+
+import pytest
+
+from eodal_spark.operators import knn as K
+from eodal_spark.sources import pages as P
+
+RES = 8
+
+
+@pytest.fixture(scope="module")
+def pages_geo(spark, pages_small):
+    return P.geocode(pages_small, RES).cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    # dense hotspot, background, empty-region (forces brute-force path)
+    rows = [
+        (1, 13737, 18854),   # Zürich center
+        (2, 13070, 10600),   # NYC center
+        (3, 9000, 18000),    # background
+        (4, 500, 100),       # near south pole — empty region
+        (5, 12570, 31970),   # Tokyo
+    ]
+    return spark.createDataFrame(rows, ["query_id", "lat_centi", "lon_centi"])
+
+
+def test_ring_knn_matches_brute_force(pages_geo, queries):
+    k = 7
+    ring = (
+        K.knn(queries, pages_geo, RES, k)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    brute = (
+        K.knn_brute(queries, pages_geo, k)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(ring) == len(brute) == 5 * k
+    for a, b in zip(ring, brute):
+        assert (a["query_id"], a["rank"], a["url"], a["sqdist"]) == (
+            b["query_id"], b["rank"], b["url"], b["sqdist"]
+        )
+
+
+def test_knn_matches_duckdb_oracle(spark, queries):
+    import duckdb
+
+    k = 5
+    n = 10_000
+    q_rows = queries.collect()
+    qsql = " UNION ALL ".join(
+        f"SELECT {r['query_id']} AS query_id, {r['lat_centi']} AS q_lat, "
+        f"{r['lon_centi']} AS q_lon"
+        for r in q_rows
+    )
+    expect = duckdb.sql(
+        f"""
+        SELECT query_id, url, sqdist, rank FROM (
+          SELECT q.query_id, p.url,
+                 (p.lat_centi - q.q_lat) * (p.lat_centi - q.q_lat)
+               + (p.lon_centi - q.q_lon) * (p.lon_centi - q.q_lon) AS sqdist,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY sqdist, p.url) AS rank
+          FROM {P.sql_pages_subquery(n, "duckdb")} p, ({qsql}) q
+        ) WHERE rank <= {k} ORDER BY query_id, rank
+        """
+    ).df()
+    geo = P.geocode(P.synth_pages(spark, n), RES)
+    got = (
+        K.knn(queries, geo, RES, k)
+        .orderBy("query_id", "rank")
+        .toPandas()
+    )
+    assert (got["url"].to_numpy() == expect["url"].to_numpy()).all()
+    assert (got["sqdist"].to_numpy() == expect["sqdist"].to_numpy()).all()

@@ -1,0 +1,102 @@
+"""Spatial-join row-for-row checks vs a numpy oracle — ≡ the reference's
+clip/mask goldens (`tests/core/test_band.py:331-388`, ``:481-503``)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark import geometry, grid
+from eodal_spark.operators import spatial_join as SJ
+from eodal_spark.sources import pages as P
+
+RES = 8
+
+
+@pytest.fixture(scope="module")
+def pages_geo(spark, pages_small):
+    return P.geocode(pages_small, RES).cache()
+
+
+@pytest.fixture(scope="module")
+def oracle_frame(spark):
+    """pandas frame (url, lon, lat, cell, centroid lon/lat) from the
+    dialect SQL — independent derivation path from `geocode`."""
+    pdf = spark.sql(
+        f"SELECT url, lat_centi, lon_centi FROM {P.sql_pages_subquery(10_000, 'spark')}"
+    ).toPandas()
+    lon = pdf["lon_centi"].to_numpy() / 100.0 - 180.0
+    lat = pdf["lat_centi"].to_numpy() / 100.0 - 90.0
+    cell = grid.np_cell_encode(lon, lat, RES)
+    clon, clat = grid.np_cell_centroid(cell, RES)
+    pdf["lon"], pdf["lat"], pdf["cell"] = lon, lat, cell
+    pdf["clon"], pdf["clat"] = clon, clat
+    return pdf
+
+
+def _oracle_join(oracle_frame, polys_rows, px_col, py_col):
+    out = []
+    for r in polys_rows:
+        xs, ys = np.array(r["xs"]), np.array(r["ys"])
+        fn = geometry.np_pip_convex if r["is_convex"] else geometry.np_pip_even_odd
+        inside = fn(
+            oracle_frame[px_col].to_numpy(), oracle_frame[py_col].to_numpy(), xs, ys
+        )
+        sub = oracle_frame[inside][["url"]].copy()
+        sub["poly_id"] = r["poly_id"]
+        out.append(sub)
+    return (
+        pd.concat(out)
+        .sort_values(["poly_id", "url"])
+        .reset_index(drop=True)[["poly_id", "url"]]
+    )
+
+
+def test_centroid_rule_matches_oracle(spark, pages_geo, sample_polys, oracle_frame):
+    got = (
+        SJ.spatial_join(pages_geo, sample_polys, RES, rule="centroid")
+        .select("poly_id", "url")
+        .toPandas()
+        .sort_values(["poly_id", "url"])
+        .reset_index(drop=True)
+    )
+    expect = _oracle_join(
+        oracle_frame, sample_polys.collect(), "clon", "clat"
+    )
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_exact_rule_matches_oracle(spark, pages_geo, sample_polys, oracle_frame):
+    got = (
+        SJ.spatial_join(pages_geo, sample_polys, RES, rule="exact")
+        .select("poly_id", "url")
+        .toPandas()
+        .sort_values(["poly_id", "url"])
+        .reset_index(drop=True)
+    )
+    expect = _oracle_join(oracle_frame, sample_polys.collect(), "lon", "lat")
+    pd.testing.assert_frame_equal(got, expect)
+
+
+def test_outside_polygon_yields_no_rows(pages_geo, sample_polys):
+    j = SJ.spatial_join(pages_geo, sample_polys, RES, rule="centroid")
+    assert j.filter("poly_id = 5").count() == 0
+
+
+def test_plan_uses_broadcast_join(pages_geo, sample_polys):
+    j = SJ.spatial_join(pages_geo, sample_polys, RES, rule="centroid")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # big side never shuffles
+
+
+def test_sample_points_left_join_nulls(spark, pages_geo):
+    pts = spark.createDataFrame(
+        [(1, 8.54, 47.37), (2, 0.01, -89.99)],  # Zürich hotspot; dead zone
+        ["id", "lon", "lat"],
+    )
+    out = SJ.sample_points(pts, pages_geo, RES).cache()
+    assert out.filter("id = 1 AND url IS NOT NULL").count() > 0
+    dead = out.filter("id = 2").collect()
+    assert len(dead) == 1 and dead[0]["url"] is None

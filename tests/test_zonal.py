@@ -1,0 +1,74 @@
+"""Zonal stats vs pandas oracle — ≡ Band.reduce golden tests
+(`tests/core/test_band.py` reduce/zonal sections)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.operators import spatial_join as SJ
+from eodal_spark.operators import zonal
+from eodal_spark.sources import pages as P
+
+RES = 8
+
+
+@pytest.fixture(scope="module")
+def joined(spark, pages_small, sample_polys):
+    geo = P.geocode(pages_small, RES).withColumn("n_chars", F.length("text"))
+    return SJ.spatial_join(
+        geo, sample_polys, RES, rule="centroid", page_cols=("url", "n_chars")
+    ).cache()
+
+
+def test_zonal_stats_match_pandas(joined):
+    got = {
+        r["poly_id"]: r
+        for r in zonal.zonal_stats(joined, "n_chars").collect()
+    }
+    pdf = joined.select("poly_id", "n_chars").toPandas()
+    for pid, g in pdf.groupby("poly_id"):
+        v = g["n_chars"].to_numpy(np.float64)
+        r = got[pid]
+        assert r["cnt"] == len(v)
+        assert r["min_v"] == v.min() and r["max_v"] == v.max()
+        assert float(r["sum_v"]) == pytest.approx(v.sum(), abs=1e-6)
+        assert float(r["avg_v"]) == pytest.approx(v.mean(), abs=1e-4)
+        assert float(r["stddev_v"]) == pytest.approx(v.std(ddof=1), abs=1e-3)
+        assert float(r["median_v"]) == pytest.approx(np.median(v), abs=1e-9)
+
+
+def test_empty_polygon_dropped_unless_keep(joined, sample_polys):
+    stats = zonal.zonal_stats(joined, "n_chars")
+    assert stats.filter("poly_id = 5").count() == 0  # dropped (no keep_nans)
+    kept = zonal.zonal_stats(
+        joined, "n_chars", keep_empty=True, polys=sample_polys
+    )
+    row = kept.filter("poly_id = 5").first()
+    assert row["cnt"] == 0 and row["min_v"] is None
+
+
+def test_unknown_stat_raises(joined):
+    with pytest.raises(ValueError):
+        zonal.stat_exprs("n_chars", stats=("nanmedian",))
+
+
+def test_value_counts_backfill(spark, pages_small):
+    counts = zonal.value_counts(
+        pages_small, "lang", classes=["en", "de", "fr", "it", "zz"]
+    ).collect()
+    by = {r["lang"]: r for r in counts}
+    assert by["zz"]["n"] == 0  # absent class backfilled with 0
+    total = sum(r["n"] for r in counts)
+    assert total == 10_000
+    assert float(sum(r["share"] for r in counts)) == pytest.approx(1.0, abs=1e-4)
+
+
+def test_value_counts_grouped(spark, pages_small):
+    geo = P.geocode(pages_small, 4)
+    out = zonal.value_counts(geo, "lang", ["en", "de", "fr", "it"], by="cell_id")
+    # each cell's shares sum to 1
+    sums = out.groupBy("cell_id").agg(F.sum("share").alias("s"))
+    bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-4).count()
+    assert bad == 0
