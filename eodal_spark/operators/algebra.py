@@ -1,0 +1,127 @@
+"""Column algebra + named-index registry — `BandOperator` and
+`SpectralIndices` re-expressed as Catalyst expressions.
+
+The reference dispatches band arithmetic through ``eval`` strings
+(`eodal/core/operators.py:29`, `eodal/core/band.py:74-148`) and holds a
+registry of 17 named spectral-index formulas
+(`eodal/core/spectral_indices.py:89-122`, NDVI band.py:124-138, EVI with
+±1 clipping :140-160, …).  Here every index is a named Column
+expression; a chain of them is **one fused whole-stage-codegen
+projection** — the eval dispatch, the per-op array materialization and
+the deepcopies (band.py:141-148) all disappear.
+
+The "bands" of the web-text engine are per-row numeric metrics (token
+counts, quality scores, byte sizes…), but the registry is generic: any
+column names can be bound to an index formula (band-alias remapping ≡
+`spectral_indices.py:34-73`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# registry: name -> fn(bands: dict[str, Column]) -> Column
+_REGISTRY: dict[str, Callable[[dict], Column]] = {}
+
+
+def register_index(name: str, fn: Callable[[dict], Column]) -> None:
+    """User-extensible registration — ≡ custom upper-case SI methods
+    (`spectral_indices.py:76-87`)."""
+    _REGISTRY[name.upper()] = fn
+
+
+def list_indices() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def calc_index(name: str, bands: dict[str, Column]) -> Column:
+    """Materialize index ``name`` over a band→Column binding, with the
+    reference's inf→NULL post-processing (`spectral_indices.py:113-121`)."""
+    key = name.upper()
+    if key not in _REGISTRY:
+        raise ValueError(f"unknown index {name}; known: {list_indices()}")
+    v = _REGISTRY[key](bands)
+    return F.when(F.isnan(v) | (F.abs(v) == float("inf")), None).otherwise(v)
+
+
+def with_indices(df: DataFrame, bindings: dict[str, str], *names: str) -> DataFrame:
+    """Add one column per index, all in a single fused projection.
+    ``bindings`` maps logical band names (nir, red, …) to df columns."""
+    bands = {k: F.col(v) for k, v in bindings.items()}
+    return df.select(
+        "*", *[calc_index(n, bands).alias(n.lower()) for n in names]
+    )
+
+
+def _norm_diff(a: Column, b: Column) -> Column:
+    return (a - b) / (a + b)
+
+
+# the reference's index set (formulas from eodal/core/band.py:124-356),
+# expressed over generic band bindings
+register_index("NDVI", lambda b: _norm_diff(b["nir"], b["red"]))
+register_index(
+    "EVI",
+    lambda b: F.least(
+        F.greatest(
+            2.5 * (b["nir"] - b["red"]) / (b["nir"] + 6 * b["red"] - 7.5 * b["blue"] + 1),
+            F.lit(-1.0),
+        ),
+        F.lit(1.0),
+    ),
+)
+register_index(
+    "MSAVI",
+    lambda b: 0.5
+    * (2 * b["nir"] + 1 - F.sqrt((2 * b["nir"] + 1) * (2 * b["nir"] + 1) - 8 * (b["nir"] - b["red"]))),
+)
+register_index("CI_GREEN", lambda b: b["nir"] / b["green"] - 1)
+register_index("NDRE", lambda b: _norm_diff(b["nir"], b["rededge"]))
+register_index("BSI", lambda b: _norm_diff(b["swir"] + b["red"], b["nir"] + b["blue"]))
+register_index("VARI", lambda b: (b["green"] - b["red"]) / (b["green"] + b["red"] - b["blue"]))
+register_index("NDYI", lambda b: _norm_diff(b["green"], b["blue"]))
+register_index("NDWI", lambda b: _norm_diff(b["green"], b["nir"]))
+register_index("GNDVI", lambda b: _norm_diff(b["nir"], b["green"]))
+register_index("CR", lambda b: b["vh"] / b["vv"])
+register_index("NDTI", lambda b: _norm_diff(b["swir"], b["swir2"]))
+
+
+def scale_values(
+    col: Column, scale: float, offset: float, ignore: list | None = None
+) -> Column:
+    """`Band.scale_data` (`eodal/core/band.py:2205-2259`): gain/offset
+    skipping nodata/ignore values — a conditional projection."""
+    scaled = col * F.lit(scale) + F.lit(offset)
+    if ignore:
+        return F.when(col.isin(ignore), col).otherwise(scaled)
+    return scaled
+
+
+def mask_values(
+    df: DataFrame, mask_col: str, mask_values: list, target_cols: list[str],
+    keep: bool = False,
+) -> DataFrame:
+    """`RasterCollection.mask` (`eodal/core/raster.py:1445-1548`):
+    NULL out target columns where mask_col is (or isn't) in mask_values
+    — the reference's per-pixel loop (band.py:1716-1720) becomes a
+    vectorized conditional projection."""
+    hit = F.col(mask_col).isin(mask_values)
+    cond = ~hit if keep else hit
+    return df.select(
+        *[
+            F.when(cond, None).otherwise(F.col(c)).alias(c)
+            if c in target_cols
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def mask_from_bits(col: Column, start: int, width: int) -> Column:
+    """`Landsat.mask_from_qa_bits` (`eodal/core/sensors/landsat.py:673-716`):
+    (x & pattern) >> start — native bitwise ops."""
+    pattern = ((1 << width) - 1) << start
+    return F.shiftrightunsigned(col.bitwiseAND(F.lit(pattern)).cast("long"), start)

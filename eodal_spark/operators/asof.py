@@ -1,0 +1,78 @@
+"""As-of (temporal nearest / latest-at) join.
+
+The reference matches scene metadata within a ±tolerance of a target
+timestamp (`eodal/mapper/mapper.py:554-563`, :650-663 — rounding to a
+pandas freq + |Δt| < Timedelta).  Generalized here to a proper as-of
+join: for each left row, the single most recent right row with
+``right_ts <= left_ts`` (optionally within a tolerance), per key.
+
+Implementation is the **union + window** merge (no range-join blowup):
+tag both sides, union, sort within key by (ts, side-priority), carry the
+last right row forward with ``last(..., ignorenulls=True)`` — one shuffle
+on the key, linear in rows, the same plan at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    right_vals: tuple[str, ...],
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """For each left row: values of the latest right row at-or-before
+    its timestamp (NULLs when none / outside tolerance)."""
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_vals],
+        F.lit(None).cast("timestamp").alias("_rts"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
+        F.col(right_ts).alias("_rts"),
+    )
+    # right rows sort before left rows at equal ts (inclusive as-of)
+    u = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
+            for c in right_vals
+        ],
+        F.last("_rts", ignorenulls=True).over(w).alias("_c_ts"),
+    ).filter(F.col("_side") == 1)
+    if tolerance_seconds is not None:
+        in_tol = (
+            F.unix_timestamp("_ts") - F.unix_timestamp("_c_ts")
+        ) <= F.lit(tolerance_seconds)
+        carried = carried.select(
+            "_lrow",
+            *[
+                F.when(in_tol, F.col(f"_c_{c}")).otherwise(None).alias(f"_c_{c}")
+                for c in right_vals
+            ],
+        )
+    out = carried.select(
+        "_lrow.*", *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in right_vals]
+    )
+    return out

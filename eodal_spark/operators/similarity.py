@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force top-k (broadcast queries × corpus scan — one pass,
+no corpus shuffle).  Scale path: LSH-bucketed ANN via signed random
+projections (the embedding analogue of the grid's cell bucketing).
+
+Numeric policy: distances for oracle-gated queries use **decimal
+arithmetic** (cast each component to decimal(18,9), exact sums) so
+rankings are bit-identical to the DuckDB oracle; the cosine variant
+(float, transcendental-free but order-sensitive) is provided for
+completeness without an oracle gate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dec(c: Column) -> Column:
+    return c.cast("decimal(12,9)")
+
+
+def l2_sqdist_decimal(a: Column, b: Column) -> Column:
+    """Exact decimal squared L2 distance between two float arrays.
+
+    Types are pinned so every step is exact (no 38-precision cap hits):
+    elements → decimal(12,9) (|x| < 1000), diff² → decimal(25,18)
+    exact, accumulator decimal(32,18) (headroom for 10^7 dims)."""
+    diff = F.zip_with(a, b, lambda x, y: (_dec(x) - _dec(y)).cast("decimal(12,9)"))
+    return F.aggregate(
+        diff,
+        F.lit(0).cast("decimal(32,18)"),
+        lambda acc, d: (acc + (d * d)).cast("decimal(32,18)"),
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Float cosine similarity — native zip_with/aggregate (no UDF)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def _rank_topk(cand: DataFrame, k: int, order_col: str, asc: bool) -> DataFrame:
+    order = [
+        F.col(order_col).asc() if asc else F.col(order_col).desc(),
+        F.col("vec_id").asc(),
+    ]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return cand.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+def brute_force_topk_l2(
+    queries: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    """queries: (query_id, qvec); corpus: (vec_id, embedding).
+    Returns (query_id, vec_id, sqdist, rank) — exact decimal ranking,
+    tie-broken by vec_id. Corpus scans once; queries broadcast."""
+    cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "sqdist", l2_sqdist_decimal(F.col("embedding"), F.col("qvec"))
+    )
+    return _rank_topk(cand, k, "sqdist", asc=True).select(
+        "query_id", "vec_id", "sqdist", "rank"
+    )
+
+
+def brute_force_topk_cosine(
+    queries: DataFrame, corpus: DataFrame, k: int
+) -> DataFrame:
+    cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "sim", cosine_sim(F.col("embedding"), F.col("qvec"))
+    )
+    return _rank_topk(cand, k, "sim", asc=False).select(
+        "query_id", "vec_id", "sim", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (signed random projections)
+# ---------------------------------------------------------------------------
+
+def srp_bucket_udf(dim: int, n_planes: int = 12, seed: int = 42):
+    """Signed-random-projection bucket id (Arrow-batched numpy matmul).
+    Vectors with small angle land in the same bucket w.h.p. — the
+    embedding-space analogue of `grid.cell_encode`."""
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_planes))
+
+    @F.pandas_udf(T.LongType())
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())
+        signs = (m @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype(np.int64))
+
+    return bucket
+
+
+def ann_topk_srp(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 10,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: union of `n_tables` independent SRP hash
+    tables; candidates = bucket collisions in any table; exact decimal
+    re-rank within candidates.  Recall grows with n_tables; at scale the
+    corpus is bucketed once (map-side) and only collisions shuffle."""
+    cand = None
+    for t in range(n_tables):
+        b = srp_bucket_udf(dim, n_planes, seed=1000 + t)
+        cbuck = corpus.withColumn("bucket", b(F.col("embedding")))
+        qbuck = queries.withColumn("bucket", b(F.col("qvec")))
+        hits = cbuck.join(F.broadcast(qbuck), "bucket").select(
+            "query_id", "qvec", "vec_id", "embedding"
+        )
+        cand = hits if cand is None else cand.unionByName(hits)
+    cand = cand.dropDuplicates(["query_id", "vec_id"]).withColumn(
+        "sqdist", l2_sqdist_decimal(F.col("embedding"), F.col("qvec"))
+    )
+    return _rank_topk(cand, k, "sqdist", asc=True).select(
+        "query_id", "vec_id", "sqdist", "rank"
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, sqdist_threshold: float, dim: int, n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs: SRP buckets → within-bucket pairs
+    → exact decimal distance filter. (id_a < id_b)."""
+    pairs = None
+    for t in range(n_tables):
+        b = srp_bucket_udf(dim, n_planes, seed=2000 + t)
+        bucketed = corpus.withColumn("bucket", b(F.col("embedding")))
+        p = (
+            bucketed.alias("a")
+            .join(bucketed.alias("b"), "bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select(
+                F.col("a.vec_id").alias("id_a"),
+                F.col("b.vec_id").alias("id_b"),
+                F.col("a.embedding").alias("ea"),
+                F.col("b.embedding").alias("eb"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"]).withColumn(
+        "sqdist", l2_sqdist_decimal(F.col("ea"), F.col("eb"))
+    )
+    return pairs.filter(F.col("sqdist") <= F.lit(sqdist_threshold)).select(
+        "id_a", "id_b", "sqdist"
+    )

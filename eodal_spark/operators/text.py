@@ -1,0 +1,124 @@
+"""Text analysis for training-data pipelines over the documents table.
+
+Spark-first: every function is a native Column expression (codegen) —
+language ID, quality scoring, token counting, fingerprinting.  These are
+the web-text analogues of the reference's per-band derived metrics
+(spectral indices, `eodal/core/spectral_indices.py`): named, registry-
+dispatched column derivations over the base relation.
+
+Numeric policy: all scores are integer or decimal arithmetic so the
+DuckDB oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker-word inventories (public-knowledge stopwords)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "ist"],
+    "fr": ["le", "la", "et", "les", "est"],
+    "it": ["il", "che", "di", "non", "una"],
+}
+
+
+def _count_word(text: Column, word: str) -> Column:
+    """Occurrences of a whole word (case-insensitive) — native regexp."""
+    return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: sum((_count_word(text, w) for w in words), F.lit(0))
+        for lang, words in LANG_MARKERS.items()
+    }
+
+
+def lang_id(text: Column) -> Column:
+    """N-gram/stopword-heuristic language ID: argmax marker count,
+    deterministic tie-break by language code; 'und' (undetermined) when
+    no marker hits."""
+    scores = lang_scores(text)
+    pairs = F.array(
+        *[
+            F.struct(scores[lang].alias("score"), F.lit(lang).alias("lang"))
+            for lang in sorted(scores)
+        ]
+    )
+    best = F.array_max(
+        F.transform(
+            pairs,
+            # invert lang ordering inside the struct comparison so ties pick
+            # the alphabetically-first language under array_max
+            lambda p: F.struct(
+                p["score"].alias("score"),
+                (-F.ascii(p["lang"])).alias("tiebreak"),
+                p["lang"].alias("lang"),
+            ),
+        )
+    )
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace tokenization count — native, no UDF."""
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: words + digits + punctuation runs counted
+    separately (a deterministic stand-in for a real tokenizer)."""
+    return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
+
+
+def punct_ratio_milli(text: Column) -> Column:
+    """Punctuation chars per 1000 chars (integer — oracle-exact)."""
+    n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
+    return (n_punct * 1000 / F.greatest(F.length(text), F.lit(1))).cast("long")
+
+
+def stopword_ratio_milli(text: Column) -> Column:
+    """English stopword tokens per 1000 tokens (integer)."""
+    hits = sum((_count_word(text, w) for w in LANG_MARKERS["en"]), F.lit(0))
+    return (hits * 1000 / F.greatest(token_count(text), F.lit(1))).cast("long")
+
+
+def quality_score_milli(text: Column) -> Column:
+    """Composite quality in [0, 1000]: length band + low punctuation +
+    stopword presence.  Deterministic integer arithmetic."""
+    length_ok = (F.length(text) >= 20) & (F.length(text) <= 100_000)
+    punct_ok = punct_ratio_milli(text) < 300
+    stop_ok = stopword_ratio_milli(text) > 0
+    return (
+        F.when(length_ok, 400).otherwise(0)
+        + F.when(punct_ok, 300).otherwise(0)
+        + F.when(stop_ok, 300).otherwise(0)
+    ).cast("long")
+
+
+def fingerprint(text: Column, w: int = 8) -> Column:
+    """Winnowing-style document fingerprint: the minimum md5 over all
+    w-char windows — robust to single-char appends, portable to the SQL
+    oracle (md5 + substring in both engines).  ≡ a rolling-hash document
+    sketch; native `transform` over a `sequence`, no UDF."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text) - (w - 1), F.lit(1)))
+    return F.array_min(
+        F.transform(idx, lambda i: F.md5(F.substring(text, i, w)))
+    )
+
+
+def enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Apply the full text-analysis battery as one fused projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        lang_id(t).alias("lang_guess"),
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        punct_ratio_milli(t).alias("punct_milli"),
+        stopword_ratio_milli(t).alias("stop_milli"),
+        quality_score_milli(t).alias("quality_milli"),
+        fingerprint(t).alias("fp"),
+    )

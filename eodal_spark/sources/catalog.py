@@ -1,0 +1,136 @@
+"""Snapshot catalog: checkpoint/resume over versioned table writes.
+
+Production target is Iceberg (snapshot ids, manifest pruning); this
+sandbox has no Iceberg runtime jar, so the same contract is implemented
+over parquet directories + JSON manifests.  The abstraction is what the
+engine codes against — swapping `SnapshotCatalog` for
+``df.writeTo(...).append()`` + Iceberg snapshot ids is a one-class
+change.
+
+≡ the reference's pickle checkpoint / reload of a SceneCollection
+(`eodal/core/scene.py:658-665`, ``:307-329``) and the Mapper's temp-file
+resume (`eodal/mapper/mapper.py:599-603`) — done as atomic table
+snapshots instead of ad-hoc files.
+
+Write layout: tables are written **sorted by cell_id** (≡ COG tiling,
+`eodal/core/raster.py:1759-1783`) so parquet min/max footer stats prune
+spatial predicates — the "layout decision" of SURVEY.md §4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _manifest_path(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "manifest.json")
+
+    def _load_manifest(self, table: str) -> dict:
+        p = self._manifest_path(table)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {"snapshots": []}
+
+    def snapshots(self, table: str) -> list[dict]:
+        return self._load_manifest(table)["snapshots"]
+
+    def current_snapshot(self, table: str) -> dict | None:
+        snaps = self.snapshots(table)
+        return snaps[-1] if snaps else None
+
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        sort_by: tuple[str, ...] = (),
+        meta: dict | None = None,
+    ) -> dict:
+        """Append a new snapshot. Sorted write (range-partitioned by the
+        sort key) gives min/max pruning on those columns."""
+        man = self._load_manifest(table)
+        sid = len(man["snapshots"]) + 1
+        data_dir = os.path.join(self._tdir(table), f"v{sid}")
+        out = (
+            df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
+            if sort_by
+            else df
+        )
+        out.write.mode("overwrite").parquet(data_dir)
+        n = out.sparkSession.read.parquet(data_dir).count()
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": sid - 1 if sid > 1 else None,
+            "path": data_dir,
+            "row_count": n,
+            "sort_by": list(sort_by),
+            "meta": meta or {},
+        }
+        man["snapshots"].append(snap)
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        return snap
+
+    def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Time-travel read — ≡ Iceberg ``VERSION AS OF``."""
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        return spark.read.parquet(snap["path"])
+
+    def rollback(self, table: str, snapshot_id: int) -> None:
+        man = self._load_manifest(table)
+        dropped = [s for s in man["snapshots"] if s["snapshot_id"] > snapshot_id]
+        man["snapshots"] = [
+            s for s in man["snapshots"] if s["snapshot_id"] <= snapshot_id
+        ]
+        with open(self._manifest_path(table), "w") as f:
+            json.dump(man, f, indent=1)
+        for s in dropped:
+            shutil.rmtree(s["path"], ignore_errors=True)
+
+
+class ResumablePipeline:
+    """Driver loop with stage-level resume: a stage whose output snapshot
+    exists (matching stage name in snapshot meta) is *skipped* and its
+    snapshot read back — lineage-true resume from checkpoint.
+
+    ≡ pickle round-trip resume (scene.py:307-329) with real atomicity.
+    """
+
+    def __init__(self, catalog: SnapshotCatalog, spark: SparkSession):
+        self.catalog = catalog
+        self.spark = spark
+        self.executed: list[str] = []
+        self.skipped: list[str] = []
+
+    def stage(
+        self,
+        name: str,
+        fn,
+        sort_by: tuple[str, ...] = (),
+    ) -> DataFrame:
+        """fn: () -> DataFrame, evaluated only if no snapshot exists."""
+        cur = self.catalog.current_snapshot(name)
+        if cur is not None and cur["meta"].get("stage") == name:
+            self.skipped.append(name)
+            return self.catalog.read(self.spark, name)
+        df = fn()
+        self.catalog.write(df, name, sort_by=sort_by, meta={"stage": name})
+        self.executed.append(name)
+        return self.catalog.read(self.spark, name)

@@ -1,0 +1,80 @@
+"""Streaming ingest: incremental pages → tiled, deduped table.
+
+The reference appends scenes to a sorted collection one at a time
+(`eodal/core/scene.py:381-413`) with a ±60-minute metadata-matching
+tolerance (`eodal/mapper/mapper.py:655-663`).  Structured Streaming
+re-expresses that as:
+
+* watermark on ``warc_ts`` (late-data bound ≡ matching tolerance),
+* tumbling-window aggregation (≡ timestamp rounding, mapper.py:554-563),
+* ``foreachBatch`` append into the snapshot catalog (≡ incremental
+  scene insert + pickle checkpoint, with real checkpointLocation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eodal_spark import grid
+from eodal_spark.sources import pages as P
+
+
+def streaming_pages(spark, rows_per_second: int = 1000) -> DataFrame:
+    """A rate-source stream shaped exactly like the pages table —
+    the streaming twin of `sources.pages.synth_pages` (same column
+    derivations keyed on the rate-source ``value``)."""
+    e = P._exprs("spark", "value")
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.expr(e["url"]).alias("url"),
+        F.timestamp_seconds(F.expr(e["ts_sec"])).alias("warc_ts"),
+        F.expr(e["html"]).cast("binary").alias("html"),
+        F.expr(e["text"]).alias("text"),
+        F.expr(e["lang"]).alias("lang"),
+    )
+
+
+def windowed_cell_counts(
+    pages_stream: DataFrame,
+    res: int,
+    window: str = "10 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window per-cell page counts — the streaming
+    analogue of tile histograms. Late rows beyond the watermark are
+    dropped (≡ the reference's tolerance cut, mapper.py:655-663)."""
+    from eodal_spark.sources.pages import extract_text, parse_geo
+
+    txt = extract_text(F.col("html"))
+    lat_centi, lon_centi, lat, lon = parse_geo(txt)
+    geo = pages_stream.select(
+        "url",
+        "warc_ts",
+        lat.alias("lat"),
+        lon.alias("lon"),
+    ).withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    return (
+        geo.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"), F.min("url").alias("first_url"))
+    )
+
+
+def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str):
+    """Drain everything currently available into parquet (append mode),
+    checkpointed — resumable via checkpointLocation."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,81 @@
+"""Dedup suite: exact, Jaccard, MinHash LSH, SimHash — with planted
+near-duplicates as ground truth."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """20 base docs; ids 100+i are exact dups of i; 200+i are near-dups
+    (one word changed); 300+i are unrelated."""
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{j}" for j in range(500)]
+    rows = []
+    for i in range(20):
+        base = " ".join(rng.choice(words) for _ in range(80))
+        rows.append((i, base))
+        rows.append((100 + i, base))
+        toks = base.split()
+        toks[40] = "CHANGED"
+        rows.append((200 + i, " ".join(toks)))
+        rows.append((300 + i, " ".join(rng.choice(words) for _ in range(80))))
+    return spark.createDataFrame(rows, ["doc_id", "text"]).cache()
+
+
+def test_exact_dedup_keeps_min_id(planted):
+    out = D.exact_dedup(planted).cache()
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    for i in range(20):
+        assert i in ids and (100 + i) not in ids
+        assert (200 + i) in ids and (300 + i) in ids
+    # determinism under repartition
+    out2 = D.exact_dedup(planted.repartition(17))
+    assert out2.select("doc_id").exceptAll(out.select("doc_id")).count() == 0
+
+
+def test_jaccard_pairs_find_near_dups(planted):
+    pairs = D.jaccard_pairs(planted, threshold_milli=700).cache()
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for i in range(20):
+        assert (i, 100 + i) in got  # exact dup: jaccard 1
+        assert (i, 200 + i) in got  # near dup above threshold
+    # unrelated docs never pair
+    assert not any(a >= 300 or b >= 300 for a, b in got)
+
+
+def test_minhash_lsh_recalls_near_dups(planted):
+    verified = D.minhash_dedup(planted, threshold_milli=700).cache()
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    exact_hits = sum((i, 100 + i) in got for i in range(20))
+    near_hits = sum((i, 200 + i) in got for i in range(20))
+    assert exact_hits == 20  # identical docs always collide
+    assert near_hits >= 17  # high recall on near-dups (probabilistic)
+    assert not any(a >= 300 or b >= 300 for a, b in got)  # verified: no FPs
+
+
+def test_simhash_near_pairs(planted):
+    sigs = D.simhash_signatures(planted).cache()
+    pairs = D.simhash_near_pairs(sigs, max_hamming=6).cache()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    exact_hits = sum((i, 100 + i) in got for i in range(20))
+    assert exact_hits == 20  # identical text → identical simhash
+    # reported hamming distances are correct vs the raw signatures
+    raw = {r["id"]: r["simhash"] for r in sigs.collect()}
+    for (a, b), h in got.items():
+        assert bin(raw[a] ^ raw[b]).count("1") == h <= 6
+    # identical docs have identical signatures (hamming 0)
+    assert all(got[(i, 100 + i)] == 0 for i in range(20))
+
+
+def test_minhash_signature_determinism(planted):
+    s1 = D.minhash_signatures(planted).orderBy("id").collect()
+    s2 = D.minhash_signatures(planted.repartition(13)).orderBy("id").collect()
+    for a, b in zip(s1, s2):
+        assert a["id"] == b["id"] and a["sig"] == b["sig"]

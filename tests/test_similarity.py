@@ -1,0 +1,85 @@
+"""Similarity search over the embeddings table: brute force vs ANN."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.operators import similarity as S
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def queries(spark, corpus):
+    rows = corpus.orderBy("vec_id").limit(5).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows], ["query_id", "qvec"]
+    )
+
+
+def test_brute_force_l2_matches_numpy(spark, corpus, queries):
+    k = 10
+    got = S.brute_force_topk_l2(queries, corpus, k).orderBy("query_id", "rank").collect()
+    pdf = corpus.orderBy("vec_id").toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    for q in queries.collect():
+        qv = np.array(q["qvec"], dtype=np.float64)
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))[:k]
+        expect = ids[order].tolist()
+        mine = [r["vec_id"] for r in got if r["query_id"] == q["query_id"]]
+        assert mine == expect
+
+
+def test_self_is_nearest(corpus, queries):
+    got = S.brute_force_topk_l2(queries, corpus, 1).collect()
+    for r in got:
+        assert r["vec_id"] == r["query_id"] and float(r["sqdist"]) == 0.0
+
+
+def test_cosine_topk_runs(corpus, queries):
+    got = S.brute_force_topk_cosine(queries, corpus, 3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["vec_id"] == q and best["sim"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ann_srp_recall(spark, corpus, queries):
+    k = 10
+    dim = len(queries.first()["qvec"])
+    exact = S.brute_force_topk_l2(queries, corpus, k).collect()
+    # testdata embeddings have weak angular structure (NN cosine ~0.35):
+    # collision prob per table = (1 - theta/pi)^planes ~ 0.23 at 3 planes,
+    # so 8 tables give ~0.88 expected recall for the top neighbours
+    approx = S.ann_topk_srp(queries, corpus, k, dim, n_planes=3, n_tables=8).collect()
+    e = {}
+    a = {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5  # ANN recall floor
+
+
+def test_embedding_near_dup_self_pairs(spark, corpus):
+    # plant exact duplicate vectors with new ids
+    dups = corpus.limit(3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = corpus.select("vec_id", "embedding").unionByName(dups)
+    dim = len(corpus.first()["embedding"])
+    pairs = S.embedding_near_dup_pairs(aug, sqdist_threshold=1e-12, dim=dim)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in corpus.limit(3).collect():
+        assert (r["vec_id"], r["vec_id"] + 100000) in got

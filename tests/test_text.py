@@ -1,0 +1,72 @@
+"""Text-analysis operators over the driver's documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.operators import text as TX
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet").cache()
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog is here"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "le chat et la mer est belle"),
+            (4, "xyzzy plugh 12345"),
+        ],
+        ["id", "text"],
+    )
+    out = {r["id"]: r["g"] for r in df.select("id", TX.lang_id(F.col("text")).alias("g")).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "a b  c\td"), (2, "hello, world!")], ["id", "text"])
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        TX.token_count(F.col("text")).alias("tok"),
+        TX.bpe_ish_token_count(F.col("text")).alias("sub"),
+    ).collect()}
+    assert rows[1]["tok"] == 4
+    assert rows[2]["tok"] == 2
+    assert rows[2]["sub"] == 4  # hello , world !
+
+
+def test_quality_and_ratios(spark):
+    good = "the quick brown fox jumps over the lazy dog and runs away"
+    bad = "!!! ??? ,,, ;;;"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["id", "text"])
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        TX.punct_ratio_milli(F.col("text")).alias("p"),
+        TX.quality_score_milli(F.col("text")).alias("q"),
+    ).collect()}
+    assert rows[1]["q"] == 1000
+    assert rows[2]["p"] > 300 and rows[2]["q"] < 400
+
+
+def test_fingerprint_stability(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefghijklmnop"), (2, "abcdefghijklmnopq"), (3, "zzzzzzzz")],
+        ["id", "text"],
+    )
+    rows = {r["id"]: r["fp"] for r in df.select("id", TX.fingerprint(F.col("text")).alias("fp")).collect()}
+    assert rows[1] == rows[2]  # append-robust: shared min window survives
+    assert rows[1] != rows[3]
+
+
+def test_enrich_runs_on_documents(docs):
+    out = TX.enrich(docs).cache()
+    assert out.count() == docs.count()
+    assert out.filter("n_tokens <= 0").count() == 0
+    # lang_guess hits a real language for most docs (markers are crude)
+    hit = out.filter("lang_guess != 'und'").count()
+    assert hit > 0
