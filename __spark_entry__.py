@@ -1,38 +1,788 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the eodal_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline (geocode → broadcast spatial join →
+zonal stats) on a synthesized pages table.
+
+``queries()`` — one entry per implemented operator family from
+SURVEY.md §2.  Pages-table queries synthesize their input
+deterministically (FIXTURES.md §1) via ``spark.range`` column
+arithmetic; the DuckDB oracle reproduces the identical table via
+`sql_pages_subquery` — bit-identical integer/decimal math end to end,
+so the value-hash gate is exact, not approximate.
+
+``oracle_sql()`` — DuckDB SQL per query.  Omitted only for the
+probabilistic candidate generators (MinHash LSH banding, SRP ANN),
+whose outputs are instead verified in tests/ against planted ground
+truth (the driver then records a rows-only check).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from eodal_spark import geometry, grid
+from eodal_spark.operators import asof as ASOF
+from eodal_spark.operators import dedup as D
+from eodal_spark.operators import knn as K
+from eodal_spark.operators import multimodal as MM
+from eodal_spark.operators import similarity as SIM
+from eodal_spark.operators import spatial_join as SJ
+from eodal_spark.operators import text as TX
+from eodal_spark.operators import tiling as TIL
+from eodal_spark.operators import zonal as Z
+from eodal_spark.sources import pages as P
+
+# ---------------------------------------------------------------------------
+# Fixed configuration shared by the Spark queries and the DuckDB oracles
+# ---------------------------------------------------------------------------
+
+N_PAGES = 20_000      # correctness-scale pages table (fixed for oracles)
+RES = 12              # page cell resolution
+JOIN_RES = 8          # spatial-join covering resolution
+TILE_RES = 5          # mosaic tile resolution
+BUCKET = TIL.DEFAULT_BUCKET_SECONDS
+
+# convex polygon layer over the pages extent (FIXTURES.md §2 analogue)
+PAGE_POLYS = [
+    (1, [(7.0, 45.0), (10.0, 45.0), (10.0, 49.0), (7.0, 49.0)]),          # Zürich box
+    (2, [(-75.5, 39.0), (-72.5, 39.5), (-74.0, 42.5)]),                   # NYC triangle
+    (3, [(138.0, 34.0), (141.5, 34.5), (142.0, 36.5), (139.5, 37.8), (137.5, 36.0)]),
+    (4, [(-170.0, -89.0), (-160.0, -89.0), (-160.0, -85.0), (-170.0, -85.0)]),  # empty
+]
+
+KNN_QUERIES = [  # (query_id, lat_centi, lon_centi)
+    (1, 13737, 18854),
+    (2, 13070, 10600),
+    (3, 9000, 18000),
+    (4, 500, 100),
+    (5, 12570, 31970),
+]
+
+SAMPLE_POINTS = [  # (id, lon, lat) — point sampling at JOIN_RES
+    (1, 8.54, 47.37),
+    (2, -74.0, 40.7),
+    (3, 139.7, 35.7),
+    (4, 0.01, -89.99),   # dead zone → NULL url
+    (5, 0.0, 30.0),
+]
+
+
+def _pages_geo(spark: SparkSession, n: int = N_PAGES) -> DataFrame:
+    return P.geocode(P.synth_pages(spark, n), RES)
+
+
+def _polys_spark(spark: SparkSession) -> DataFrame:
+    return geometry.polygons_df(spark, PAGE_POLYS)
+
+
+def _ccw(ring):
+    import numpy as np
+
+    xs = np.array([p[0] for p in ring])
+    ys = np.array([p[1] for p in ring])
+    if float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)) < 0:
+        xs, ys = xs[::-1], ys[::-1]
+    return xs.tolist(), ys.tolist()
+
+
+def _polys_duck() -> str:
+    """The same polygon layer as a DuckDB inline relation (CCW rings)."""
+    rows = []
+    for pid, ring in PAGE_POLYS:
+        xs, ys = _ccw(ring)
+        xs_sql = "CAST(" + str([float(v) for v in xs]) + " AS DOUBLE[])"
+        ys_sql = "CAST(" + str([float(v) for v in ys]) + " AS DOUBLE[])"
+        rows.append(f"({pid}, {xs_sql}, {ys_sql})")
+    return "(VALUES " + ", ".join(rows) + ") AS polys(poly_id, xs, ys)"
+
+
+def _duck_pages() -> str:
+    return P.sql_pages_subquery(N_PAGES, "duckdb")
+
+
+def _duck_cell(res: int) -> str:
+    return grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "duckdb")
+
+
+def _duck_centroid(res: int) -> tuple[str, str]:
+    """Centroid lon/lat SQL from centi-degrees at ``res`` — the exact
+    float op order of `geometry.polygon_cover_cells`."""
+    n = 1 << res
+    x = f"(lon_centi * {n} // 36000)"
+    y = f"(lat_centi * {n} // 18000)"
+    clon = f"(({x} + 0.5) / {n} * 360.0 - 180.0)"
+    clat = f"(({y} + 0.5) / {n} * 180.0 - 90.0)"
+    return clon, clat
+
+
+def _duck_pip(px: str, py: str) -> str:
+    return geometry.sql_pip_convex(px, py, "polys.xs", "polys.ys", "duckdb")
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geocode pages → broadcast spatial join → zonal stats
+    (the SURVEY.md §7.1-step-3 end-to-end slice)."""
+    geo = _pages_geo(spark, 5_000).withColumn("n_chars", F.length("text"))
+    polys = _polys_spark(spark)
+    joined = SJ.spatial_join(
+        geo, polys, JOIN_RES, rule="centroid", page_cols=("url", "n_chars"),
+        page_res=RES,
+    )
+    return Z.zonal_stats(joined, "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_tile_assignment(spark, sf_dir):
+    tiled = TIL.assign_tiles(_pages_geo(spark), RES, TILE_RES)
+    return tiled.select("url", "tile_cell", "ts_bucket")
+
+
+def _q_cell_encode(spark, sf_dir):
+    return _pages_geo(spark).select("url", "cell_id", "lat_centi", "lon_centi")
+
+
+def _q_text_extraction(spark, sf_dir):
+    df = P.synth_pages(spark, N_PAGES)
+    return df.select(
+        "url", F.sha2(P.extract_text(F.col("html")), 256).alias("text_sha")
+    )
+
+
+def _q_spatial_join_centroid(spark, sf_dir):
+    return SJ.spatial_join(
+        _pages_geo(spark), _polys_spark(spark), JOIN_RES, rule="centroid",
+        page_res=RES,
+    ).select("poly_id", "url")
+
+
+def _q_spatial_join_exact(spark, sf_dir):
+    return SJ.spatial_join(
+        _pages_geo(spark), _polys_spark(spark), JOIN_RES, rule="exact",
+        page_res=RES,
+    ).select("poly_id", "url")
+
+
+def _q_zonal_stats(spark, sf_dir):
+    geo = _pages_geo(spark).withColumn("n_chars", F.length("text"))
+    joined = SJ.spatial_join(
+        geo, _polys_spark(spark), JOIN_RES, rule="centroid",
+        page_cols=("url", "n_chars"), page_res=RES,
+    )
+    return joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.expr("sum(n_chars) * 1000 div count(*)").alias("avg_chars_milli"),
+        F.median("n_chars").alias("median_chars"),
+    )
+
+
+def _q_mosaic_dedup(spark, sf_dir):
+    tiled = TIL.assign_tiles(_pages_geo(spark), RES, TILE_RES)
+    return TIL.mosaic_dedup(tiled).select("cell_id", "ts_bucket", "url")
+
+
+def _q_tile_histogram(spark, sf_dir):
+    tiled = TIL.assign_tiles(_pages_geo(spark), RES, TILE_RES)
+    return tiled.groupBy("tile_cell", "ts_bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("cell_id").alias("n_cells"),
+    )
+
+
+def _q_knn(spark, sf_dir):
+    q = spark.createDataFrame(KNN_QUERIES, ["query_id", "lat_centi", "lon_centi"])
+    return K.knn(q, _pages_geo(spark), RES, k=5)
+
+
+def _q_sample_points(spark, sf_dir):
+    pts = spark.createDataFrame(SAMPLE_POINTS, ["id", "lon", "lat"])
+    return SJ.sample_points(
+        pts, _pages_geo(spark), JOIN_RES, page_res=RES
+    ).select("id", "url")
+
+
+def _q_lang_histogram(spark, sf_dir):
+    pages = P.synth_pages(spark, N_PAGES)
+    dim = spark.createDataFrame(
+        [("en",), ("de",), ("fr",), ("it",), ("zz",)], ["lang"]
+    )
+    counts = pages.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    out = dim.join(counts, "lang", "left").withColumn(
+        "n", F.coalesce(F.col("n"), F.lit(0))
+    )
+    return out.select(
+        "lang", "n", F.expr(f"n * 1000 div {N_PAGES}").alias("share_milli")
+    )
+
+
+def _q_bounds(spark, sf_dir):
+    return _pages_geo(spark).agg(
+        F.min("lat_centi").alias("min_lat"),
+        F.max("lat_centi").alias("max_lat"),
+        F.min("lon_centi").alias("min_lon"),
+        F.max("lon_centi").alias("max_lon"),
+    )
+
+
+def _q_adaptive_cells(spark, sf_dir):
+    geo = _pages_geo(spark)
+    coarse = geo.withColumn("cell6", grid.cell_parent("cell_id", RES, 6))
+    hist = coarse.groupBy("cell6").agg(F.count(F.lit(1)).alias("n"))
+    hot = hist.filter("n > 500").select("cell6", F.lit(True).alias("_hot"))
+    out = coarse.join(F.broadcast(hot), "cell6", "left")
+    fine = F.expr(grid.sql_cell_encode_centi("lon_centi", "lat_centi", 9, "spark"))
+    return out.select(
+        "url",
+        F.when(F.col("_hot"), fine).otherwise(F.col("cell6")).alias("cell_adaptive"),
+    )
+
+
+def _q_asof_join(spark, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumnRenamed(
+        "o_custkey", "user_id"
+    )
+    out = ASOF.asof_join(
+        events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_vals=("o_orderkey",),
+    )
+    return out.select("event_id", F.col("asof_o_orderkey").alias("okey"))
+
+
+def _q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,4)")
+                 * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,8)")
+            ).cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+def _q3_shipping_priority(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        "c_mktsegment = 'BUILDING'"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(F.sum(rev.cast("decimal(28,8)")).alias("_rev"))
+        .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", F.col("_rev").cast("double").alias("revenue"))
+    )
+
+
+def _q5_region_revenue(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").filter("r_name = 'ASIA'")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (F.col("l_extendedprice").cast("decimal(18,4)")
+           * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    return (
+        region.join(nation, nation.n_regionkey == region.r_regionkey)
+        .join(cust, cust.c_nationkey == nation.n_nationkey)
+        .join(orders, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .join(supp, (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .groupBy("n_name")
+        .agg(F.sum(rev.cast("decimal(28,8)")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _q_events_window(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+def _q_events_sessions(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        F.lag("ts").over(w).cast("timestamp")
+    )
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "user_id", "event_id", new_sess.alias("_ns"), F.col("ts")
+    ).select(
+        "user_id", "event_id", F.sum("_ns").over(wsum).alias("session_id")
+    )
+
+
+def _q_part_antijoin(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter("l_quantity >= 48")
+    return part.join(
+        li, part.p_partkey == li.l_partkey, "left_anti"
+    ).select("p_partkey", "p_size")
+
+
+def _q_orders_rollup(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double").alias("sum_total"),
+    )
+
+
+def _q_segment_mode(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    counts = (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("n").desc(), F.col("c_mktsegment").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("n_name", F.col("c_mktsegment").alias("mode_segment"), "n")
+    )
+
+
+def _q_docs_exact_dedup(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    survivors = D.exact_dedup(docs)
+    return survivors.select("doc_id")
+
+
+def _q_docs_jaccard(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.jaccard_pairs(docs, threshold_milli=500)
+
+
+def _q_docs_token_stats(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.token_count(t).alias("n_tokens"),
+        TX.bpe_ish_token_count(t).alias("n_subtokens"),
+        TX.punct_ratio_milli(t).alias("punct_milli"),
+        TX.quality_score_milli(t).alias("quality_milli"),
+    )
+
+
+def _q_docs_lang_id(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_docs_fingerprint(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_emb_l2_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = SIM.brute_force_topk_l2(q, emb, k=10)
+    return out.select("query_id", "vec_id", "rank", "sqdist")
+
+
+def _q_multimodal_bytes(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return MM.extract_features(docs).select("doc_id", "n_bytes", "byte_mean_milli")
+
+
+# ----- probabilistic candidate generators (rows-only checks) ---------------
+
+def _q_docs_minhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return D.minhash_dedup(docs, threshold_milli=500)
+
+
+def _q_emb_ann_srp(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    dim = len(emb.select("embedding").first()[0])
+    out = SIM.ann_topk_srp(q, emb, k=10, dim=dim, n_planes=3, n_tables=8)
+    return out.select("query_id", "vec_id", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # geospatial core (pages table, FIXTURES.md §1)
+        "cell_encode": _q_cell_encode,
+        "text_extraction": _q_text_extraction,
+        "tile_assignment": _q_tile_assignment,
+        "spatial_join_centroid": _q_spatial_join_centroid,
+        "spatial_join_exact": _q_spatial_join_exact,
+        "zonal_stats": _q_zonal_stats,
+        "mosaic_dedup": _q_mosaic_dedup,
+        "tile_histogram": _q_tile_histogram,
+        "knn": _q_knn,
+        "sample_points": _q_sample_points,
+        "lang_histogram": _q_lang_histogram,
+        "bounds": _q_bounds,
+        "adaptive_cells": _q_adaptive_cells,
+        # relational operator coverage (driver tables)
+        "asof_join": _q_asof_join,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_revenue": _q5_region_revenue,
+        "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
+        "part_antijoin": _q_part_antijoin,
+        "orders_rollup": _q_orders_rollup,
+        "segment_mode": _q_segment_mode,
+        # training-data pipeline (documents/embeddings)
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_jaccard": _q_docs_jaccard,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "emb_l2_topk": _q_emb_l2_topk,
+        "multimodal_bytes": _q_multimodal_bytes,
+        # probabilistic (rows-only)
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "emb_ann_srp": _q_emb_ann_srp,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pages = _duck_pages()
+    polys = _polys_duck()
+    cell = _duck_cell(RES)
+    tile_cell = _duck_cell(TILE_RES)
+    clon, clat = _duck_centroid(JOIN_RES)
+    plon = "(lon_centi / 100.0 - 180.0)"
+    plat = "(lat_centi / 100.0 - 90.0)"
+    knn_q = " UNION ALL ".join(
+        f"SELECT {qid} AS query_id, {la} AS q_lat, {lo} AS q_lon"
+        for qid, la, lo in KNN_QUERIES
+    )
+    pts = " UNION ALL ".join(
+        f"SELECT {pid} AS id, CAST({int(round((lon+180)*100))} AS BIGINT) AS p_lon_centi, "
+        f"CAST({int(round((lat+90)*100))} AS BIGINT) AS p_lat_centi"
+        for pid, lon, lat in SAMPLE_POINTS
+    )
+    pt_cell = grid.sql_cell_encode_centi("p_lon_centi", "p_lat_centi", JOIN_RES, "duckdb")
+    cell6 = _duck_cell(6)
+    cell9 = _duck_cell(9)
+
+    en_words = TX.LANG_MARKERS["en"]
+    count_word = lambda w: f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"  # noqa: E731
+    lang_score = {
+        lang: "(" + " + ".join(count_word(w) for w in ws) + ")"
+        for lang, ws in TX.LANG_MARKERS.items()
+    }
+    n_tokens = "len(regexp_extract_all(trim(text), '\\S+'))"
+    n_subtokens = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+    n_punct = "len(regexp_extract_all(text, '[^\\w\\s]'))"
+    punct_milli = f"CAST({n_punct} * 1000 / greatest(length(text), 1) AS BIGINT)"
+    stop_hits = lang_score["en"]
+    stop_milli = f"CAST({stop_hits} * 1000 / greatest({n_tokens}, 1) AS BIGINT)"
+    quality = (
+        f"(CASE WHEN length(text) >= 20 AND length(text) <= 100000 THEN 400 ELSE 0 END"
+        f" + CASE WHEN {punct_milli} < 300 THEN 300 ELSE 0 END"
+        f" + CASE WHEN {stop_milli} > 0 THEN 300 ELSE 0 END)"
+    )
+
+    shingle_rel = (
+        "(SELECT DISTINCT doc_id AS id, substr(text, g, 5) AS s "
+        "FROM documents, UNNEST(generate_series(1, greatest(length(text) - 4, 1))) AS t(g))"
+    )
+    dec = lambda e: f"CAST(CAST({e} AS DOUBLE) AS DECIMAL(12,9))"  # noqa: E731
+    rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))"
+
+    return {
+        "cell_encode": f"""
+            SELECT url, {cell} AS cell_id, lat_centi, lon_centi FROM {pages}
+        """,
+        "text_extraction": f"""
+            SELECT url, sha256(text) AS text_sha FROM {pages}
+        """,
+        "tile_assignment": f"""
+            SELECT url, {tile_cell} AS tile_cell, ts_sec // {BUCKET} AS ts_bucket
+            FROM {pages}
+        """,
+        "spatial_join_centroid": f"""
+            SELECT polys.poly_id, p.url
+            FROM {pages} p, {polys}
+            WHERE {_duck_pip(clon, clat)}
+        """,
+        "spatial_join_exact": f"""
+            SELECT polys.poly_id, p.url
+            FROM {pages} p, {polys}
+            WHERE {_duck_pip(plon, plat)}
+        """,
+        "zonal_stats": f"""
+            SELECT polys.poly_id,
+                   count(*) AS cnt,
+                   min(length(p.text)) AS min_chars,
+                   max(length(p.text)) AS max_chars,
+                   CAST(sum(length(p.text)) AS BIGINT) AS sum_chars,
+                   CAST(sum(length(p.text)) * 1000 // count(*) AS BIGINT) AS avg_chars_milli,
+                   median(length(p.text)) AS median_chars
+            FROM {pages} p, {polys}
+            WHERE {_duck_pip(clon, clat)}
+            GROUP BY polys.poly_id
+        """,
+        "mosaic_dedup": f"""
+            SELECT cell_id, ts_bucket, url FROM (
+              SELECT {cell} AS cell_id, ts_sec // {BUCKET} AS ts_bucket, url,
+                     row_number() OVER (PARTITION BY {cell}, ts_sec // {BUCKET}
+                                        ORDER BY ts_sec, url) AS rn
+              FROM {pages}
+            ) WHERE rn = 1
+        """,
+        "tile_histogram": f"""
+            SELECT {tile_cell} AS tile_cell, ts_sec // {BUCKET} AS ts_bucket,
+                   count(*) AS n_rows, count(DISTINCT {cell}) AS n_cells
+            FROM {pages}
+            GROUP BY 1, 2
+        """,
+        "knn": f"""
+            SELECT query_id, url, sqdist, rank FROM (
+              SELECT q.query_id, p.url,
+                     (p.lat_centi - q.q_lat) * (p.lat_centi - q.q_lat)
+                   + (p.lon_centi - q.q_lon) * (p.lon_centi - q.q_lon) AS sqdist,
+                     row_number() OVER (PARTITION BY q.query_id
+                                        ORDER BY sqdist, p.url) AS rank
+              FROM {pages} p, ({knn_q}) q
+            ) WHERE rank <= 5
+        """,
+        "sample_points": f"""
+            SELECT pts.id, p.url
+            FROM ({pts}) pts
+            LEFT JOIN (SELECT url, {_duck_cell(JOIN_RES)} AS pcell FROM {pages}) p
+              ON p.pcell = {pt_cell}
+        """,
+        "lang_histogram": f"""
+            SELECT d.lang, coalesce(c.n, 0) AS n,
+                   coalesce(c.n, 0) * 1000 // {N_PAGES} AS share_milli
+            FROM (VALUES ('en'), ('de'), ('fr'), ('it'), ('zz')) d(lang)
+            LEFT JOIN (SELECT lang, count(*) AS n FROM {pages} GROUP BY lang) c
+              ON d.lang = c.lang
+        """,
+        "bounds": f"""
+            SELECT min(lat_centi) AS min_lat, max(lat_centi) AS max_lat,
+                   min(lon_centi) AS min_lon, max(lon_centi) AS max_lon
+            FROM {pages}
+        """,
+        "adaptive_cells": f"""
+            WITH geo AS (SELECT url, lat_centi, lon_centi, {cell6} AS cell6 FROM {pages}),
+                 hist AS (SELECT cell6, count(*) AS n FROM geo GROUP BY cell6)
+            SELECT geo.url,
+                   CASE WHEN hist.n > 500 THEN {cell9} ELSE geo.cell6 END AS cell_adaptive
+            FROM geo JOIN hist USING (cell6)
+        """,
+        "asof_join": """
+            SELECT event_id, okey FROM (
+              SELECT e.event_id, o.o_orderkey AS okey,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+              FROM events e LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ) WHERE rn = 1
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base,
+                   CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
+                   count(*) AS cnt
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_shipping_priority": f"""
+            SELECT o_orderkey, CAST(_rev AS DOUBLE) AS revenue FROM (
+              SELECT o.o_orderkey, sum({rev}) AS _rev
+              FROM customer c
+              JOIN orders o ON c.c_custkey = o.o_custkey
+              JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+              WHERE c.c_mktsegment = 'BUILDING'
+                AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+                AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+              GROUP BY o.o_orderkey
+              ORDER BY _rev DESC, o.o_orderkey ASC
+              LIMIT 10
+            )
+        """,
+        "q5_region_revenue": f"""
+            SELECT n.n_name,
+                   CAST(sum({rev}) AS DOUBLE) AS revenue,
+                   count(*) AS cnt
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+            WHERE r.r_name = 'ASIA'
+            GROUP BY n.n_name
+        """,
+        "events_window": """
+            SELECT user_id, event_id,
+                   row_number() OVER w AS rn,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "events_sessions": """
+            SELECT user_id, event_id,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+        """,
+        "part_antijoin": """
+            SELECT p_partkey, p_size FROM part
+            WHERE NOT EXISTS (
+              SELECT 1 FROM lineitem
+              WHERE l_partkey = p_partkey AND l_quantity >= 48
+            )
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+                   CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_total
+            FROM orders
+            GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "segment_mode": """
+            SELECT n_name, mode_segment, n FROM (
+              SELECT n.n_name, c.c_mktsegment AS mode_segment, count(*) AS n,
+                     row_number() OVER (PARTITION BY n.n_name
+                                        ORDER BY count(*) DESC, c.c_mktsegment ASC) AS rn
+              FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+              GROUP BY n.n_name, c.c_mktsegment
+            ) WHERE rn = 1
+        """,
+        "docs_exact_dedup": """
+            SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+        """,
+        "docs_jaccard": f"""
+            WITH sh AS {shingle_rel},
+                 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+                 pairs AS (
+                   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                   GROUP BY a.id, b.id
+                 )
+            SELECT id_a, id_b, inter, (na.n + nb.n - inter) AS uni
+            FROM pairs
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
+        """,
+        "docs_token_stats": f"""
+            SELECT doc_id,
+                   {n_tokens} AS n_tokens,
+                   {n_subtokens} AS n_subtokens,
+                   {punct_milli} AS punct_milli,
+                   {quality} AS quality_milli
+            FROM documents
+        """,
+        "docs_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest({lang_score['de']}, {lang_score['en']},
+                                      {lang_score['fr']}, {lang_score['it']}) = 0 THEN 'und'
+                        WHEN {lang_score['de']} >= greatest({lang_score['en']}, {lang_score['fr']}, {lang_score['it']}) THEN 'de'
+                        WHEN {lang_score['en']} >= greatest({lang_score['fr']}, {lang_score['it']}) THEN 'en'
+                        WHEN {lang_score['fr']} >= {lang_score['it']} THEN 'fr'
+                        ELSE 'it' END AS lang_guess
+            FROM documents
+        """,
+        "docs_fingerprint": """
+            SELECT doc_id,
+                   list_aggregate(list_transform(
+                     generate_series(1, greatest(length(text) - 7, 1)),
+                     i -> md5(substr(text, i, 8))), 'min') AS fp
+            FROM documents
+        """,
+        "emb_l2_topk": f"""
+            SELECT query_id, vec_id, rank, sqdist FROM (
+              SELECT q.vec_id AS query_id, e.vec_id,
+                     list_aggregate(list_transform(
+                       generate_series(1, len(e.embedding)),
+                       i -> (CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) - CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT))
+                          * (CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) - CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT))
+                     ), 'sum') AS sqdist,
+                     row_number() OVER (PARTITION BY q.vec_id
+                                        ORDER BY sqdist, e.vec_id) AS rank
+              FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            ) WHERE rank <= 10
+        """,
+        "multimodal_bytes": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_bytes,
+                   CAST(list_aggregate(list_transform(
+                          generate_series(1, length(text)),
+                          i -> ord(substr(text, i, 1))), 'sum') * 1000
+                        // greatest(length(text), 1) AS BIGINT) AS byte_mean_milli
+            FROM documents
+        """,
+    }

@@ -57,7 +57,9 @@ def with_indices(df: DataFrame, bindings: dict[str, str], *names: str) -> DataFr
 
 
 def _norm_diff(a: Column, b: Column) -> Column:
-    return (a - b) / (a + b)
+    # try_divide: x/0 → NULL — the Spark-ANSI-safe equivalent of the
+    # reference's inf→NaN post-processing (spectral_indices.py:113-121)
+    return F.try_divide(a - b, a + b)
 
 
 # the reference's index set (formulas from eodal/core/band.py:124-356),
@@ -67,7 +69,10 @@ register_index(
     "EVI",
     lambda b: F.least(
         F.greatest(
-            2.5 * (b["nir"] - b["red"]) / (b["nir"] + 6 * b["red"] - 7.5 * b["blue"] + 1),
+            F.try_divide(
+                2.5 * (b["nir"] - b["red"]),
+                b["nir"] + 6 * b["red"] - 7.5 * b["blue"] + 1,
+            ),
             F.lit(-1.0),
         ),
         F.lit(1.0),
@@ -78,14 +83,17 @@ register_index(
     lambda b: 0.5
     * (2 * b["nir"] + 1 - F.sqrt((2 * b["nir"] + 1) * (2 * b["nir"] + 1) - 8 * (b["nir"] - b["red"]))),
 )
-register_index("CI_GREEN", lambda b: b["nir"] / b["green"] - 1)
+register_index("CI_GREEN", lambda b: F.try_divide(b["nir"], b["green"]) - 1)
 register_index("NDRE", lambda b: _norm_diff(b["nir"], b["rededge"]))
 register_index("BSI", lambda b: _norm_diff(b["swir"] + b["red"], b["nir"] + b["blue"]))
-register_index("VARI", lambda b: (b["green"] - b["red"]) / (b["green"] + b["red"] - b["blue"]))
+register_index(
+    "VARI",
+    lambda b: F.try_divide(b["green"] - b["red"], b["green"] + b["red"] - b["blue"]),
+)
 register_index("NDYI", lambda b: _norm_diff(b["green"], b["blue"]))
 register_index("NDWI", lambda b: _norm_diff(b["green"], b["nir"]))
 register_index("GNDVI", lambda b: _norm_diff(b["nir"], b["green"]))
-register_index("CR", lambda b: b["vh"] / b["vv"])
+register_index("CR", lambda b: F.try_divide(b["vh"], b["vv"]))
 register_index("NDTI", lambda b: _norm_diff(b["swir"], b["swir2"]))
 
 

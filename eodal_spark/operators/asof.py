@@ -46,11 +46,18 @@ def asof_join(
         *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
         F.col(right_ts).alias("_rts"),
     )
-    # right rows sort before left rows at equal ts (inclusive as-of)
+    # right rows sort before left rows at equal ts (inclusive as-of);
+    # ties among right rows at the same ts resolve by ascending value
+    # tuple (carried = last ⇒ the max wins) — a TOTAL order, so the
+    # result is deterministic under any shuffle (SURVEY.md §7.3)
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("_k")
-        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .orderBy(
+            F.col("_ts").asc(),
+            F.col("_side").asc(),
+            *[F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals],
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(

@@ -73,7 +73,12 @@ def extract_features(
                 raw = fake_decode(payload)
                 ids.append(doc_id)
                 nb.append(len(raw))
-                mean_mil.append(int(raw.mean() * 1000) if len(raw) else 0)
+                # exact integer mean*1000 (floor) — oracle-reproducible
+                mean_mil.append(
+                    int(raw.astype(np.int64).sum()) * 1000 // len(raw)
+                    if len(raw)
+                    else 0
+                )
                 # "resize": bucket the byte stream into `dim` equal bins
                 if len(raw):
                     bins = np.array_split(raw.astype(np.float32), dim)

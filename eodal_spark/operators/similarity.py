@@ -39,6 +39,26 @@ def l2_sqdist_decimal(a: Column, b: Column) -> Column:
     )
 
 
+Q7 = 10_000_000.0  # quantization scale for the integer-exact metric
+
+
+def _q7(c: Column) -> Column:
+    return F.floor(c.cast("double") * F.lit(Q7)).cast("long")
+
+
+def l2_sqdist_q7(a: Column, b: Column) -> Column:
+    """Integer-exact squared L2 on floor(x·10^7)-quantized components.
+
+    Unlike a decimal cast, ``floor`` has no rounding *mode*, so the value
+    is bit-identical in any engine computing IEEE doubles — this is the
+    metric used for oracle-gated rankings.  Quantization error (1e-7 per
+    component) is far below any meaningful neighbour gap."""
+    d = F.zip_with(a, b, lambda x, y: _q7(x) - _q7(y))
+    return F.aggregate(
+        d, F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+
+
 def cosine_sim(a: Column, b: Column) -> Column:
     """Float cosine similarity — native zip_with/aggregate (no UDF)."""
     dot = F.aggregate(
@@ -78,10 +98,10 @@ def brute_force_topk_l2(
     queries: DataFrame, corpus: DataFrame, k: int
 ) -> DataFrame:
     """queries: (query_id, qvec); corpus: (vec_id, embedding).
-    Returns (query_id, vec_id, sqdist, rank) — exact decimal ranking,
-    tie-broken by vec_id. Corpus scans once; queries broadcast."""
+    Returns (query_id, vec_id, sqdist, rank) — integer-exact quantized
+    ranking, tie-broken by vec_id. Corpus scans once; queries broadcast."""
     cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "sqdist", l2_sqdist_decimal(F.col("embedding"), F.col("qvec"))
+        "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
     )
     return _rank_topk(cand, k, "sqdist", asc=True).select(
         "query_id", "vec_id", "sqdist", "rank"
@@ -142,7 +162,7 @@ def ann_topk_srp(
         )
         cand = hits if cand is None else cand.unionByName(hits)
     cand = cand.dropDuplicates(["query_id", "vec_id"]).withColumn(
-        "sqdist", l2_sqdist_decimal(F.col("embedding"), F.col("qvec"))
+        "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
     )
     return _rank_topk(cand, k, "sqdist", asc=True).select(
         "query_id", "vec_id", "sqdist", "rank"

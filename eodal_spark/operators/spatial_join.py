@@ -77,22 +77,39 @@ def spatial_join(
     how: str = "inner",
     page_cols: tuple[str, ...] = ("url",),
     poly_cols: tuple[str, ...] = ("poly_id",),
+    page_res: int | None = None,
 ) -> DataFrame:
     """Join geocoded pages (must carry ``cell_id``, ``lon``, ``lat``)
-    to the polygon layer. Returns page_cols + poly_cols (+ cell_id)."""
+    to the polygon layer. Returns page_cols + poly_cols (+ cell_id).
+
+    ``res`` is the covering/join resolution; when the pages carry a
+    finer ``cell_id`` (``page_res`` > res), the join key is derived via
+    `grid.cell_parent` — a pure bit shift, so the scan stays pruned on
+    the stored cell column."""
+    from eodal_spark import grid
+
+    if page_res is not None and page_res != res:
+        pages_geo = pages_geo.withColumn(
+            "_join_cell", grid.cell_parent("cell_id", page_res, res)
+        )
+    else:
+        pages_geo = pages_geo.withColumn("_join_cell", F.col("cell_id"))
+
     if rule == "centroid":
         cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
-        cover = cover.select("poly_id", "cell_id")
-        joined = pages_geo.join(F.broadcast(cover), "cell_id", how)
-        return joined.select("cell_id", *page_cols, *poly_cols)
+        cover = cover.select("poly_id", F.col("cell_id").alias("_join_cell"))
+        joined = pages_geo.join(F.broadcast(cover), "_join_cell", how)
+        return joined.select(
+            F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols
+        )
 
     if rule != "exact":
         raise ValueError(rule)
 
     cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
     ring = polys.select("poly_id", "xs", "ys", "is_convex")
-    cover = cover.join(ring, "poly_id")  # both tiny, executes driver-free
-    cand = pages_geo.join(F.broadcast(cover), "cell_id", "inner")
+    cover = cover.join(ring, "poly_id").withColumnRenamed("cell_id", "_join_cell")
+    cand = pages_geo.join(F.broadcast(cover), "_join_cell", "inner")
 
     full = cand.filter(F.col("full"))
     part_cvx = cand.filter(~F.col("full") & F.col("is_convex")).filter(
@@ -102,7 +119,7 @@ def spatial_join(
     part_ccv = cand.filter(~F.col("full") & ~F.col("is_convex")).filter(
         pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("xs"), F.col("ys"))
     )
-    out_cols = ["cell_id", *page_cols, *poly_cols]
+    out_cols = [F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols]
     return (
         full.select(*out_cols)
         .unionByName(part_cvx.select(*out_cols))
@@ -116,6 +133,7 @@ def sample_points(
     res: int,
     value_cols: tuple[str, ...] = ("url",),
     how: str = "left",
+    page_res: int | None = None,
 ) -> DataFrame:
     """Point sampling — ``Band.read_pixels`` / ``get_pixels``
     (`eodal/core/band.py:1087-1166`, ``:1398-1480``): for each query
@@ -125,7 +143,14 @@ def sample_points(
     band.py:1126-1129). ``points`` needs (id, lon, lat)."""
     from eodal_spark import grid
 
-    pts = points.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
-    return pts.join(
-        pages_geo.select("cell_id", *value_cols), "cell_id", how
+    pts = points.withColumn("_join_cell", grid.cell_encode("lon", "lat", res))
+    pages_side = (
+        pages_geo.withColumn(
+            "_join_cell", grid.cell_parent("cell_id", page_res, res)
+        )
+        if page_res is not None and page_res != res
+        else pages_geo.withColumn("_join_cell", F.col("cell_id"))
     )
+    return pts.join(
+        pages_side.select("_join_cell", *value_cols), "_join_cell", how
+    ).drop("_join_cell")
