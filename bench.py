@@ -1,0 +1,166 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric (BASELINE.json): spatial-join + tile-assignment
+throughput over the synthesized pages table — the full pipeline
+html→text extraction → geocode → cell encode → broadcast polygon join →
+tile assignment → mosaic dedup, measured as rows/sec end to end.
+
+Also times the operator suite at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1).
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ROWS  pages rows for the headline job (default 10M)
+
+Scaling evidence (north rule, N vs 4N): run
+  SPARK_GRAFT_CPUS=8 python bench.py   and
+  SPARK_GRAFT_CPUS=32 python bench.py
+on the same input; scripts/scaling_bench.py automates both and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from eodal_spark.operators import spatial_join as SJ
+from eodal_spark.operators import tiling as TIL
+from eodal_spark.session import get_spark
+from eodal_spark.sources import pages as P
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(10_000_000)))
+
+
+def materialize_pages(spark, n_rows: int, path: str) -> str:
+    """Write the synthesized pages table to parquet ONCE (not timed) —
+    the bench then measures the engine over a stored table, the same
+    shape a 100 TB Iceberg pages table has (BASELINE.json input_hint).
+    Synthesizing inline instead would re-expand the generator expression
+    tree into every derived column and measure codegen'd string
+    synthesis, not the engine."""
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        P.synth_pages(spark, n_rows, partitions=CPUS * 4).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def headline_pipeline(spark, pages_path: str):
+    """The north-rule job: scan → geocode → spatial join → tiles → dedup.
+
+    Mosaic dedup runs at the page cell resolution (fine cells ≡ pixels
+    in the reference's first-wins merge) — that is both the correct
+    semantics and what keeps the dedup window's key space wide enough
+    that city hotspots don't collapse into a few giant window
+    partitions."""
+    pages = spark.read.parquet(pages_path)
+    geo = P.geocode(pages, E.RES)
+    polys = E._polys_spark(spark)
+    joined = SJ.spatial_join(
+        geo, polys, E.JOIN_RES, rule="centroid",
+        page_cols=("url", "warc_ts", "cell_id"), page_res=E.RES,
+    )
+    tiled = TIL.assign_tiles(joined, E.RES, E.TILE_RES)
+    deduped = TIL.mosaic_dedup(tiled, keys=("cell_id", "ts_bucket"))
+    return deduped
+
+
+def main() -> None:
+    spark = get_spark(
+        "eodal_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS * 2, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    timings: dict[str, float] = {}
+
+    bench_dir = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/eodal_spark_bench")
+    pages_path = materialize_pages(
+        spark, BENCH_ROWS, os.path.join(bench_dir, f"pages_{BENCH_ROWS}")
+    )
+
+    # warm the JVM/codegen + OS page cache so the headline measures
+    # steady-state compute; best-of-N timed runs defend against the
+    # sandbox VM's noisy-neighbor CPU steal
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    headline_pipeline(spark, pages_path).count()
+
+    headline_sec, out_rows = float("inf"), 0
+    for _ in range(repeats):
+        t0 = time.time()
+        out_rows = headline_pipeline(spark, pages_path).count()
+        headline_sec = min(headline_sec, time.time() - t0)
+    timings["headline_spatial_join_tiling"] = round(headline_sec, 3)
+    rows_per_sec = BENCH_ROWS / headline_sec
+
+    if "--headline-only" in sys.argv:
+        print(
+            json.dumps(
+                {
+                    "rows": BENCH_ROWS,
+                    "output_rows": out_rows,
+                    "seconds": round(headline_sec, 3),
+                    "rows_per_sec": round(rows_per_sec),
+                    "cpus": CPUS,
+                }
+            )
+        )
+        spark.stop()
+        return
+
+    # operator suite at the configured scale factor
+    suite = [
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_region_revenue",
+        "events_sessions",
+        "asof_join",
+        "docs_exact_dedup",
+        "docs_minhash_pairs",
+        "emb_l2_topk",
+        "spatial_join_exact",
+        "knn",
+        "mosaic_dedup",
+    ]
+    qs = E.queries()
+    for name in suite:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join + tile-assignment bench",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "headline": {
+                    "rows": BENCH_ROWS,
+                    "output_rows": out_rows,
+                    "seconds": round(headline_sec, 3),
+                    "rows_per_sec": round(rows_per_sec),
+                    "cpus": CPUS,
+                },
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -203,8 +203,45 @@ def np_pip_even_odd(
 # Polygon → covering cells (the broadcast pre-filter)
 # ---------------------------------------------------------------------------
 
+def _cover_one(row, res: int, mode: str):
+    """Covering cells of one polygon (numpy): (cell_ids, full_flags)."""
+    n = 1 << res
+    xs = np.asarray(row.xs, dtype=np.float64)
+    ys = np.asarray(row.ys, dtype=np.float64)
+    x0, _ = grid.np_cell_xy(np.array([row.xmin]), np.array([0.0]), res)
+    x1, _ = grid.np_cell_xy(np.array([row.xmax]), np.array([0.0]), res)
+    _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymin]), res)
+    _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymax]), res)
+    cx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
+    cy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+    gx, gy = np.meshgrid(cx, cy, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    clon = (gx + 0.5) / n * 360.0 - 180.0
+    clat = (gy + 0.5) / n * 180.0 - 90.0
+    if row.is_convex:
+        centroid_in = np_pip_convex(clon, clat, xs, ys)
+        half_x, half_y = 180.0 / n, 90.0 / n
+        full = np.ones(gx.shape, dtype=bool)
+        for sx in (-half_x, half_x):
+            for sy in (-half_y, half_y):
+                full &= np_pip_convex(clon + sx, clat + sy, xs, ys)
+    else:
+        centroid_in = np_pip_even_odd(clon, clat, xs, ys)
+        full = np.zeros(gx.shape, dtype=bool)
+    keep = centroid_in if mode == "centroid" else np.ones(gx.shape, dtype=bool)
+    cell = (np.int64(res) << 58) | (gx[keep] << 29) | gy[keep]
+    return cell, full[keep]
+
+
+# polygon layers up to this size are covered driver-side (one tiny
+# collect of an already-small dimension) — avoids paying Python-worker
+# startup on the query's critical path; larger layers distribute.
+DRIVER_COVER_MAX_POLYS = 10_000
+
+
 def polygon_cover_cells(
-    polys: DataFrame, res: int, mode: str = "centroid"
+    polys: DataFrame, res: int, mode: str = "centroid",
+    distributed: bool | None = None,
 ) -> DataFrame:
     """Explode each polygon into its covering cells at resolution ``res``.
 
@@ -219,9 +256,12 @@ def polygon_cover_cells(
     corners are all inside (convex polygons only) — downstream exact
     joins skip PIP refinement for full cells.
 
-    Runs as `mapInPandas` (Arrow-batched, distributed over the polygon
-    layer); each polygon's candidate set is its bbox cell range, so cost
-    is O(bbox cells), independent of the pages table.
+    Small layers (≤ `DRIVER_COVER_MAX_POLYS`) are covered **driver-side**
+    (one collect of the already-small dimension; the cover becomes a
+    literal broadcast relation — no Python stage on the critical path).
+    Large layers run as `mapInPandas` (Arrow-batched, distributed); the
+    per-polygon cost is O(bbox cells) either way, independent of the
+    pages table.
     """
     out_schema = T.StructType(
         [
@@ -230,46 +270,29 @@ def polygon_cover_cells(
             T.StructField("full", T.BooleanType(), False),
         ]
     )
-    n = 1 << res
+    cols = ["poly_id", "xs", "ys", "xmin", "ymin", "xmax", "ymax", "is_convex"]
+
+    if distributed is None:
+        distributed = polys.count() > DRIVER_COVER_MAX_POLYS
+
+    if not distributed:
+        spark = polys.sparkSession
+        out = []
+        for row in polys.select(*cols).collect():
+            cell, full = _cover_one(row, res, mode)
+            out.extend(
+                (int(row.poly_id), int(c), bool(f)) for c, f in zip(cell, full)
+            )
+        return spark.createDataFrame(out, out_schema)
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_pid, out_cell, out_full = [], [], []
             for row in pdf.itertuples(index=False):
-                xs = np.asarray(row.xs, dtype=np.float64)
-                ys = np.asarray(row.ys, dtype=np.float64)
-                x0, _ = grid.np_cell_xy(np.array([row.xmin]), np.array([0.0]), res)
-                x1, _ = grid.np_cell_xy(np.array([row.xmax]), np.array([0.0]), res)
-                _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymin]), res)
-                _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymax]), res)
-                cx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
-                cy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
-                gx, gy = np.meshgrid(cx, cy, indexing="ij")
-                gx, gy = gx.ravel(), gy.ravel()
-                clon = (gx + 0.5) / n * 360.0 - 180.0
-                clat = (gy + 0.5) / n * 180.0 - 90.0
-                if row.is_convex:
-                    centroid_in = np_pip_convex(clon, clat, xs, ys)
-                    # cell fully inside ⇔ all 4 corners inside (convex)
-                    half_x, half_y = 180.0 / n, 90.0 / n
-                    full = np.ones(gx.shape, dtype=bool)
-                    for sx in (-half_x, half_x):
-                        for sy in (-half_y, half_y):
-                            full &= np_pip_convex(clon + sx, clat + sy, xs, ys)
-                else:
-                    centroid_in = np_pip_even_odd(clon, clat, xs, ys)
-                    full = np.zeros(gx.shape, dtype=bool)
-                keep = (
-                    centroid_in
-                    if mode == "centroid"
-                    else np.ones(gx.shape, dtype=bool)
-                )
-                cell = (
-                    (np.int64(res) << 58) | (gx[keep] << 29) | gy[keep]
-                )
+                cell, full = _cover_one(row, res, mode)
                 out_pid.append(np.full(cell.shape, row.poly_id, dtype=np.int64))
                 out_cell.append(cell)
-                out_full.append(full[keep])
+                out_full.append(full)
             if out_pid:
                 yield pd.DataFrame(
                     {
@@ -279,5 +302,4 @@ def polygon_cover_cells(
                     }
                 )
 
-    cols = ["poly_id", "xs", "ys", "xmin", "ymin", "xmax", "ymax", "is_convex"]
     return polys.select(*cols).mapInPandas(gen, out_schema)

@@ -171,6 +171,42 @@ def minhash_lsh_candidates(
     )
 
 
+def _pair_jaccard_udf(w: int):
+    """Arrow-batched exact shingle-Jaccard for candidate *pairs* —
+    set ops in Python per pair, but only over LSH candidates (a
+    vanishing fraction of all pairs), never the full corpus."""
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("inter", T.LongType()),
+                T.StructField("uni", T.LongType()),
+            ]
+        )
+    )
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
+        inters, unis = [], []
+        cache: dict[int, set] = {}
+
+        def sh(t: str) -> set:
+            key = id(t)
+            if key not in cache:
+                t = t or ""
+                cache[key] = (
+                    {t} if len(t) < w else {t[i : i + w] for i in range(len(t) - w + 1)}
+                )
+            return cache[key]
+
+        for a, b in zip(ta, tb):
+            sa, sb = sh(a), sh(b)
+            i = len(sa & sb)
+            inters.append(i)
+            unis.append(len(sa) + len(sb) - i)
+        return pd.DataFrame({"inter": inters, "uni": unis})
+
+    return jac
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -181,13 +217,23 @@ def minhash_dedup(
     w: int = 5,
 ) -> DataFrame:
     """Full pipeline: signatures → LSH candidates → exact-Jaccard verify
-    (within candidates only) → connected survivors by min-id rule.
-    Returns (id_a, id_b) verified near-dup pairs."""
+    **within candidates only** (per-pair, never the all-pairs inverted
+    index — at 10^12 docs the candidate set is the only thing that may
+    exist materialized).  Returns (id_a, id_b, inter, uni) verified
+    near-dup pairs; survivors follow the min-id rule downstream."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, w)
     cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
-    exact = jaccard_pairs(df, text_col, id_col, w, threshold_milli)
-    return cand.join(exact, ["id_a", "id_b"], "inner").select(
-        "id_a", "id_b", "inter", "uni"
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    paired = (
+        cand.join(texts.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
+        .join(texts.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
+    )
+    jac = _pair_jaccard_udf(w)
+    out = paired.withColumn("j", jac(F.col("ta"), F.col("tb"))).select(
+        "id_a", "id_b", F.col("j.inter").alias("inter"), F.col("j.uni").alias("uni")
+    )
+    return out.filter(
+        F.col("inter") * 1000 >= F.lit(threshold_milli) * F.col("uni")
     )
 
 

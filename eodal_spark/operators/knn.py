@@ -49,12 +49,24 @@ def knn(
     pages_geo: DataFrame,
     res: int,
     k: int,
-    start_radius: int = 1,
-    max_rounds: int = 3,
+    start_radius: int = 2,
 ) -> DataFrame:
     """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
     geocoded pages with cell_id, lat_centi, lon_centi, url.
-    Returns (query_id, url, sqdist, rank), rank 1..k."""
+    Returns (query_id, url, sqdist, rank), rank 1..k.
+
+    Two passes over the pages side, maximum — the big side is expensive
+    to scan, the query side is tiny:
+
+    1. ring pass: explode the radius-``start_radius`` Chebyshev ring of
+       every query (broadcast), equi-join, rank; a query is *resolved*
+       when it has k candidates whose k-th distance is provably inside
+       the searched ring (kth ≤ (r·cell_height)²);
+    2. the per-query resolution stats (|queries| rows) come back to the
+       driver, and only unresolved queries run a brute-force broadcast
+       scan — correct for any density including empty regions.
+    """
+    spark = queries.sparkSession
     q = queries.select(
         "query_id",
         F.col("lat_centi").alias("q_lat_centi"),
@@ -64,49 +76,39 @@ def knn(
         ).alias("q_cell"),
     )
     pages_side = pages_geo.select("cell_id", "url", "lat_centi", "lon_centi")
-    # cell height in centi-degrees: guarantees points outside ring r are
-    # at least r*height away (height <= width on this grid).
+    # cell height in centi-degrees: any point outside ring r is at least
+    # r*height away (height <= width on this grid)
     cell_h_centi = 18000.0 / (1 << res)
+    bound = (start_radius * cell_h_centi) ** 2
 
-    results = None
-    remaining = q
-    radius = start_radius
-    for _ in range(max_rounds):
-        ring = remaining.select(
-            "query_id", "q_lat_centi", "q_lon_centi",
-            F.explode(grid.cell_ring("q_cell", radius, res)).alias("cell_id"),
-        )
-        cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
-        topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
-            "query_id", "url", "sqdist", "rank"
-        )
-        # resolved: k candidates AND kth distance provably inside ring
-        bound = (radius * cell_h_centi) ** 2
-        stats = topk.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
-        )
-        resolved_ids = stats.filter(
-            (F.col("n") == k) & (F.col("kth") <= F.lit(bound))
-        ).select("query_id")
-        res_rows = topk.join(F.broadcast(resolved_ids), "query_id", "semi")
-        results = res_rows if results is None else results.unionByName(res_rows)
-        remaining = remaining.join(
-            F.broadcast(resolved_ids), "query_id", "anti"
-        )
-        if not remaining.take(1):
-            remaining = None
-            break
-        radius *= 2
+    ring = q.select(
+        "query_id", "q_lat_centi", "q_lon_centi",
+        F.explode(grid.cell_ring("q_cell", start_radius, res)).alias("cell_id"),
+    )
+    cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
+    topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+        "query_id", "url", "sqdist", "rank"
+    )
+    topk = topk.cache()  # tiny: ≤ |queries|·k rows, reused twice below
+    stats = topk.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
+    ).collect()
+    resolved = {
+        r["query_id"] for r in stats if r["n"] == k and r["kth"] <= bound
+    }
+    all_ids = {r["query_id"] for r in queries.select("query_id").collect()}
+    unresolved = sorted(all_ids - resolved)
 
-    if remaining is not None and remaining.take(1):
-        # brute force for the stragglers: broadcast the queries, scan once
-        cand = pages_side.crossJoin(
-            F.broadcast(remaining.select("query_id", "q_lat_centi", "q_lon_centi"))
+    results = topk.filter(F.col("query_id").isin(list(resolved)) if resolved else F.lit(False))
+    if unresolved:
+        rest = q.filter(F.col("query_id").isin(unresolved)).select(
+            "query_id", "q_lat_centi", "q_lon_centi"
         )
+        cand = pages_side.crossJoin(F.broadcast(rest))
         brute = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
         )
-        results = brute if results is None else results.unionByName(brute)
+        results = results.unionByName(brute)
     return results.select("query_id", "url", "sqdist", "rank")
 
 

@@ -95,6 +95,14 @@ def spatial_join(
     else:
         pages_geo = pages_geo.withColumn("_join_cell", F.col("cell_id"))
 
+    # prune the big side BEFORE the join: only the join key, the refine
+    # coordinates and the requested payload flow through (narrow rows ⇒
+    # less codegen work and smaller exchanges at 100 TB)
+    need = {"_join_cell", *page_cols}
+    if rule == "exact":
+        need |= {"lon", "lat"}
+    pages_geo = pages_geo.select(*need)
+
     if rule == "centroid":
         cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
         cover = cover.select("poly_id", F.col("cell_id").alias("_join_cell"))

