@@ -110,30 +110,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash over character shingles.
 
-    Arrow-batched pandas UDF (shingle hashing + permutation mins are a
-    numpy matrix op per batch; no per-row Python logic beyond shingle
-    split). Map-side only — no shuffle."""
+    Arrow-batched pandas UDF; per document the shingle hashing is a
+    numpy sliding-window polynomial hash (zero per-byte Python) and the
+    permutation mins are one (num_perm × shingles) matrix op.
+    Map-side only — no shuffle."""
     a, b = _minhash_params(num_perm, seed)
+    a_u = a[:, None].astype(np.uint64)
+    b_u = b[:, None].astype(np.uint64)
+    # polynomial rolling-hash weights (mod 2^64 wraparound)
+    base = np.uint64(1099511628211)
+    weights = np.empty(w, dtype=np.uint64)
+    weights[0] = 1
+    for i in range(1, w):
+        weights[i] = weights[i - 1] * base
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
+        from numpy.lib.stride_tricks import sliding_window_view
+
         out = []
         for t in texts:
-            t = t or ""
-            if len(t) < w:
-                sh = {t}
-            else:
-                sh = {t[i : i + w] for i in range(len(t) - w + 1)}
-            # stable 64-bit shingle hash (FNV-1a) — pure python ints,
-            # vectorized permutation step in numpy
-            hv = np.fromiter(
-                (_fnv1a(s) for s in sh), dtype=np.int64, count=len(sh)
-            )
-            mins = (
-                (a[:, None].astype(np.uint64) * hv[None, :].astype(np.uint64)
-                 + b[:, None].astype(np.uint64))
-                % np.uint64(_MERSENNE)
-            ).min(axis=1)
+            raw = (t or "").encode("utf-8")
+            if len(raw) < w:
+                raw = raw + b"\x00" * (w - len(raw))
+            wins = sliding_window_view(np.frombuffer(raw, dtype=np.uint8), w)
+            hv = np.unique(
+                (wins.astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            mins = ((a_u * hv[None, :] + b_u) % np.uint64(_MERSENNE)).min(axis=1)
             out.append(mins.astype(np.int64))
         return pd.Series(out)
 
@@ -223,6 +229,23 @@ def minhash_dedup(
     near-dup pairs; survivors follow the min-id rule downstream."""
     sigs = minhash_signatures(df, text_col, id_col, num_perm, w)
     cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    # signature-level Jaccard estimate (pure JVM zip_with) prunes the
+    # candidate set BEFORE the Python exact verifier — banding alone
+    # admits many mid-similarity pairs; the 150-milli margin keeps the
+    # false-negative probability of the estimate < 1% at 64 perms
+    est_min = max(0, threshold_milli - 150) * num_perm
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
+    cand = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "_est",
+            F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)),
+        )
+        .filter(F.col("_est") * 1000 >= F.lit(est_min))
+        .select("id_a", "id_b")
+    )
     texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     paired = (
         cand.join(texts.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
