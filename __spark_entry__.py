@@ -444,6 +444,169 @@ def _q_multimodal_bytes(spark, sf_dir):
     return MM.extract_features(docs).select("doc_id", "n_bytes", "byte_mean_milli")
 
 
+# bbox in centi-degrees for the range/set-op queries
+BBOX_A = (18000, 20000, 13000, 14500)  # lon0, lon1, lat0, lat1 (half-open)
+BBOX_B = (19000, 21000, 13500, 15000)
+
+
+def _bbox_cells(bbox, res):
+    lon0, lon1, lat0, lat1 = bbox
+    n = 1 << res
+    return (
+        lon0 * n // 36000, (lon1 - 1) * n // 36000,
+        lat0 * n // 18000, (lat1 - 1) * n // 18000,
+    )
+
+
+def _q_bbox_cell_range(spark, sf_dir):
+    """Spatial range query via the cell layout (≡ bounds_window byte-
+    range pruning, `eodal/core/utils/raster.py:88-104`): the predicate
+    is pure arithmetic on the stored cell id — with a cell-sorted table
+    this prunes parquet row groups by min/max stats."""
+    x0, x1, y0, y1 = _bbox_cells(BBOX_A, JOIN_RES)
+    geo = _pages_geo(spark)
+    cell8 = grid.cell_parent("cell_id", RES, JOIN_RES)
+    return geo.filter(
+        grid.cell_x_of(cell8).between(x0, x1)
+        & grid.cell_y_of(cell8).between(y0, y1)
+    ).select("url", "cell_id")
+
+
+def _q_setops_except(spark, sf_dir):
+    """Set ops (≡ EPSG set difference / band pruning, SURVEY §2.7):
+    urls in bbox A minus urls in bbox B (overlapping boxes)."""
+    geo = _pages_geo(spark)
+
+    def in_box(b):
+        lon0, lon1, lat0, lat1 = b
+        return (
+            F.col("lon_centi").between(lon0, lon1 - 1)
+            & F.col("lat_centi").between(lat0, lat1 - 1)
+        )
+
+    a = geo.filter(in_box(BBOX_A)).select("url")
+    b = geo.filter(in_box(BBOX_B)).select("url")
+    return a.exceptAll(b)
+
+
+def _q_share_en_per_tile(spark, sf_dir):
+    """Conditional-aggregate ratio per tile (≡ get_cloudy_pixel_
+    percentage, `eodal/core/sensors/sentinel2.py:780-814`)."""
+    tiled = TIL.assign_tiles(
+        P.geocode(P.synth_pages(spark, N_PAGES), RES), RES, TILE_RES
+    )
+    return tiled.groupBy("tile_cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "count(CASE WHEN lang = 'en' THEN 1 END) * 1000 div count(*)"
+        ).alias("en_milli"),
+    )
+
+
+def _q_rolling_events(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("roll3"),
+    )
+
+
+def _q_scalar_battery(spark, sf_dir):
+    """String / date / math / bitwise scalar functions (SURVEY §2.8)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.upper(F.substring("l_returnflag", 1, 1)).alias("flag_u"),
+        F.concat_ws("-", "l_returnflag", "l_linestatus").alias("tag"),
+        F.unix_timestamp(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+        F.shiftrightunsigned(
+            F.col("l_linenumber").bitwiseAND(F.lit(6)).cast("long"), 1
+        ).alias("qa_bits"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("price_floor"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.signum(F.col("l_quantity") - 25.0).cast("int").alias("qty_sign"),
+    )
+
+
+def _q_indices_battery(spark, sf_dir):
+    """Named-index registry over generic bands (≡ SpectralIndices,
+    `eodal/core/spectral_indices.py:89-122`) — bound to lineitem
+    columns; one fused projection."""
+    from eodal_spark.operators import algebra as A
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("nir"),
+        (F.col("l_discount") * 10 + 0.1).alias("red"),
+        (F.col("l_tax") * 10 + 0.2).alias("green"),
+    )
+    out = A.with_indices(
+        li, {"nir": "nir", "red": "red", "green": "green"},
+        "NDVI", "GNDVI", "NDWI", "CI_GREEN",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "ndvi", "gndvi", "ndwi", "ci_green"
+    )
+
+
+def _q_filter_grammar(spark, sf_dir):
+    """The reference's Filter grammar compiled to Catalyst predicates
+    (`eodal/mapper/filter.py:24-97`)."""
+    from eodal_spark.operators.filters import Filter, apply_filters
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    out = apply_filters(
+        part,
+        [
+            Filter("p_size", ">=", 20),
+            Filter("p_size", "<", 40),
+            Filter("p_brand", "!=", "Brand#13"),
+        ],
+    )
+    return out.select("p_partkey", "p_size", "p_brand")
+
+
+def _q_scale_mask(spark, sf_dir):
+    """scale*x+offset projection + class masking + QA-bit extract in
+    one pass (≡ Band.scale_data raster.py:1550-1592, RasterCollection.
+    mask raster.py:1445-1548, mask_from_qa_bits landsat.py:673-716)."""
+    from eodal_spark.operators import algebra as A
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity",
+        "l_returnflag",
+    )
+    scaled = li.withColumn(
+        "price_scaled", A.scale_values(F.col("l_extendedprice"), 0.01, 5.0)
+    )
+    masked = A.mask_values(scaled, "l_returnflag", ["R"], ["l_quantity"])
+    return masked.select(
+        "l_orderkey", "l_linenumber", "price_scaled",
+        F.col("l_quantity").alias("qty_masked"),
+    )
+
+
+def _q_valid_counts(spark, sf_dir):
+    """count_valid + all-invalid test (≡ eodal/utils/arrays.py:34-63
+    count_valid and Sentinel2.is_blackfilled sentinel2.py:77-98)."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return events.groupBy("event_type").agg(
+        F.count(F.when(F.col("value") > 0, 1)).alias("n_valid"),
+        F.expr("bool_and(value > 0)").alias("all_valid"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
 # ----- probabilistic candidate generators (rows-only checks) ---------------
 
 def _q_docs_minhash_pairs(spark, sf_dir):
@@ -487,6 +650,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "part_antijoin": _q_part_antijoin,
         "orders_rollup": _q_orders_rollup,
         "segment_mode": _q_segment_mode,
+        "bbox_cell_range": _q_bbox_cell_range,
+        "setops_except": _q_setops_except,
+        "share_en_per_tile": _q_share_en_per_tile,
+        "rolling_events": _q_rolling_events,
+        "scalar_battery": _q_scalar_battery,
+        "indices_battery": _q_indices_battery,
+        "filter_grammar": _q_filter_grammar,
+        "scale_mask": _q_scale_mask,
+        "valid_counts": _q_valid_counts,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
@@ -785,4 +957,82 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(length(text), 1) AS BIGINT) AS byte_mean_milli
             FROM documents
         """,
+        "bbox_cell_range": _bbox_range_sql(),
+        "setops_except": f"""
+            SELECT url FROM {pages}
+            WHERE lon_centi BETWEEN {BBOX_A[0]} AND {BBOX_A[1] - 1}
+              AND lat_centi BETWEEN {BBOX_A[2]} AND {BBOX_A[3] - 1}
+            EXCEPT ALL
+            SELECT url FROM {pages}
+            WHERE lon_centi BETWEEN {BBOX_B[0]} AND {BBOX_B[1] - 1}
+              AND lat_centi BETWEEN {BBOX_B[2]} AND {BBOX_B[3] - 1}
+        """,
+        "share_en_per_tile": f"""
+            SELECT {tile_cell} AS tile_cell, count(*) AS n,
+                   count(CASE WHEN lang = 'en' THEN 1 END) * 1000 // count(*) AS en_milli
+            FROM {pages}
+            GROUP BY 1
+        """,
+        "rolling_events": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(value AS DECIMAL(18,6)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                        AS DOUBLE) AS roll3
+            FROM events
+        """,
+        "scalar_battery": """
+            SELECT l_orderkey, l_linenumber,
+                   upper(substr(l_returnflag, 1, 1)) AS flag_u,
+                   concat_ws('-', l_returnflag, l_linestatus) AS tag,
+                   CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS ship_month,
+                   CAST((l_linenumber & 6) >> 1 AS BIGINT) AS qa_bits,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+                   abs(l_discount - 0.05) AS disc_dev,
+                   CAST(sign(l_quantity - 25.0) AS INT) AS qty_sign
+            FROM lineitem
+        """,
+        "indices_battery": """
+            SELECT l_orderkey, l_linenumber,
+                   (nir - red) / NULLIF(nir + red, 0) AS ndvi,
+                   (nir - green) / NULLIF(nir + green, 0) AS gndvi,
+                   (green - nir) / NULLIF(green + nir, 0) AS ndwi,
+                   nir / NULLIF(green, 0) - 1 AS ci_green
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     l_quantity AS nir,
+                     l_discount * 10 + 0.1 AS red,
+                     l_tax * 10 + 0.2 AS green
+              FROM lineitem
+            )
+        """,
+        "filter_grammar": """
+            SELECT p_partkey, p_size, p_brand FROM part
+            WHERE p_size >= 20 AND p_size < 40 AND p_brand != 'Brand#13'
+        """,
+        "scale_mask": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * 0.01 + 5.0 AS price_scaled,
+                   CASE WHEN l_returnflag IN ('R') THEN NULL
+                        ELSE l_quantity END AS qty_masked
+            FROM lineitem
+        """,
+        "valid_counts": """
+            SELECT event_type,
+                   count(CASE WHEN value > 0 THEN 1 END) AS n_valid,
+                   bool_and(value > 0) AS all_valid,
+                   count(*) AS n_total
+            FROM events
+            GROUP BY event_type
+        """,
     }
+
+
+def _bbox_range_sql() -> str:
+    x0, x1, y0, y1 = _bbox_cells(BBOX_A, JOIN_RES)
+    n = 1 << JOIN_RES
+    return f"""
+        SELECT url, {_duck_cell(RES)} AS cell_id FROM {_duck_pages()}
+        WHERE (lon_centi * {n} // 36000) BETWEEN {x0} AND {x1}
+          AND (lat_centi * {n} // 18000) BETWEEN {y0} AND {y1}
+    """

@@ -113,6 +113,20 @@ def polygons_df(
     return df
 
 
+def explode_multipoints(df: DataFrame, xs_col: str = "mxs", ys_col: str = "mys") -> DataFrame:
+    """MultiPoint → single-part points (≡ multi_to_single_points,
+    `eodal/core/utils/geometry.py:139-154`): a row carrying coordinate
+    arrays explodes into one row per vertex with ``lon``/``lat``
+    columns — native posexplode, no UDF."""
+    z = F.arrays_zip(F.col(xs_col), F.col(ys_col))
+    out = df.withColumn("_pt", F.explode(z))
+    return (
+        out.withColumn("lon", F.col(f"_pt.{xs_col}"))
+        .withColumn("lat", F.col(f"_pt.{ys_col}"))
+        .drop("_pt", xs_col, ys_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Point-in-polygon kernels
 # ---------------------------------------------------------------------------

@@ -97,6 +97,26 @@ def tile_histogram(tiled: DataFrame) -> DataFrame:
     )
 
 
+def salted_repartition(
+    df: DataFrame, key: str, salt_buckets: int, salt_col: str = "_salt"
+) -> DataFrame:
+    """Salted repartition for hot keys (north-rule skew handling).
+
+    Adds ``pmod(hash(url-or-monotonic), S)`` and repartitions on
+    (key, salt) so one hot key spreads over ``salt_buckets`` tasks.
+    Aggregations then run partial-per-salt → final-per-key (two-level
+    agg), which the caller composes:
+
+        salted.groupBy(key, salt).agg(partial...)  # big shuffle, balanced
+              .groupBy(key).agg(final...)          # tiny shuffle
+
+    Deterministic: the salt derives from row content (url when present)
+    — no Math.random, so retries/recomputations land identically."""
+    src = F.col("url") if "url" in df.columns else F.monotonically_increasing_id()
+    out = df.withColumn(salt_col, F.pmod(F.hash(src), F.lit(salt_buckets)))
+    return out.repartition(F.col(key), F.col(salt_col))
+
+
 def adaptive_split_hot_cells(
     pages_geo: DataFrame,
     res: int,
