@@ -596,6 +596,24 @@ def _q_scale_mask(spark, sf_dir):
     )
 
 
+def _q_poly_timeseries(spark, sf_dir):
+    """Per-feature time series (≡ get_feature_timeseries,
+    `eodal/core/scene.py:469-539`): the reference's per-scene loop +
+    concat becomes ONE scan → join → groupBy(poly, time bucket)."""
+    geo = _pages_geo(spark).withColumn("n_chars", F.length("text"))
+    joined = SJ.spatial_join(
+        geo, _polys_spark(spark), JOIN_RES, rule="centroid",
+        page_cols=("url", "n_chars", "warc_ts"), page_res=RES,
+    )
+    bucket = (F.unix_timestamp("warc_ts") / F.lit(BUCKET)).cast("long")
+    return joined.withColumn("ts_bucket", bucket).groupBy(
+        "poly_id", "ts_bucket"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("sum(n_chars) * 1000 div count(*)").alias("avg_chars_milli"),
+    )
+
+
 def _q_valid_counts(spark, sf_dir):
     """count_valid + all-invalid test (≡ eodal/utils/arrays.py:34-63
     count_valid and Sentinel2.is_blackfilled sentinel2.py:77-98)."""
@@ -659,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_grammar": _q_filter_grammar,
         "scale_mask": _q_scale_mask,
         "valid_counts": _q_valid_counts,
+        "poly_timeseries": _q_poly_timeseries,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
@@ -1024,6 +1043,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_total
             FROM events
             GROUP BY event_type
+        """,
+        "poly_timeseries": f"""
+            SELECT polys.poly_id, p.ts_sec // {BUCKET} AS ts_bucket,
+                   count(*) AS n,
+                   sum(length(p.text)) * 1000 // count(*) AS avg_chars_milli
+            FROM {pages} p, {polys}
+            WHERE {_duck_pip(clon, clat)}
+            GROUP BY 1, 2
         """,
     }
 

@@ -67,16 +67,34 @@ def mosaic_dedup(
     tiled: DataFrame,
     keys: tuple[str, ...] = ("cell_id", "ts_bucket"),
     order: tuple[str, ...] = ("warc_ts", "url"),
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep exactly one page per (cell, time-bucket) — first-wins by
     (ts, url) total order.  ≡ `rasterio.merge` first-wins precedence
     (`eodal/core/algorithms.py:133-142`) and the duplicate-timestamp
     dedup (`mapper.py:565-570`, :647-649).
 
-    One shuffle on ``keys``; AQE splits skewed city tiles. Window (not
-    groupBy+join) so every page column survives without re-join."""
-    rn = F.row_number().over(first_wins_window(keys, order))
-    return tiled.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    strategy="agg" (default): ``min(struct(order…, payload…))`` —
+    Spark's partial aggregation combines map-side, so the shuffle
+    carries at most one candidate row per (key, map partition) instead
+    of every row.  At 10^12 rows with duplicate-heavy hotspots this is
+    the difference between shuffling the corpus and shuffling the
+    distinct keys.  strategy="window": classic ``row_number()=1``
+    (kept for payloads with non-orderable columns, e.g. maps).
+
+    Both are deterministic under any parallelism: the ``order`` prefix
+    is a total order (ties broken by url)."""
+    if strategy == "window":
+        rn = F.row_number().over(first_wins_window(keys, order))
+        return tiled.withColumn("_rn", rn).filter(F.col("_rn") == 1).drop("_rn")
+    if strategy != "agg":
+        raise ValueError(strategy)
+    payload = [c for c in tiled.columns if c not in keys]
+    ordered = [*order, *[c for c in payload if c not in order]]
+    win = tiled.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in ordered])).alias("_w")
+    )
+    return win.select(*keys, *[F.col(f"_w.{c}").alias(c) for c in payload])
 
 
 def duplicate_split(tiled: DataFrame, keys=("cell_id", "ts_bucket")) -> DataFrame:

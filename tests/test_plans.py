@@ -1,0 +1,97 @@
+"""Physical-plan assertions — the 100 TB questions asked of .explain():
+does the scan prune columns, do filters push down, does the big side
+avoid shuffling, is the dedup aggregation partial, is codegen live."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as E
+from eodal_spark.operators import spatial_join as SJ
+from eodal_spark.operators import tiling as TIL
+from eodal_spark.sources import pages as P
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "pages.parquet")
+    P.synth_pages(spark, 20_000).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_column_pruning_reaches_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).select("lang")
+    plan = _plan(df)
+    assert "ReadSchema: struct<lang:string>" in plan  # html never read
+
+
+def test_filter_pushdown_reaches_scan(spark, pages_parquet):
+    df = spark.read.parquet(pages_parquet).filter(F.col("lang") == "en")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,en)" in plan
+
+
+def test_headline_has_single_data_shuffle(spark, pages_parquet):
+    pages = spark.read.parquet(pages_parquet)
+    geo = P.geocode(pages, E.RES)
+    joined = SJ.spatial_join(
+        geo, E._polys_spark(spark), E.JOIN_RES, rule="centroid",
+        page_cols=("url", "warc_ts", "cell_id"), page_res=E.RES,
+    )
+    deduped = TIL.mosaic_dedup(
+        TIL.assign_tiles(joined, E.RES, E.TILE_RES),
+        keys=("cell_id", "ts_bucket"),
+    )
+    # collect() executes THIS Dataset's queryExecution so AQE reports
+    # the final plan (count() would wrap a new plan); drop the echoed
+    # "Initial Plan" section before counting nodes
+    deduped.collect()
+    plan = _plan(deduped).split("== Initial Plan ==")[0]
+    # big side joins via broadcast (no SortMergeJoin / no shuffle
+    # before the join) …
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    # … and the only data exchange is the dedup aggregation shuffle
+    data_exchanges = [
+        l for l in plan.splitlines()
+        if "Exchange" in l and "BroadcastExchange" not in l
+    ]
+    assert len(data_exchanges) == 1, data_exchanges
+    # the dedup agg combines map-side (partial_min before the exchange)
+    assert "partial_min" in plan
+    # the probe side runs inside whole-stage codegen (compact marker *(n))
+    assert "*(" in plan
+
+
+def test_geocode_has_no_python_stage(spark, pages_parquet):
+    geo = P.geocode(spark.read.parquet(pages_parquet), E.RES)
+    plan = _plan(geo)
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan  # geocode is 100% JVM
+
+
+def test_no_nullable_join_key_filter(spark, pages_parquet):
+    """Regression: nullable cell_id used to make Catalyst infer
+    isnotnull(key) and inline the regexp chain 4x into a pushed filter."""
+    geo = P.geocode(spark.read.parquet(pages_parquet), E.RES)
+    j = SJ.spatial_join(
+        geo, E._polys_spark(spark), E.JOIN_RES, rule="centroid",
+        page_res=E.RES,
+    )
+    assert "Filter isnotnull" not in _plan(j)
+
+
+def test_knn_pages_side_not_shuffled(spark, pages_parquet):
+    from eodal_spark.operators import knn as K
+
+    geo = P.geocode(spark.read.parquet(pages_parquet), E.RES)
+    q = spark.createDataFrame(
+        E.KNN_QUERIES, ["query_id", "lat_centi", "lon_centi"]
+    )
+    out = K.knn(q, geo, E.RES, k=3)
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan  # ring side broadcast, pages probe

@@ -72,6 +72,15 @@ def test_mosaic_dedup_first_wins(tiled):
     # deterministic under different parallelism
     re = tiling.mosaic_dedup(tiled.repartition(13)).select("url")
     assert re.exceptAll(deduped.select("url")).count() == 0
+    # agg strategy ≡ window strategy, row for row
+    win = tiling.mosaic_dedup(tiled, strategy="window")
+    assert (
+        win.select(*sorted(win.columns))
+        .exceptAll(deduped.select(*sorted(deduped.columns)))
+        .count()
+        == 0
+    )
+    assert win.count() == deduped.count()
 
 
 def test_duplicate_split_counts(tiled):
