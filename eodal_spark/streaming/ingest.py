@@ -65,6 +65,61 @@ def windowed_cell_counts(
     )
 
 
+def session_windowed_counts(
+    pages_stream: DataFrame,
+    res: int,
+    gap: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session-window grouping per cell — ≡ the reference's session-like
+    grouping of tiles into one scene per (rounded) timestamp
+    (`eodal/mapper/mapper.py:572-616`): bursts of pages for a cell
+    within ``gap`` of each other collapse into one session row."""
+    from eodal_spark.sources.pages import extract_text, parse_geo
+
+    txt = extract_text(F.col("html"))
+    _, _, lat, lon = parse_geo(txt)
+    geo = pages_stream.select("url", "warc_ts", lat.alias("lat"), lon.alias("lon"))
+    geo = geo.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    return (
+        geo.withWatermark("warc_ts", watermark)
+        .groupBy(F.session_window("warc_ts", gap).alias("sess"), F.col("cell_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+
+
+def stateful_cell_counter(pages_stream: DataFrame, res: int) -> DataFrame:
+    """Custom stateful operator: running per-cell page count across
+    micro-batches via ``applyInPandasWithState`` (the extension point
+    SURVEY §2.9 reserves for incremental per-cell aggregates).  State is
+    one long per cell; each batch emits the updated running total."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from eodal_spark.sources.pages import extract_text, parse_geo
+
+    txt = extract_text(F.col("html"))
+    _, _, lat, lon = parse_geo(txt)
+    geo = pages_stream.select("url", lat.alias("lat"), lon.alias("lon"))
+    geo = geo.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"cell_id": [key[0]], "running_count": [total]})
+
+    return geo.groupBy("cell_id").applyInPandasWithState(
+        update,
+        outputStructType="cell_id long, running_count long",
+        stateStructType="count long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str):
     """Drain everything currently available into parquet (append mode),
     checkpointed — resumable via checkpointLocation."""

@@ -152,3 +152,78 @@ def test_streaming_windowed_counts(spark, tmp_path):
         .count()
     )
     assert mism == 0
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "sess_src")
+    P.synth_pages(spark, 1500).write.parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = ingest.session_windowed_counts(stream, res=5, gap="30 minutes")
+    out_dir, chk = str(tmp_path / "sess_out"), str(tmp_path / "sess_chk")
+    q = (
+        agg.writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", chk).outputMode("append")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    # batch twin: identical session_window grouping, closed sessions only
+    from pyspark.sql import functions as F
+
+    geo = P.geocode(spark.read.parquet(src), 5)
+    max_ts = geo.agg(F.max("warc_ts")).first()[0]
+    batch = (
+        geo.groupBy(F.session_window("warc_ts", "30 minutes").alias("sess"), "cell_id")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .filter(F.col("sess.end") <= F.lit(max_ts))
+    )
+    assert got.count() == batch.count()
+    mism = (
+        got.alias("g").join(batch.alias("b"), ["sess", "cell_id"], "full")
+        .filter("g.n_pages IS DISTINCT FROM b.n_pages").count()
+    )
+    assert mism == 0
+
+
+def test_stateful_cell_counter(spark, tmp_path):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "state_src")
+    # two files -> with maxFilesPerTrigger=1, two micro-batches so the
+    # state genuinely carries across batches
+    P.synth_pages(spark, 1000).write.parquet(src)
+    P.synth_pages(spark, 2000).filter("url LIKE '%1_'").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    counted = ingest.stateful_cell_counter(stream, res=4)
+    q = (
+        counted.writeStream.format("memory").queryName("state_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "state_chk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("state_out")
+    finals = got.groupBy("cell_id").agg(F.max("running_count").alias("n"))
+    expect = (
+        P.geocode(spark.read.parquet(src), 4).groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert finals.count() == expect.count()
+    mism = (
+        finals.alias("g").join(expect.alias("b"), "cell_id", "full")
+        .filter("g.n IS DISTINCT FROM b.n").count()
+    )
+    assert mism == 0
+    # multiple micro-batches actually happened (some cell emitted twice)
+    assert got.count() > finals.count()

@@ -1,0 +1,82 @@
+"""Mapper facade end-to-end — ≡ tests/mapper/test_mapper.py in the
+reference (two-phase contract, filters, mosaic invariants)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.mapper import Mapper, MapperConfigs
+from eodal_spark.operators.filters import Filter
+from eodal_spark.sources.pages import synth_pages
+
+ZURICH_BOX = [(7.0, 45.0), (10.0, 45.0), (10.0, 49.0), (7.0, 49.0)]
+
+
+@pytest.fixture(scope="module")
+def tiles_catalog(spark):
+    rows = [
+        # (tile_id, sensing_time, epsg, cloud, xmin, ymin, xmax, ymax)
+        ("T1", "2019-05-10 00:00:00", 32632, 10.0, 6.0, 44.0, 9.0, 48.0),
+        ("T2", "2019-06-10 00:00:00", 32632, 95.0, 8.0, 45.0, 11.0, 49.0),
+        ("T3", "2019-06-15 00:00:00", 32633, 20.0, 100.0, 30.0, 110.0, 40.0),  # elsewhere
+        ("T4", "2021-01-01 00:00:00", 32632, 5.0, 7.0, 45.0, 10.0, 49.0),  # out of time
+    ]
+    return spark.createDataFrame(
+        rows,
+        ["tile_id", "sensing_time", "epsg", "cloudy_pixel_percentage",
+         "xmin", "ymin", "xmax", "ymax"],
+    ).withColumn("sensing_time", F.to_timestamp("sensing_time"))
+
+
+def _mapper(spark, pages, tiles, filters=None):
+    cfg = MapperConfigs(
+        collection="pages",
+        feature=ZURICH_BOX,
+        time_start="2019-05-01 00:00:00",
+        time_end="2019-08-31 23:59:59",
+        metadata_filters=filters or [],
+    )
+    return Mapper(cfg, pages, tiles)
+
+
+def test_query_scenes_bbox_time_filters(spark, pages_small, tiles_catalog):
+    m = _mapper(spark, pages_small, tiles_catalog)
+    md = m.query_scenes().collect()
+    assert [r["tile_id"] for r in md] == ["T1", "T2"]  # bbox+time pruned, sorted
+
+
+def test_metadata_filters_cloud(spark, pages_small, tiles_catalog):
+    m = _mapper(
+        spark, pages_small, tiles_catalog,
+        filters=[Filter("cloudy_pixel_percentage", "<", 90)],
+    )
+    md = m.query_scenes().collect()
+    assert [r["tile_id"] for r in md] == ["T1"]
+
+
+def test_load_scenes_clips_and_dedups(spark, pages_small, tiles_catalog):
+    m = _mapper(spark, pages_small, tiles_catalog)
+    data = m.load_scenes().cache()
+    assert data.count() > 0
+    # all pages inside the feature bbox and time window
+    bad = data.filter(
+        (F.col("warc_ts") < "2019-05-01") | (F.col("warc_ts") > "2019-09-01")
+    ).count()
+    assert bad == 0
+    # mosaic invariant: one row per (cell, ts_bucket)
+    assert (
+        data.groupBy("cell_id", "ts_bucket").count().filter("count > 1").count()
+        == 0
+    )
+
+
+def test_extraction_requires_load(spark, pages_small, tiles_catalog):
+    m = _mapper(spark, pages_small, tiles_catalog)
+    with pytest.raises(ValueError):
+        m.band_summaries()
+    m.load_scenes()
+    stats = m.band_summaries().first()
+    assert stats["cnt"] > 0
+    ts = m.get_feature_timeseries().collect()
+    assert len(ts) > 1 and all(r["n"] > 0 for r in ts)
