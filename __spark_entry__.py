@@ -596,6 +596,15 @@ def _q_scale_mask(spark, sf_dir):
     )
 
 
+def _q_cell_resample(spark, sf_dir):
+    """Resolution rollup (≡ Band.resample downsampling,
+    `eodal/core/band.py:1771-1860`): res-12 cells → res-6 parents via
+    pure bit shifts, then per-parent aggregation."""
+    geo = _pages_geo(spark)
+    c6 = grid.cell_parent("cell_id", RES, 6)
+    return geo.groupBy(c6.alias("cell6")).agg(F.count(F.lit(1)).alias("n"))
+
+
 def _q_poly_timeseries(spark, sf_dir):
     """Per-feature time series (≡ get_feature_timeseries,
     `eodal/core/scene.py:469-539`): the reference's per-scene loop +
@@ -678,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_mask": _q_scale_mask,
         "valid_counts": _q_valid_counts,
         "poly_timeseries": _q_poly_timeseries,
+        "cell_resample": _q_cell_resample,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
@@ -1051,6 +1061,11 @@ def oracle_sql() -> dict[str, str]:
             FROM {pages} p, {polys}
             WHERE {_duck_pip(clon, clat)}
             GROUP BY 1, 2
+        """,
+        "cell_resample": f"""
+            SELECT {_duck_cell(6)} AS cell6, count(*) AS n
+            FROM {pages}
+            GROUP BY 1
         """,
     }
 

@@ -43,11 +43,20 @@ def run(cpus: int, rows: int) -> dict:
     return json.loads(line)
 
 
+REPS = 3  # interleaved reps per level — the sandbox VM has bursty
+# noisy-neighbor CPU steal (measured 1.8x run-to-run swings), so each
+# level runs in REPS separate JVMs spread over time; best-of wins.
+
+
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
-    results = {}
-    for cpus in sorted({c for pair in PAIRS for c in pair}):
-        results[cpus] = run(cpus, rows)
+    levels = sorted({c for pair in PAIRS for c in pair})
+    results: dict[int, dict] = {}
+    for _ in range(REPS):
+        for cpus in levels:
+            r = run(cpus, rows)
+            if cpus not in results or r["rows_per_sec"] > results[cpus]["rows_per_sec"]:
+                results[cpus] = r
     effs = {}
     for small, big in PAIRS:
         effs[(small, big)] = results[big]["rows_per_sec"] / (
