@@ -527,7 +527,9 @@ def _q_scalar_battery(spark, sf_dir):
         "l_linenumber",
         F.upper(F.substring("l_returnflag", 1, 1)).alias("flag_u"),
         F.concat_ws("-", "l_returnflag", "l_linestatus").alias("tag"),
-        F.unix_timestamp(F.date_trunc("month", "l_shipdate")).alias("ship_month"),
+        F.datediff(
+            F.date_trunc("month", "l_shipdate").cast("date"), F.lit("1970-01-01")
+        ).alias("ship_month_days"),
         F.shiftrightunsigned(
             F.col("l_linenumber").bitwiseAND(F.lit(6)).cast("long"), 1
         ).alias("qa_bits"),
@@ -1014,7 +1016,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, l_linenumber,
                    upper(substr(l_returnflag, 1, 1)) AS flag_u,
                    concat_ws('-', l_returnflag, l_linestatus) AS tag,
-                   CAST(epoch(date_trunc('month', l_shipdate)) AS BIGINT) AS ship_month,
+                   date_diff('day', DATE '1970-01-01', CAST(date_trunc('month', l_shipdate) AS DATE)) AS ship_month_days,
                    CAST((l_linenumber & 6) >> 1 AS BIGINT) AS qa_bits,
                    CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
                    abs(l_discount - 0.05) AS disc_dev,
