@@ -227,3 +227,35 @@ def test_stateful_cell_counter(spark, tmp_path):
     assert mism == 0
     # multiple micro-batches actually happened (some cell emitted twice)
     assert got.count() > finals.count()
+
+
+def test_pipeline_e2e_resume_and_metrics(spark, tmp_path):
+    """North-rule integration: checkpointed stages + lineage metrics +
+    resume skipping completed work."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/scripts")
+    import run_pipeline
+
+    wh = str(tmp_path / "wh")
+    r1 = run_pipeline.run(spark, wh, 20_000)
+    assert r1["executed"] == ["pages", "geocoded", "joined", "mosaic"]
+    assert r1["mosaic_rows"] > 0
+    assert all(rec["rows"] > 0 for rec in r1["lineage"])
+    # metrics table holds one row per (stage, partition)
+    m = spark.read.parquet(os.path.join(wh, "_metrics", "partition_metrics"))
+    stages = {r["stage"] for r in m.select("stage").distinct().collect()}
+    assert stages == {"pages", "geocoded", "joined", "mosaic"}
+    # resume: second run skips everything, result identical
+    r2 = run_pipeline.run(spark, wh, 20_000)
+    assert r2["executed"] == [] and r2["skipped"] == [
+        "pages", "geocoded", "joined", "mosaic",
+    ]
+    assert r2["mosaic_rows"] == r1["mosaic_rows"]
+    # partial resume: drop the last stage's snapshot -> only it re-runs
+    import shutil
+
+    shutil.rmtree(os.path.join(wh, "mosaic"))
+    r3 = run_pipeline.run(spark, wh, 20_000)
+    assert r3["executed"] == ["mosaic"]
+    assert r3["mosaic_rows"] == r1["mosaic_rows"]
