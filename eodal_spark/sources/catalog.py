@@ -105,6 +105,28 @@ class SnapshotCatalog:
             shutil.rmtree(s["path"], ignore_errors=True)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed, sorted table write (Hive-bucketed parquet; Iceberg
+    bucket-partitioning in production).
+
+    Two tables bucketed on the same key join WITHOUT an exchange — the
+    co-located join strategy for repeated large×large joins on
+    ``cell_id`` (SURVEY.md §2.3: "bucketing for co-located joins").
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 class ResumablePipeline:
     """Driver loop with stage-level resume: a stage whose output snapshot
     exists (matching stage name in snapshot meta) is *skipped* and its

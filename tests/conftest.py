@@ -12,7 +12,14 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark("eodal_spark_tests", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(
+        "eodal_spark_tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/eodal_spark_test_warehouse",
+        },
+    )
     yield spark
     spark.stop()
 

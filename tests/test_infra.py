@@ -259,3 +259,30 @@ def test_pipeline_e2e_resume_and_metrics(spark, tmp_path):
     r3 = run_pipeline.run(spark, wh, 20_000)
     assert r3["executed"] == ["mosaic"]
     assert r3["mosaic_rows"] == r1["mosaic_rows"]
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Bucketed co-located join: same-bucketed tables join without a
+    shuffle (the repeated-join strategy for cell-keyed tables)."""
+    from eodal_spark.sources.catalog import write_bucketed
+    from eodal_spark.sources.pages import geocode, synth_pages
+
+    geo = geocode(synth_pages(spark, 5_000), 8).select("url", "cell_id")
+    agg = geo.groupBy("cell_id").count()
+    write_bucketed(geo, "pages_b", "cell_id", 8, sort_col="cell_id")
+    write_bucketed(agg, "cells_b", "cell_id", 8)
+    a = spark.table("pages_b")
+    b = spark.table("cells_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "cell_id")
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Exchange" not in plan  # bucket-aligned: zero shuffle
+        assert j.count() == a.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS pages_b")
+        spark.sql("DROP TABLE IF EXISTS cells_b")
