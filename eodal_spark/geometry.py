@@ -217,6 +217,12 @@ def np_pip_even_odd(
 # Polygon → covering cells (the broadcast pre-filter)
 # ---------------------------------------------------------------------------
 
+# per-polygon covering-size guard: a continent-sized polygon at a fine
+# resolution would explode into billions of covering cells — fail fast
+# with the fix (coarser join res / split the polygon) instead of OOMing
+MAX_COVER_CELLS_PER_POLY = 2_000_000
+
+
 def _cover_one(row, res: int, mode: str):
     """Covering cells of one polygon (numpy): (cell_ids, full_flags)."""
     n = 1 << res
@@ -226,6 +232,13 @@ def _cover_one(row, res: int, mode: str):
     x1, _ = grid.np_cell_xy(np.array([row.xmax]), np.array([0.0]), res)
     _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymin]), res)
     _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymax]), res)
+    n_cand = int(x1[0] - x0[0] + 1) * int(y1[0] - y0[0] + 1)
+    if n_cand > MAX_COVER_CELLS_PER_POLY:
+        raise ValueError(
+            f"polygon {row.poly_id} would cover {n_cand:,} candidate cells "
+            f"at res {res} (> {MAX_COVER_CELLS_PER_POLY:,}); use a coarser "
+            f"join resolution or split the polygon"
+        )
     cx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
     cy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
     gx, gy = np.meshgrid(cx, cy, indexing="ij")

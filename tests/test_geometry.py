@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from eodal_spark import geometry, grid
@@ -117,3 +118,14 @@ def test_cover_cells_centroid_rule(spark, sample_polys):
     # full-cell flags: a full cell's centroid must be inside (sanity)
     full = pdf[pdf["full"]]
     assert len(full) > 0  # big polys at res 8 have interior cells
+
+
+def test_cover_cells_size_guard(spark):
+    # a hemisphere-sized polygon at res 16 must fail fast, not OOM
+    from eodal_spark.geometry import polygon_cover_cells, polygons_df
+
+    big = polygons_df(
+        spark, [(1, [(-170.0, -80.0), (170.0, -80.0), (170.0, 80.0), (-170.0, 80.0)])]
+    )
+    with pytest.raises(Exception, match="coarser"):
+        polygon_cover_cells(big, 16).count()
