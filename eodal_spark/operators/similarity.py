@@ -169,6 +169,78 @@ def ann_topk_srp(
     )
 
 
+def ivf_train_centroids(
+    corpus: DataFrame, n_centroids: int, sample: int = 10_000,
+    iters: int = 10, seed: int = 42,
+) -> np.ndarray:
+    """Coarse quantizer for IVF: k-means on a driver-side sample
+    (Lloyd's, numpy).  At 10^12 scale the sample is still tiny — the
+    quantizer is a model artifact, not a data pass."""
+    rows = corpus.select("embedding").limit(sample).collect()
+    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), n_centroids, replace=False)]
+    for _ in range(iters):
+        d = ((m[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(n_centroids):
+            members = m[assign == c]
+            if len(members):
+                cent[c] = members.mean(0)
+    return cent
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment (numpy matmul)."""
+    cent = centroids.astype(np.float64)
+    cent_sq = (cent**2).sum(1)
+
+    @F.pandas_udf(T.IntegerType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (m**2).sum(1)[:, None] - 2 * (m @ cent.T) + cent_sq[None, :]
+        return pd.Series(d.argmin(1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN: corpus bucketed by nearest centroid (one map-side pass);
+    each query probes its ``n_probe`` nearest centroid lists; exact
+    integer-quantized re-rank within candidates.  The inverted-list
+    analogue of `grid`'s cell bucketing, for embedding space."""
+    cent = ivf_train_centroids(corpus, n_centroids, seed=seed)
+    assign = ivf_assign_udf(cent)
+    bucketed = corpus.withColumn("ivf_list", assign(F.col("embedding")))
+
+    # driver-side probe lists per query (queries are small/broadcast)
+    qrows = queries.collect()
+    probe_rows = []
+    for r in qrows:
+        qv = np.asarray(r["qvec"], dtype=np.float64)
+        d = ((cent - qv) ** 2).sum(1)
+        for c in np.argsort(d)[:n_probe]:
+            probe_rows.append((r["query_id"], list(r["qvec"]), int(c)))
+    spark = queries.sparkSession
+    probes = spark.createDataFrame(
+        probe_rows, ["query_id", "qvec", "ivf_list"]
+    ).withColumn("qvec", F.col("qvec").cast("array<float>"))
+
+    cand = bucketed.join(F.broadcast(probes), "ivf_list").withColumn(
+        "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
+    )
+    return _rank_topk(cand, k, "sqdist", asc=True).select(
+        "query_id", "vec_id", "sqdist", "rank"
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame, sqdist_threshold: float, dim: int, n_planes: int = 8,
     n_tables: int = 4,

@@ -83,3 +83,23 @@ def test_embedding_near_dup_self_pairs(spark, corpus):
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     for r in corpus.limit(3).collect():
         assert (r["vec_id"], r["vec_id"] + 100000) in got
+
+
+def test_ivf_topk_recall(spark, corpus, queries):
+    k = 10
+    exact = S.brute_force_topk_l2(queries, corpus, k).collect()
+    approx = S.ivf_topk(queries, corpus, k, n_centroids=8, n_probe=4).collect()
+    e, a = {}, {}
+    for r in exact:
+        e.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for r in approx:
+        a.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(e[q] & a.get(q, set())) / k for q in e]
+    assert sum(recalls) / len(recalls) >= 0.5
+    # candidates within probed lists are ranked by the SAME exact
+    # quantized metric -> any returned neighbor in the exact set has
+    # identical sqdist
+    ed = {(r["query_id"], r["vec_id"]): r["sqdist"] for r in exact}
+    for r in approx:
+        if (r["query_id"], r["vec_id"]) in ed:
+            assert ed[(r["query_id"], r["vec_id"])] == r["sqdist"]
