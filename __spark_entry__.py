@@ -643,6 +643,29 @@ def _q_docs_minhash_pairs(spark, sf_dir):
     return D.minhash_dedup(docs, threshold_milli=500)
 
 
+def _q_docs_simhash_pairs(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sigs = D.simhash_signatures(docs)
+    return D.simhash_near_pairs(sigs, max_hamming=10)
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    out = SIM.embedding_near_dup_pairs(emb, sqdist_threshold=0.5, dim=dim)
+    return out.select("id_a", "id_b", F.col("sqdist").cast("double").alias("sqdist_d"))
+
+
+def _q_emb_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ivf_topk(q, emb, k=10, n_centroids=8, n_probe=4).select(
+        "query_id", "vec_id", "rank"
+    )
+
+
 def _q_emb_ann_srp(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.filter("vec_id < 5").select(
@@ -698,8 +721,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_fingerprint": _q_docs_fingerprint,
         "emb_l2_topk": _q_emb_l2_topk,
         "multimodal_bytes": _q_multimodal_bytes,
-        # probabilistic (rows-only)
+        # probabilistic / non-SQL-expressible (rows-only)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "emb_near_dup": _q_emb_near_dup,
+        "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ann_srp": _q_emb_ann_srp,
     }
 
