@@ -917,8 +917,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "events_sessions": """
             SELECT user_id, event_id,
-                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+                   CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
             FROM (
               SELECT user_id, event_id, ts,
                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
@@ -999,7 +999,7 @@ def oracle_sql() -> dict[str, str]:
                        generate_series(1, len(e.embedding)),
                        i -> (CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) - CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT))
                           * (CAST(floor(CAST(e.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT) - CAST(floor(CAST(q.embedding[i] AS DOUBLE) * 10000000.0) AS BIGINT))
-                     ), 'sum') AS sqdist,
+                     ), 'sum')::BIGINT AS sqdist,
                      row_number() OVER (PARTITION BY q.vec_id
                                         ORDER BY sqdist, e.vec_id) AS rank
               FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
@@ -1085,7 +1085,7 @@ def oracle_sql() -> dict[str, str]:
         "poly_timeseries": f"""
             SELECT polys.poly_id, p.ts_sec // {BUCKET} AS ts_bucket,
                    count(*) AS n,
-                   sum(length(p.text)) * 1000 // count(*) AS avg_chars_milli
+                   CAST(sum(length(p.text)) * 1000 // count(*) AS BIGINT) AS avg_chars_milli
             FROM {pages} p, {polys}
             WHERE {_duck_pip(clon, clat)}
             GROUP BY 1, 2

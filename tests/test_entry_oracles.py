@@ -54,6 +54,14 @@ def _compare(name: str, got: pd.DataFrame, exp: pd.DataFrame):
     )
     for c in got.columns:
         a, b = got[c], exp[c]
+        # The driver's value hash is dtype-sensitive: a DuckDB HUGEINT sum
+        # arriving as float64 (1.0) hashes differently from Spark's int64
+        # (1) even when every value is equal.  Catch that class locally.
+        ka, kb = a.dtype.kind, b.dtype.kind
+        assert ka == kb or {ka, kb} <= {"i", "u"}, (
+            f"{name}.{c}: dtype kind {ka} vs {kb} — driver hash gate would "
+            f"fail even if values match (add a CAST in the oracle SQL)"
+        )
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             an = a.astype(np.float64).to_numpy()
             bn = b.astype(np.float64).to_numpy()
