@@ -57,6 +57,17 @@ PAGE_POLYS = [
     (4, [(-170.0, -89.0), (-160.0, -89.0), (-160.0, -85.0), (-170.0, -85.0)]),  # empty
 ]
 
+# real-geometry layer (FIXTURES.md §2: WKB polygon columns, "one
+# MultiPolygon"): a holed box over the Zürich cluster and a 2-part
+# MultiPolygon covering the NYC + Japan clusters — parsed from WKT,
+# exact-rule membership is even-odd over all rings
+HOLED_POLYS = [
+    (1, "POLYGON ((6.5 44.5, 10.5 44.5, 10.5 49.5, 6.5 49.5, 6.5 44.5), "
+        "(8.0 46.0, 9.5 46.0, 9.5 48.0, 8.0 48.0, 8.0 46.0))"),
+    (2, "MULTIPOLYGON (((-75.5 39.0, -72.5 39.5, -74.0 42.5, -75.5 39.0)), "
+        "((138.0 34.0, 142.0 34.5, 140.0 37.8, 138.0 34.0)))"),
+]
+
 KNN_QUERIES = [  # (query_id, lat_centi, lon_centi)
     (1, 13737, 18854),
     (2, 13070, 10600),
@@ -126,6 +137,26 @@ def _duck_pip(px: str, py: str) -> str:
     return geometry.sql_pip_convex(px, py, "polys.xs", "polys.ys", "duckdb")
 
 
+def _holed_polys_duck() -> str:
+    """HOLED_POLYS as a DuckDB inline relation with DOUBLE[][] ring
+    columns — the *same normalized ring arrays* (CCW, closing vertex
+    stripped) the engine stores, so the even-odd crossing arithmetic is
+    bit-identical on both sides."""
+    rows = []
+    for pid, wkt in HOLED_POLYS:
+        rings_x, rings_y = [], []
+        for part in geometry._as_parts(wkt):
+            for ring in part:
+                xs, ys = geometry._clean_ring(ring)
+                rings_x.append(xs.tolist())
+                rings_y.append(ys.tolist())
+        rows.append(
+            f"({pid}, CAST({rings_x} AS DOUBLE[][]), "
+            f"CAST({rings_y} AS DOUBLE[][]))"
+        )
+    return "(VALUES " + ", ".join(rows) + ") AS polys(poly_id, rings_x, rings_y)"
+
+
 # ---------------------------------------------------------------------------
 # entry
 # ---------------------------------------------------------------------------
@@ -173,6 +204,16 @@ def _q_spatial_join_exact(spark, sf_dir):
     return SJ.spatial_join(
         _pages_geo(spark), _polys_spark(spark), JOIN_RES, rule="exact",
         page_res=RES,
+    ).select("poly_id", "url")
+
+
+def _q_spatial_join_holes(spark, sf_dir):
+    """Exact join against a holed polygon + a MultiPolygon (WKT-parsed):
+    pages in the hole must NOT match; either part of the multi matches.
+    Refinement is the native even-odd parity expression — zero Python."""
+    polys = geometry.polygons_df(spark, HOLED_POLYS)
+    return SJ.spatial_join(
+        _pages_geo(spark), polys, JOIN_RES, rule="exact", page_res=RES,
     ).select("poly_id", "url")
 
 
@@ -684,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assignment": _q_tile_assignment,
         "spatial_join_centroid": _q_spatial_join_centroid,
         "spatial_join_exact": _q_spatial_join_exact,
+        "spatial_join_holes": _q_spatial_join_holes,
         "zonal_stats": _q_zonal_stats,
         "mosaic_dedup": _q_mosaic_dedup,
         "tile_histogram": _q_tile_histogram,
@@ -800,6 +842,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT polys.poly_id, p.url
             FROM {pages} p, {polys}
             WHERE {_duck_pip(plon, plat)}
+        """,
+        "spatial_join_holes": f"""
+            SELECT polys.poly_id, p.url
+            FROM {pages} p, {_holed_polys_duck()}
+            WHERE {geometry.sql_pip_even_odd_rings(
+                plon, plat, "polys.rings_x", "polys.rings_y", "duckdb")}
         """,
         "zonal_stats": f"""
             SELECT polys.poly_id,

@@ -9,16 +9,22 @@ DataFrame**::
     poly_id: long, <attrs...>, xs: array<double>, ys: array<double>,
     xmin/ymin/xmax/ymax: double
 
-``xs``/``ys`` are the exterior-ring vertices (open ring, CCW-normalized).
-Two point-in-polygon kernels:
+``xs``/``ys`` are part-0's exterior-ring vertices (open ring,
+CCW-normalized); ``rings_x``/``rings_y`` carry **all** rings — every
+part's exterior plus holes — so holed Polygons and MultiPolygons are
+first-class (WKT/WKB parsed by `parse_wkt`/`parse_wkb`, no shapely).
+Point-in-polygon kernels:
 
 * `pip_convex` — boundary-inclusive convex PIP as a **pure Catalyst
   expression** (min of edge cross products ≥ 0) → whole-stage codegen,
   zero Python.  The engine's pinned membership rule (FIXTURES.md §5) —
   the analogue of the reference's ``all_touched=True`` mask read
   (`eodal/core/band.py:828-835`).
-* `np_pip_even_odd` — general (possibly concave) ray-casting in numpy,
-  used inside Arrow-batched pandas UDF refinement stages.
+* `pip_even_odd_rings` — general (concave / holes / multi-part) even-odd
+  crossing parity over all rings, **also pure Catalyst** (nested
+  higher-order aggregates).
+* `np_pip_even_odd` / `np_pip_even_odd_rings` — the numpy twins (same
+  float op order, bit-identical), used in coverings and as test oracles.
 
 Cell coverings (`polygon_cover_cells`) replace shapely STRtree
 pre-filtering: the covering is exploded to rows and broadcast, so the
@@ -46,12 +52,20 @@ from eodal_spark import grid
 POLY_SCHEMA = T.StructType(
     [
         T.StructField("poly_id", T.LongType(), False),
+        # exterior ring of part 0 — the convex fast path and the legacy
+        # convex oracles read these
         T.StructField("xs", T.ArrayType(T.DoubleType()), False),
         T.StructField("ys", T.ArrayType(T.DoubleType()), False),
+        # ALL rings (every part's exterior + holes).  Membership for
+        # multi-part / holed geometries is even-odd parity over the union
+        # of ring edges — exactly correct for valid (Multi)Polygons.
+        T.StructField("rings_x", T.ArrayType(T.ArrayType(T.DoubleType())), False),
+        T.StructField("rings_y", T.ArrayType(T.ArrayType(T.DoubleType())), False),
         T.StructField("xmin", T.DoubleType(), False),
         T.StructField("ymin", T.DoubleType(), False),
         T.StructField("xmax", T.DoubleType(), False),
         T.StructField("ymax", T.DoubleType(), False),
+        # single-ring convex only — gates the zero-Python Catalyst PIP
         T.StructField("is_convex", T.BooleanType(), False),
     ]
 )
@@ -69,37 +83,265 @@ def _is_convex(xs: np.ndarray, ys: np.ndarray) -> bool:
     return bool(np.all(cross >= 0) or np.all(cross <= 0))
 
 
+# ---------------------------------------------------------------------------
+# WKT / WKB parsing (pure Python — no shapely/geos in the sandbox;
+# mirrors the reference's WKT round-trips, `eodal/mapper/feature.py:130-194`)
+# ---------------------------------------------------------------------------
+
+import re as _re
+import struct as _struct
+
+_WKT_HEAD = _re.compile(r"\s*(\w+)\s*(Z|M|ZM)?\s*(EMPTY|\()", _re.IGNORECASE)
+
+
+def _wkt_split_groups(body: str) -> list[str]:
+    """Split a parenthesized WKT body into its top-level (...) groups."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(body):
+        if ch == "(":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                groups.append(body[start:i])
+    return groups
+
+
+def _wkt_coords(text: str) -> list[tuple[float, float]]:
+    """Parse 'x y[ z[ m]], x y, ...' → [(x, y), ...] (z/m flattened,
+    ≡ the reference's 2-D flattening, `eodal/core/utils/geometry.py:106-136`)."""
+    pts = []
+    for tok in text.split(","):
+        parts = tok.split()
+        pts.append((float(parts[0]), float(parts[1])))
+    return pts
+
+
+def parse_wkt(wkt: str) -> tuple[str, list]:
+    """Parse a WKT string → (geom_type, coords).
+
+    geom_type is upper-case without the Z/M suffix.  coords nesting:
+      POINT        → [(x, y)]
+      MULTIPOINT   → [(x, y), ...]
+      LINESTRING   → [(x, y), ...]
+      POLYGON      → [ring, ...]           (ring = [(x, y), ...], first = exterior)
+      MULTIPOLYGON → [[ring, ...], ...]    (one ring-list per part)
+    Z/M ordinates are flattened away.  EMPTY → empty coords.
+    """
+    m = _WKT_HEAD.match(wkt)
+    if not m:
+        raise ValueError(f"unparseable WKT: {wkt[:60]!r}")
+    gtype = m.group(1).upper()
+    if m.group(3).upper() == "EMPTY":
+        return gtype, []
+    body = wkt[m.end() - 1 :]  # from the opening paren
+    inner = _wkt_split_groups(body)[0]
+    if gtype == "POINT":
+        return gtype, _wkt_coords(inner)
+    if gtype == "LINESTRING":
+        return gtype, _wkt_coords(inner)
+    if gtype == "MULTIPOINT":
+        # both "((1 2), (3 4))" and "(1 2, 3 4)" forms
+        if "(" in inner:
+            return gtype, [
+                _wkt_coords(g)[0] for g in _wkt_split_groups(inner)
+            ]
+        return gtype, _wkt_coords(inner)
+    if gtype == "POLYGON":
+        return gtype, [_wkt_coords(g) for g in _wkt_split_groups(inner)]
+    if gtype == "MULTIPOLYGON":
+        return gtype, [
+            [_wkt_coords(g) for g in _wkt_split_groups(part)]
+            for part in _wkt_split_groups(inner)
+        ]
+    raise ValueError(f"unsupported WKT type: {gtype}")
+
+
+def to_wkt(gtype: str, coords: list) -> str:
+    """Inverse of `parse_wkt` for POINT/MULTIPOINT/POLYGON/MULTIPOLYGON."""
+
+    def _pt(p):
+        return f"{p[0]:g} {p[1]:g}"
+
+    def _ring(r):
+        pts = list(r)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])  # WKT rings are closed
+        return "(" + ", ".join(_pt(p) for p in pts) + ")"
+
+    gtype = gtype.upper()
+    if gtype == "POINT":
+        return f"POINT ({_pt(coords[0])})"
+    if gtype == "MULTIPOINT":
+        return "MULTIPOINT (" + ", ".join(f"({_pt(p)})" for p in coords) + ")"
+    if gtype == "POLYGON":
+        return "POLYGON (" + ", ".join(_ring(r) for r in coords) + ")"
+    if gtype == "MULTIPOLYGON":
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(
+                "(" + ", ".join(_ring(r) for r in part) + ")" for part in coords
+            )
+            + ")"
+        )
+    raise ValueError(f"unsupported WKT type: {gtype}")
+
+
+# WKB geometry-type codes (OGC); Z/M encoded as +1000/+2000 (ISO) or the
+# EWKB 0x80000000/0x40000000 flag bits — both accepted, ordinates dropped.
+_WKB_NAMES = {1: "POINT", 2: "LINESTRING", 3: "POLYGON",
+              4: "MULTIPOINT", 5: "MULTILINESTRING", 6: "MULTIPOLYGON"}
+
+
+def parse_wkb(buf: bytes) -> tuple[str, list]:
+    """Parse WKB/EWKB bytes → (geom_type, coords) with `parse_wkt` nesting."""
+
+    def rd(off):
+        bo = "<" if buf[off] == 1 else ">"
+        code = _struct.unpack_from(bo + "I", buf, off + 1)[0]
+        ndim = 2
+        if code & 0x80000000:
+            ndim += 1
+        if code & 0x40000000:
+            ndim += 1
+        if code & 0x20000000:  # EWKB SRID flag
+            srid_skip = 4
+        else:
+            srid_skip = 0
+        base = code & 0xFF
+        if code & ~0xE0000000 >= 1000:  # ISO Z/M offsets
+            iso = (code & ~0xE0000000)
+            base = iso % 1000
+            ndim = 2 + (iso // 1000 in (1, 3)) + (iso // 1000 in (2, 3))
+        off = off + 5 + srid_skip
+        return bo, base, ndim, off
+
+    def rd_pts(bo, ndim, off, n):
+        vals = _struct.unpack_from(bo + "d" * (ndim * n), buf, off)
+        pts = [(vals[i * ndim], vals[i * ndim + 1]) for i in range(n)]
+        return pts, off + 8 * ndim * n
+
+    def rd_geom(off):
+        bo, base, ndim, off = rd(off)
+        name = _WKB_NAMES.get(base)
+        if name == "POINT":
+            pts, off = rd_pts(bo, ndim, off, 1)
+            return name, pts, off
+        if name == "LINESTRING":
+            n = _struct.unpack_from(bo + "I", buf, off)[0]
+            pts, off = rd_pts(bo, ndim, off + 4, n)
+            return name, pts, off
+        if name == "POLYGON":
+            nring = _struct.unpack_from(bo + "I", buf, off)[0]
+            off += 4
+            rings = []
+            for _ in range(nring):
+                n = _struct.unpack_from(bo + "I", buf, off)[0]
+                pts, off = rd_pts(bo, ndim, off + 4, n)
+                rings.append(pts)
+            return name, rings, off
+        if name in ("MULTIPOINT", "MULTILINESTRING", "MULTIPOLYGON"):
+            n = _struct.unpack_from(bo + "I", buf, off)[0]
+            off += 4
+            parts = []
+            for _ in range(n):
+                _, coords, off = rd_geom(off)
+                parts.append(coords)
+            if name == "MULTIPOINT":
+                return name, [p[0] for p in parts], off
+            return name, parts, off
+        raise ValueError(f"unsupported WKB geometry code {base}")
+
+    name, coords, _ = rd_geom(0)
+    return name, coords
+
+
+def _as_parts(geom) -> list[list[list[tuple[float, float]]]]:
+    """Normalize any polygonal input to parts → rings → (x, y).
+
+    Accepts a WKT string, WKB bytes, a bare ring [(x, y), ...], a ring
+    list [exterior, hole, ...], or a full parts structure."""
+    if isinstance(geom, str):
+        gtype, coords = parse_wkt(geom)
+        if gtype == "POLYGON":
+            return [coords]
+        if gtype == "MULTIPOLYGON":
+            return coords
+        raise ValueError(f"not a polygonal WKT: {gtype}")
+    if isinstance(geom, (bytes, bytearray, memoryview)):
+        gtype, coords = parse_wkb(bytes(geom))
+        if gtype == "POLYGON":
+            return [coords]
+        if gtype == "MULTIPOLYGON":
+            return coords
+        raise ValueError(f"not a polygonal WKB: {gtype}")
+    seq = list(geom)
+    first = seq[0]
+    if isinstance(first[0], (int, float)):          # bare ring
+        return [[seq]]
+    if isinstance(first[0][0], (int, float)):       # [exterior, hole, ...]
+        return [seq]
+    return [list(p) for p in seq]                   # parts
+
+
+def _clean_ring(ring) -> tuple[np.ndarray, np.ndarray]:
+    """Drop z, strip the closing vertex, normalize to CCW."""
+    pts = [(float(p[0]), float(p[1])) for p in ring]
+    if pts[0] == pts[-1]:
+        pts = pts[:-1]
+    xs = np.array([p[0] for p in pts])
+    ys = np.array([p[1] for p in pts])
+    if _signed_area(xs, ys) < 0:
+        xs, ys = xs[::-1], ys[::-1]
+    return xs, ys
+
+
 def polygons_df(
     spark: SparkSession,
-    polys: Iterable[tuple[int, Sequence[tuple[float, float]]]],
+    polys: Iterable[tuple[int, object]],
     attrs: dict[int, dict] | None = None,
 ) -> DataFrame:
-    """Build a polygon-layer DataFrame from (poly_id, [(x, y), ...]) pairs.
+    """Build a polygon-layer DataFrame.
 
-    Rings are normalized to CCW and 3-D inputs flattened (≡ the
-    reference's 2-D flattening, `eodal/core/utils/geometry.py:106-136`).
-    This is a *dimension table* — small by construction, meant to be
-    broadcast (`F.broadcast`) into the page-side join.
+    Each entry is ``(poly_id, geom)`` where geom is a bare exterior ring
+    ``[(x, y), ...]`` (legacy form), a ring list ``[exterior, hole, ...]``,
+    a parts structure (MultiPolygon), a WKT string, or WKB bytes — holes
+    and multi-part geometries are first-class, matching the reference's
+    arbitrary-shapely handling (`eodal/mapper/feature.py:130-194`,
+    `eodal/core/band.py:1058-1072`).
+
+    Rings are CCW-normalized and 3-D inputs flattened (≡
+    `eodal/core/utils/geometry.py:106-136`).  This is a *dimension
+    table* — small by construction, meant to be broadcast
+    (`F.broadcast`) into the page-side join.
     """
     rows = []
-    for poly_id, ring in polys:
-        pts = [(float(p[0]), float(p[1])) for p in ring]  # drop z if present
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        xs = np.array([p[0] for p in pts])
-        ys = np.array([p[1] for p in pts])
-        if _signed_area(xs, ys) < 0:  # normalize to CCW
-            xs, ys = xs[::-1], ys[::-1]
+    for poly_id, geom in polys:
+        parts = _as_parts(geom)
+        rings_x, rings_y = [], []
+        for part in parts:
+            for ring in part:
+                xs, ys = _clean_ring(ring)
+                rings_x.append(xs)
+                rings_y.append(ys)
+        ext_x, ext_y = rings_x[0], rings_y[0]
+        all_x = np.concatenate(rings_x)
+        all_y = np.concatenate(rings_y)
+        convex = len(rings_x) == 1 and _is_convex(ext_x, ext_y)
         rows.append(
             (
                 int(poly_id),
-                xs.tolist(),
-                ys.tolist(),
-                float(xs.min()),
-                float(ys.min()),
-                float(xs.max()),
-                float(ys.max()),
-                _is_convex(xs, ys),
+                ext_x.tolist(),
+                ext_y.tolist(),
+                [r.tolist() for r in rings_x],
+                [r.tolist() for r in rings_y],
+                float(all_x.min()),
+                float(all_y.min()),
+                float(all_x.max()),
+                float(all_y.max()),
+                convex,
             )
         )
     df = spark.createDataFrame(rows, POLY_SCHEMA)
@@ -213,6 +455,105 @@ def np_pip_even_odd(
     return inside
 
 
+def pip_even_odd_rings(
+    px: Column, py: Column, rings_x: Column, rings_y: Column
+) -> Column:
+    """Multi-ring even-odd PIP as a **native Column expression** — the
+    concave/holed/multi-part twin of `pip_convex`: crossing-parity over
+    every edge of every ring, entirely Catalyst (nested higher-order
+    aggregates) → whole-stage codegen, zero Python in the refine stage.
+
+    Identical float op order to `np_pip_even_odd` (edge = current i,
+    previous j; ``xint = (xj - xi) * (py - yi) / (yj - yi) + xi``) so the
+    numpy oracle and the DuckDB SQL twin agree bit-for-bit."""
+
+    def ring_crossings(racc: Column, r: Column) -> Column:
+        x = F.element_at(rings_x, r)
+        y = F.element_at(rings_y, r)
+        n = F.size(x)
+
+        def edge(acc: Column, i: Column) -> Column:
+            j = F.when(i == 1, n).otherwise(i - 1)
+            ix, iy = F.element_at(x, i), F.element_at(y, i)
+            jx, jy = F.element_at(x, j), F.element_at(y, j)
+            cond = ((iy > py) != (jy > py)) & (
+                px < (jx - ix) * (py - iy) / (jy - iy) + ix
+            )
+            return acc + F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+        return racc + F.aggregate(F.sequence(F.lit(1), n), F.lit(0), edge)
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), F.size(rings_x)), F.lit(0), ring_crossings
+    )
+    return F.pmod(total, F.lit(2)) == F.lit(1)
+
+
+def np_pip_even_odd_rings(
+    px: np.ndarray, py: np.ndarray, rings_x: Sequence, rings_y: Sequence
+) -> np.ndarray:
+    """Even-odd PIP over a set of rings (all parts' exteriors + holes).
+
+    XOR of per-ring parity ≡ even-odd over the union of edges — exactly
+    correct membership for valid holed Polygons and MultiPolygons (the
+    reference delegates this to shapely/rasterio geometry handling,
+    `eodal/core/band.py:1058-1072`)."""
+    inside = np.zeros(np.asarray(px).shape, dtype=bool)
+    for rx, ry in zip(rings_x, rings_y):
+        inside ^= np_pip_even_odd(
+            px, py, np.asarray(rx, dtype=np.float64), np.asarray(ry, dtype=np.float64)
+        )
+    return inside
+
+
+def sql_pip_even_odd_rings(
+    px: str, py: str, rings_x: str, rings_y: str, dialect: str
+) -> str:
+    """Multi-ring even-odd PIP as SQL (Spark and DuckDB dialects).
+
+    Counts ray crossings over every edge of every ring; odd total parity
+    = inside.  The crossing test uses the *identical float op order* as
+    `np_pip_even_odd` — edge (current i, previous j),
+    ``xint = (xj - xi) * (py - yi) / (yj - yi) + xi`` — so the numpy
+    refinement UDF, this Spark expression and the DuckDB oracle agree
+    bit-for-bit (IEEE doubles, same ops, same order)."""
+    if dialect == "spark":
+        rx, ry = rings_x, rings_y
+        # per-ring arrays bound via nested lambdas; j = previous vertex
+        x = f"element_at({rx}, r)"
+        y = f"element_at({ry}, r)"
+        jx = f"element_at({x}, IF(i = 1, size({x}), i - 1))"
+        jy = f"element_at({y}, IF(i = 1, size({x}), i - 1))"
+        ix = f"element_at({x}, i)"
+        iy = f"element_at({y}, i)"
+        edge = (
+            f"CASE WHEN (({iy} > {py}) != ({jy} > {py})) "
+            f"AND {px} < ({jx} - {ix}) * ({py} - {iy}) / ({jy} - {iy}) + {ix} "
+            f"THEN 1L ELSE 0L END"
+        )
+        return (
+            f"pmod(aggregate(sequence(1, size({rx})), 0L, (racc, r) -> racc + "
+            f"aggregate(sequence(1, size({x})), 0L, (acc, i) -> acc + ({edge}))"
+            f"), 2) = 1"
+        )
+    if dialect == "duckdb":
+        rx, ry = rings_x, rings_y
+        edge = (
+            f"CASE WHEN (({ry}[r][i] > {py}) != "
+            f"({ry}[r][CASE WHEN i = 1 THEN len({rx}[r]) ELSE i - 1 END] > {py})) "
+            f"AND {px} < ({rx}[r][CASE WHEN i = 1 THEN len({rx}[r]) ELSE i - 1 END] - {rx}[r][i]) "
+            f"* ({py} - {ry}[r][i]) "
+            f"/ ({ry}[r][CASE WHEN i = 1 THEN len({rx}[r]) ELSE i - 1 END] - {ry}[r][i]) "
+            f"+ {rx}[r][i] THEN 1 ELSE 0 END"
+        )
+        return (
+            f"list_aggregate(list_transform(generate_series(1, len({rx})), r -> "
+            f"list_aggregate(list_transform(generate_series(1, len({rx}[r])), i -> {edge}), 'sum')"
+            f"), 'sum') % 2 = 1"
+        )
+    raise ValueError(dialect)
+
+
 # ---------------------------------------------------------------------------
 # Polygon → covering cells (the broadcast pre-filter)
 # ---------------------------------------------------------------------------
@@ -253,7 +594,9 @@ def _cover_one(row, res: int, mode: str):
             for sy in (-half_y, half_y):
                 full &= np_pip_convex(clon + sx, clat + sy, xs, ys)
     else:
-        centroid_in = np_pip_even_odd(clon, clat, xs, ys)
+        # concave / holed / multi-part: even-odd parity over all rings;
+        # no full-cell shortcut (a hole could sit entirely inside a cell)
+        centroid_in = np_pip_even_odd_rings(clon, clat, row.rings_x, row.rings_y)
         full = np.zeros(gx.shape, dtype=bool)
     keep = centroid_in if mode == "centroid" else np.ones(gx.shape, dtype=bool)
     cell = (np.int64(res) << 58) | (gx[keep] << 29) | gy[keep]
@@ -297,7 +640,10 @@ def polygon_cover_cells(
             T.StructField("full", T.BooleanType(), False),
         ]
     )
-    cols = ["poly_id", "xs", "ys", "xmin", "ymin", "xmax", "ymax", "is_convex"]
+    cols = [
+        "poly_id", "xs", "ys", "rings_x", "rings_y",
+        "xmin", "ymin", "xmax", "ymax", "is_convex",
+    ]
 
     if distributed is None:
         distributed = polys.count() > DRIVER_COVER_MAX_POLYS

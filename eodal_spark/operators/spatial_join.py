@@ -11,9 +11,12 @@ declared-but-unimplemented ``RasterCollection.join`` stub
    on ``cell_id`` with a plain equi-join (broadcast-hash, no shuffle of
    the big side);
 2. **refine stage** (exact mode only) — rows in boundary cells get an
-   exact point-in-polygon test: native Catalyst expression for convex
-   rings, Arrow-batched numpy ray-casting for concave ones.  Rows in
-   *full* cells (cell ⊆ polygon) skip refinement entirely.
+   exact point-in-polygon test, single-pass and fully native: convex
+   rings use the Catalyst min-cross expression, concave / holed /
+   multi-part geometries use even-odd crossing parity over all rings
+   (`geometry.pip_even_odd_rings`, also Catalyst).  Rows in *full*
+   cells (cell ⊆ polygon) skip refinement entirely.  No Python stage
+   anywhere in the join.
 
 Membership rules:
 
@@ -33,40 +36,10 @@ aggregation skew.
 
 from __future__ import annotations
 
-from typing import Iterator
-
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from eodal_spark import geometry
-
-
-def _pip_concave_udf():
-    """Arrow-batched even-odd PIP for concave rings.
-
-    Vectorized per distinct polygon within each batch — never per-row
-    Python (input_hint hard rule)."""
-
-    @F.pandas_udf(T.BooleanType())
-    def pip(
-        px: pd.Series, py: pd.Series, pid: pd.Series, xs: pd.Series, ys: pd.Series
-    ) -> pd.Series:
-        out = np.zeros(len(px), dtype=bool)
-        pxv = px.to_numpy(np.float64)
-        pyv = py.to_numpy(np.float64)
-        pidv = pid.to_numpy()
-        for p in np.unique(pidv):
-            m = pidv == p
-            i = int(np.argmax(m))
-            ring_x = np.asarray(xs.iloc[i], dtype=np.float64)
-            ring_y = np.asarray(ys.iloc[i], dtype=np.float64)
-            out[m] = geometry.np_pip_even_odd(pxv[m], pyv[m], ring_x, ring_y)
-        return pd.Series(out)
-
-    return pip
 
 
 def spatial_join(
@@ -114,25 +87,34 @@ def spatial_join(
     if rule != "exact":
         raise ValueError(rule)
 
+    # Single-pass refinement: ONE scan of the pages side, one broadcast
+    # join, one conditional filter — no unions (which would re-evaluate
+    # the candidate join per branch).  Full cells (cell ⊆ polygon) skip
+    # PIP; convex rings use the boundary-inclusive min-cross expression;
+    # concave / holed / multi-part geometries use even-odd parity over
+    # all rings.  Every branch is a native Catalyst expression → the
+    # whole refine stage is whole-stage codegen, zero Python.
     cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
-    ring = polys.select("poly_id", "xs", "ys", "is_convex")
+    ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")
     cover = cover.join(ring, "poly_id").withColumnRenamed("cell_id", "_join_cell")
     cand = pages_geo.join(F.broadcast(cover), "_join_cell", "inner")
 
-    full = cand.filter(F.col("full"))
-    part_cvx = cand.filter(~F.col("full") & F.col("is_convex")).filter(
-        geometry.pip_convex(F.col("lon"), F.col("lat"), F.col("xs"), F.col("ys"))
-    )
-    pip = _pip_concave_udf()
-    part_ccv = cand.filter(~F.col("full") & ~F.col("is_convex")).filter(
-        pip(F.col("lon"), F.col("lat"), F.col("poly_id"), F.col("xs"), F.col("ys"))
+    lon, lat = F.col("lon"), F.col("lat")
+    keep = (
+        F.col("full")
+        | (
+            F.col("is_convex")
+            & geometry.pip_convex(lon, lat, F.col("xs"), F.col("ys"))
+        )
+        | (
+            ~F.col("is_convex")
+            & geometry.pip_even_odd_rings(
+                lon, lat, F.col("rings_x"), F.col("rings_y")
+            )
+        )
     )
     out_cols = [F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols]
-    return (
-        full.select(*out_cols)
-        .unionByName(part_cvx.select(*out_cols))
-        .unionByName(part_ccv.select(*out_cols))
-    )
+    return cand.filter(keep).select(*out_cols)
 
 
 def sample_points(

@@ -129,3 +129,155 @@ def test_cover_cells_size_guard(spark):
     )
     with pytest.raises(Exception, match="coarser"):
         polygon_cover_cells(big, 16).count()
+
+
+# ---------------------------------------------------------------------------
+# Multi-ring geometry: WKT/WKB, holes, MultiPolygon
+# ---------------------------------------------------------------------------
+
+HOLED = [[(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)],
+         [(3.0, 3.0), (7.0, 3.0), (7.0, 7.0), (3.0, 7.0)]]
+MULTI = [[[(20.0, 0.0), (30.0, 0.0), (25.0, 8.0)]],
+         [[(40.0, 0.0), (50.0, 0.0), (45.0, 8.0), (42.0, 9.0)]]]
+
+
+def test_wkt_round_trip():
+    wkt = geometry.to_wkt("POLYGON", HOLED)
+    t, coords = geometry.parse_wkt(wkt)
+    assert t == "POLYGON"
+    assert len(coords) == 2 and coords[0][0] == (0.0, 0.0)
+    assert coords[0][0] == coords[0][-1]  # closed on the wire
+    mw = geometry.to_wkt("MULTIPOLYGON", MULTI)
+    t2, c2 = geometry.parse_wkt(mw)
+    assert t2 == "MULTIPOLYGON" and len(c2) == 2 and len(c2[1][0]) == 5
+    # Z flattening + EMPTY + point forms
+    assert geometry.parse_wkt("POINT Z (1 2 3)") == ("POINT", [(1.0, 2.0)])
+    assert geometry.parse_wkt("POLYGON EMPTY") == ("POLYGON", [])
+    assert geometry.parse_wkt("MULTIPOINT ((1 2), (3 4))")[1] == [(1.0, 2.0), (3.0, 4.0)]
+    assert geometry.parse_wkt("MULTIPOINT (1 2, 3 4)")[1] == [(1.0, 2.0), (3.0, 4.0)]
+
+
+def _wkb_polygon(rings, byteorder="<"):
+    import struct
+    bo = 1 if byteorder == "<" else 0
+    out = struct.pack(f"{byteorder}BI", bo, 3) + struct.pack(f"{byteorder}I", len(rings))
+    for r in rings:
+        pts = list(r) + [r[0]]
+        out += struct.pack(f"{byteorder}I", len(pts))
+        for x, y in pts:
+            out += struct.pack(f"{byteorder}dd", x, y)
+    return out
+
+
+def test_wkb_parse():
+    import struct
+    t, coords = geometry.parse_wkb(_wkb_polygon(HOLED))
+    assert t == "POLYGON" and len(coords) == 2
+    assert coords[1][0] == (3.0, 3.0)
+    # big-endian too
+    t, coords = geometry.parse_wkb(_wkb_polygon(HOLED, ">"))
+    assert t == "POLYGON" and coords[0][1] == (10.0, 0.0)
+    # MULTIPOLYGON = header + nested polygon WKBs
+    mp = struct.pack("<BII", 1, 6, 2) + _wkb_polygon(MULTI[0]) + _wkb_polygon(MULTI[1])
+    t, coords = geometry.parse_wkb(mp)
+    assert t == "MULTIPOLYGON" and len(coords) == 2 and len(coords[1][0]) == 5
+
+
+def test_pip_even_odd_rings_semantics():
+    rx = [[p[0] for p in r] for r in HOLED]
+    ry = [[p[1] for p in r] for r in HOLED]
+    px = np.array([5.0, 1.0, 5.0, 11.0])   # hole, band, hole, outside
+    py = np.array([5.0, 5.0, 1.0, 5.0])
+    got = geometry.np_pip_even_odd_rings(px, py, rx, ry)
+    assert got.tolist() == [False, True, True, False]
+    # multipolygon: inside part 1, inside part 2, between parts
+    rx2 = [[p[0] for p in part[0]] for part in MULTI]
+    ry2 = [[p[1] for p in part[0]] for part in MULTI]
+    got2 = geometry.np_pip_even_odd_rings(
+        np.array([25.0, 45.0, 35.0]), np.array([2.0, 2.0, 2.0]), rx2, ry2
+    )
+    assert got2.tolist() == [True, True, False]
+
+
+def test_pip_even_odd_rings_three_engines(spark):
+    """Native Column, numpy kernel and DuckDB SQL must agree bit-for-bit."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    px = rng.uniform(-5.0, 55.0, 2000)
+    py = rng.uniform(-5.0, 15.0, 2000)
+    polys = geometry.polygons_df(
+        spark,
+        [(1, geometry.to_wkt("POLYGON", HOLED)),
+         (2, geometry.to_wkt("MULTIPOLYGON", MULTI))],
+    )
+    con = duckdb.connect()
+    con.register("pts", pd.DataFrame({"px": px, "py": py}))
+    pts = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(px, py)], "px double, py double"
+    )
+    for row in polys.collect():
+        rx = [list(r) for r in row.rings_x]
+        ry = [list(r) for r in row.rings_y]
+        expect = geometry.np_pip_even_odd_rings(px, py, rx, ry)
+        assert expect.sum() > 100  # non-trivial fixture
+        got = np.array(
+            [r[0] for r in pts.select(
+                geometry.pip_even_odd_rings(
+                    F.col("px"), F.col("py"), F.lit(rx), F.lit(ry))
+            ).collect()]
+        )
+        assert (got == expect).all()
+        pred = geometry.sql_pip_even_odd_rings(
+            "p.px", "p.py",
+            f"CAST({rx} AS DOUBLE[][])", f"CAST({ry} AS DOUBLE[][])", "duckdb")
+        duck = con.execute(f"SELECT {pred} FROM pts p").df().iloc[:, 0].to_numpy()
+        assert (duck == expect).all()
+
+
+def test_polygons_df_accepts_all_forms(spark):
+    ring = [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0)]
+    forms = [
+        (1, ring),                                   # bare ring (legacy)
+        (2, HOLED),                                  # [exterior, hole]
+        (3, MULTI),                                  # parts
+        (4, geometry.to_wkt("POLYGON", HOLED)),      # WKT
+        (5, _wkb_polygon(HOLED)),                    # WKB
+    ]
+    pdf = geometry.polygons_df(spark, forms).toPandas().set_index("poly_id")
+    assert pdf.loc[1, "is_convex"] and len(pdf.loc[1, "rings_x"]) == 1
+    assert not pdf.loc[2, "is_convex"] and len(pdf.loc[2, "rings_x"]) == 2
+    assert len(pdf.loc[3, "rings_x"]) == 2 and pdf.loc[3, "xmax"] == 50.0
+    assert list(pdf.loc[4, "rings_x"][1]) == list(pdf.loc[5, "rings_x"][1])
+
+
+def test_spatial_join_exact_holed_and_multi(spark):
+    """Exact spatial join against holed + multi-part layer matches the
+    numpy oracle point-for-point (and excludes hole interiors)."""
+    from eodal_spark import grid as GR
+    from eodal_spark.operators import spatial_join as SJ
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-10.0, 55.0, 3000)
+    lat = rng.uniform(-10.0, 15.0, 3000)
+    res = 8
+    pages = spark.createDataFrame(
+        [(i, float(a), float(b)) for i, (a, b) in enumerate(zip(lon, lat))],
+        "url long, lon double, lat double",
+    ).withColumn("cell_id", GR.cell_encode("lon", "lat", res))
+    polys = geometry.polygons_df(
+        spark,
+        [(1, geometry.to_wkt("POLYGON", HOLED)),
+         (2, geometry.to_wkt("MULTIPOLYGON", MULTI))],
+    )
+    got = (
+        SJ.spatial_join(pages, polys, res, rule="exact")
+        .select("poly_id", "url").toPandas()
+    )
+    for pid, geom in [(1, HOLED), (2, [p[0] for p in MULTI])]:
+        rx = [[p[0] for p in r] for r in geom]
+        ry = [[p[1] for p in r] for r in geom]
+        expect = set(np.nonzero(geometry.np_pip_even_odd_rings(lon, lat, rx, ry))[0].tolist())
+        have = set(got[got["poly_id"] == pid]["url"].tolist())
+        assert have == expect, f"poly {pid}: {len(have ^ expect)} diffs"
