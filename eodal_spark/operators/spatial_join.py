@@ -96,7 +96,11 @@ def spatial_join(
     # whole refine stage is whole-stage codegen, zero Python.
     cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
     ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")
-    cover = cover.join(ring, "poly_id").withColumnRenamed("cell_id", "_join_cell")
+    # dim × dim: broadcast the per-polygon ring row so the cover join
+    # never sorts/shuffles (it's |polys| rows against |cover| rows)
+    cover = cover.join(F.broadcast(ring), "poly_id").withColumnRenamed(
+        "cell_id", "_join_cell"
+    )
     cand = pages_geo.join(F.broadcast(cover), "_join_cell", "inner")
 
     lon, lat = F.col("lon"), F.col("lat")

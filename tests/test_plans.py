@@ -95,3 +95,19 @@ def test_knn_pages_side_not_shuffled(spark, pages_parquet):
     out = K.knn(q, geo, E.RES, k=3)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan  # ring side broadcast, pages probe
+
+
+def test_exact_spatial_join_single_pass_no_python(spark, pages_parquet):
+    """Exact-rule refine is single-pass: ONE scan of the pages side,
+    one broadcast join, no unions, and zero Python stages (convex
+    min-cross + even-odd rings are both native Catalyst)."""
+    geo = P.geocode(spark.read.parquet(pages_parquet), E.RES)
+    polys = E.geometry.polygons_df(spark, E.HOLED_POLYS + [(9, E.PAGE_POLYS[0][1])])
+    j = SJ.spatial_join(geo, polys, E.JOIN_RES, rule="exact", page_res=E.RES)
+    plan = _plan(j)
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert len(scans) == 1, scans                    # pages scanned once
+    assert "Union" not in plan                       # no 3-branch union
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan                    # refine is 100% JVM
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
