@@ -690,11 +690,30 @@ def _q_docs_simhash_pairs(spark, sf_dir):
     return D.simhash_near_pairs(sigs, max_hamming=10)
 
 
+# emb_near_dup: planted near-duplicates are *scaled* copies (×1.001) —
+# positive scaling provably preserves every SRP sign, so bucket collision
+# (100% recall) is guaranteed and the query is deterministic.  Threshold
+# 1e10 sits 2 decades above the planted q7 distance (~1e8) and 3 below
+# the closest natural pair (~8e13 at sf0.01/0.1) — measured margins.
+NEAR_DUP_THRESHOLD = 10_000_000_000
+NEAR_DUP_PLANT = 50        # vec_id < 50 get a planted near-copy
+NEAR_DUP_ID_OFFSET = 1_000_000
+
+
 def _q_emb_near_dup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planted = emb.filter(F.col("vec_id") < NEAR_DUP_PLANT).select(
+        (F.col("vec_id") + NEAR_DUP_ID_OFFSET).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+    )
+    uni = emb.select("vec_id", "embedding").unionByName(planted)
     dim = len(emb.select("embedding").first()[0])
-    out = SIM.embedding_near_dup_pairs(emb, sqdist_threshold=0.5, dim=dim)
-    return out.select("id_a", "id_b", F.col("sqdist").cast("double").alias("sqdist_d"))
+    out = SIM.embedding_near_dup_pairs(
+        uni, sqdist_threshold=NEAR_DUP_THRESHOLD, dim=dim, n_tables=4
+    )
+    return out.select("id_a", "id_b", "sqdist")
 
 
 def _q_emb_ivf_topk(spark, sf_dir):
@@ -762,11 +781,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lang_id": _q_docs_lang_id,
         "docs_fingerprint": _q_docs_fingerprint,
         "emb_l2_topk": _q_emb_l2_topk,
+        "emb_near_dup": _q_emb_near_dup,
         "multimodal_bytes": _q_multimodal_bytes,
         # probabilistic / non-SQL-expressible (rows-only)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "emb_near_dup": _q_emb_near_dup,
         "emb_ivf_topk": _q_emb_ivf_topk,
         "emb_ann_srp": _q_emb_ann_srp,
     }
@@ -1052,6 +1071,29 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sqdist, e.vec_id) AS rank
               FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
             ) WHERE rank <= 10
+        """,
+        "emb_near_dup": f"""
+            WITH uni AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + {NEAR_DUP_ID_OFFSET} AS vec_id,
+                     list_transform(embedding,
+                       x -> CAST(CAST(x AS DOUBLE) * CAST(1.001 AS DOUBLE) AS FLOAT)) AS embedding
+              FROM embeddings WHERE vec_id < {NEAR_DUP_PLANT}
+            ),
+            q AS (
+              SELECT vec_id,
+                     list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qv
+              FROM uni
+            )
+            SELECT id_a, id_b, sqdist FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_aggregate(list_transform(generate_series(1, len(a.qv)),
+                       i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum')::BIGINT AS sqdist
+              FROM q a, q b
+              WHERE a.vec_id < b.vec_id
+            ) WHERE sqdist <= {NEAR_DUP_THRESHOLD}
         """,
         "multimodal_bytes": """
             SELECT doc_id,

@@ -176,8 +176,17 @@ def ivf_train_centroids(
     """Coarse quantizer for IVF: k-means on a driver-side sample
     (Lloyd's, numpy).  At 10^12 scale the sample is still tiny — the
     quantizer is a model artifact, not a data pass."""
-    rows = corpus.select("embedding").limit(sample).collect()
+    # deterministic sample: top-`sample` by vec_id runs as
+    # TakeOrderedAndProject (per-partition top-k + merge, no full sort),
+    # unlike bare limit() whose rows depend on partition layout
+    rows = (
+        corpus.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(sample)
+        .collect()
+    )
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    n_centroids = min(n_centroids, len(m))  # tiny corpora: one list per row
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), n_centroids, replace=False)]
     for _ in range(iters):
@@ -229,9 +238,17 @@ def ivf_topk(
         for c in np.argsort(d)[:n_probe]:
             probe_rows.append((r["query_id"], list(r["qvec"]), int(c)))
     spark = queries.sparkSession
+    probe_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("qvec", T.ArrayType(T.FloatType()), False),
+            T.StructField("ivf_list", T.IntegerType(), False),
+        ]
+    )  # explicit schema: empty queries must not break inference
     probes = spark.createDataFrame(
-        probe_rows, ["query_id", "qvec", "ivf_list"]
-    ).withColumn("qvec", F.col("qvec").cast("array<float>"))
+        [(int(q), [float(v) for v in vec], c) for q, vec, c in probe_rows],
+        probe_schema,
+    )
 
     cand = bucketed.join(F.broadcast(probes), "ivf_list").withColumn(
         "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
@@ -241,31 +258,116 @@ def ivf_topk(
     )
 
 
+def _quantize_vec(c: Column) -> Column:
+    return F.transform(c, lambda x: _q7(x))
+
+
 def embedding_near_dup_pairs(
-    corpus: DataFrame, sqdist_threshold: float, dim: int, n_planes: int = 8,
+    corpus: DataFrame,
+    sqdist_threshold: float,
+    dim: int,
+    n_planes: int | None = None,
     n_tables: int = 4,
+    target_bucket_rows: int = 1024,
+    max_bucket_rows: int = 200_000,
+    guard: str = "raise",
+    collapse_exact: bool = True,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: SRP buckets → within-bucket pairs
-    → exact decimal distance filter. (id_a < id_b)."""
-    pairs = None
-    for t in range(n_tables):
-        b = srp_bucket_udf(dim, n_planes, seed=2000 + t)
-        bucketed = corpus.withColumn("bucket", b(F.col("embedding")))
-        p = (
-            bucketed.alias("a")
-            .join(bucketed.alias("b"), "bucket")
-            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+    """Embedding near-duplicate pairs (id_a < id_b, quantized-exact
+    ``sqdist``), engineered for 10^12-row corpora:
+
+    1. **exact-duplicate collapse** — vectors identical under q7
+       quantization group to one representative (min id); members pair
+       with their representative *linearly* (sqdist 0), never all-pairs.
+       This removes the classic skew killer (millions of identical
+       empty-doc embeddings landing in one SRP bucket — no number of
+       extra planes can split identical vectors).
+    2. **adaptive plane count** — ``n_planes`` defaults to
+       log2(|reps| / target_bucket_rows), so expected bucket size stays
+       ~``target_bucket_rows`` at any corpus size instead of the
+       quadratic blowup of a fixed 2^8 buckets.
+    3. **bucket-size guard** — like `geometry.polygon_cover_cells`'s
+       covering guard: guard="raise" fails fast with stats if any
+       (table, bucket) still exceeds ``max_bucket_rows``;
+       guard="skip" excludes oversized buckets from pairing (documented
+       recall loss) and keeps going.
+
+    All ``n_tables`` hash tables are computed in ONE corpus scan and
+    exploded to (table, bucket) rows; candidates shuffle once on the
+    (table, bucket) key; the exact q7 distance filter runs before
+    dropDuplicates so only true near-pairs are deduped."""
+    if collapse_exact:
+        qv = corpus.select(
+            "vec_id", "embedding", _quantize_vec(F.col("embedding")).alias("_q")
+        )
+        reps = qv.groupBy("_q").agg(
+            F.min("vec_id").alias("vec_id"),
+            F.min_by("embedding", "vec_id").alias("embedding"),
+        )
+        exact_pairs = (
+            qv.join(reps.select("_q", F.col("vec_id").alias("id_a")), "_q")
+            .filter(F.col("vec_id") != F.col("id_a"))
             .select(
-                F.col("a.vec_id").alias("id_a"),
-                F.col("b.vec_id").alias("id_b"),
-                F.col("a.embedding").alias("ea"),
-                F.col("b.embedding").alias("eb"),
+                "id_a",
+                F.col("vec_id").alias("id_b"),
+                F.lit(0).cast("long").alias("sqdist"),
             )
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"]).withColumn(
-        "sqdist", l2_sqdist_decimal(F.col("ea"), F.col("eb"))
+        base = reps.select("vec_id", "embedding")
+    else:
+        exact_pairs = None
+        base = corpus.select("vec_id", "embedding")
+
+    if n_planes is None:
+        n_rows = base.count()  # one cheap agg; sizes the bucket space
+        n_planes = max(4, int(np.ceil(np.log2(max(n_rows / target_bucket_rows, 2.0)))))
+
+    # one scan: every table's bucket id as a column, then explode
+    tables = [
+        srp_bucket_udf(dim, n_planes, seed=2000 + t)(F.col("embedding")).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    stacked = base.select("vec_id", "embedding", *tables).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
+                for t in range(n_tables)
+            ])
+        ).alias("_tb"),
+    ).select("vec_id", "embedding", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"))
+
+    sizes = stacked.groupBy("tbl", "bucket").count()
+    if guard == "raise":
+        top = sizes.orderBy(F.desc("count")).first()
+        if top is not None and top["count"] > max_bucket_rows:
+            raise ValueError(
+                f"SRP bucket (table {top['tbl']}, bucket {top['bucket']}) has "
+                f"{top['count']:,} rows (> {max_bucket_rows:,}); raise n_planes "
+                f"(got {n_planes}), lower target_bucket_rows, or enable "
+                f"collapse_exact if the corpus has identical vectors"
+            )
+        ok = stacked
+    elif guard == "skip":
+        keep = sizes.filter(F.col("count") <= max_bucket_rows).drop("count")
+        ok = stacked.join(F.broadcast(keep), ["tbl", "bucket"])
+    else:
+        raise ValueError(guard)
+
+    pairs = (
+        ok.alias("a")
+        .join(ok.alias("b"), ["tbl", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("sqdist", l2_sqdist_q7(F.col("a.embedding"), F.col("b.embedding")))
+        .filter(F.col("sqdist") <= F.lit(sqdist_threshold))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            "sqdist",
+        )
+        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs.filter(F.col("sqdist") <= F.lit(sqdist_threshold)).select(
-        "id_a", "id_b", "sqdist"
-    )
+    if exact_pairs is not None:
+        pairs = pairs.unionByName(exact_pairs)
+    return pairs

@@ -103,3 +103,75 @@ def test_ivf_topk_recall(spark, corpus, queries):
     for r in approx:
         if (r["query_id"], r["vec_id"]) in ed:
             assert ed[(r["query_id"], r["vec_id"])] == r["sqdist"]
+
+
+def test_near_dup_bucket_guard_raises(spark, corpus):
+    """Scale guard: a fat SRP bucket fails fast with actionable stats
+    (the polygon_cover_cells covering-guard pattern), never a silent
+    quadratic self-join."""
+    dim = len(corpus.first()["embedding"])
+    with pytest.raises(ValueError, match="n_planes"):
+        S.embedding_near_dup_pairs(
+            corpus.select("vec_id", "embedding"), sqdist_threshold=1,
+            dim=dim, n_planes=2, max_bucket_rows=50, collapse_exact=False,
+        )
+
+
+def test_near_dup_guard_skip_keeps_running(spark, corpus):
+    """guard="skip" drops oversized buckets (documented recall loss) but
+    exact-duplicate pairs survive — they bypass bucketing entirely."""
+    dups = corpus.limit(3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = corpus.select("vec_id", "embedding").unionByName(dups)
+    dim = len(corpus.first()["embedding"])
+    pairs = S.embedding_near_dup_pairs(
+        aug, sqdist_threshold=1, dim=dim,
+        n_planes=2, max_bucket_rows=50, guard="skip",
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    for r in corpus.limit(3).collect():
+        assert (r["vec_id"], r["vec_id"] + 100000) in got
+
+
+def test_near_dup_exact_collapse_absorbs_skew(spark, corpus):
+    """200 identical vectors would be an unsplittable hot bucket (no
+    number of SRP planes separates identical vectors); the exact-dup
+    collapse removes them from bucketing, so the guard stays quiet and
+    every member still pairs with its representative."""
+    one = corpus.orderBy("vec_id").first()
+    clones = spark.range(1000, 1200).select(
+        F.col("id").alias("vec_id"),
+        F.lit(one["embedding"]).cast("array<float>").alias("embedding"),
+    )
+    base = corpus.filter(F.col("vec_id") < 100).select("vec_id", "embedding")
+    aug = base.unionByName(clones)
+    dim = len(one["embedding"])
+    pairs = S.embedding_near_dup_pairs(
+        aug, sqdist_threshold=1, dim=dim,
+        n_planes=4, max_bucket_rows=120, guard="raise", collapse_exact=True,
+    ).collect()
+    rep = min(one["vec_id"], 1000)
+    member_pairs = {(r["id_a"], r["id_b"]) for r in pairs if r["sqdist"] == 0}
+    # every clone (and the original) maps to the single min-id representative
+    expected_members = {one["vec_id"], *range(1000, 1200)} - {rep}
+    assert {(rep, m) for m in expected_members} <= member_pairs
+
+
+def test_near_dup_adaptive_planes_and_recall(spark, corpus):
+    """n_planes=None sizes the bucket space from the corpus; planted
+    scaled near-copies (SRP-sign-invariant) are all recovered."""
+    planted = corpus.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x.cast("double") * F.lit(1.001)).cast("float")
+        ).alias("embedding"),
+    )
+    aug = corpus.select("vec_id", "embedding").unionByName(planted)
+    dim = len(corpus.first()["embedding"])
+    pairs = S.embedding_near_dup_pairs(
+        aug, sqdist_threshold=10_000_000_000, dim=dim,
+        n_planes=None, target_bucket_rows=16,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(v, v + 100000) for v in range(20)} <= got
