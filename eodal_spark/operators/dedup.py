@@ -121,8 +121,9 @@ def minhash_signatures(
     base = np.uint64(1099511628211)
     weights = np.empty(w, dtype=np.uint64)
     weights[0] = 1
-    for i in range(1, w):
-        weights[i] = weights[i - 1] * base
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash's modulus
+        for i in range(1, w):
+            weights[i] = weights[i - 1] * base
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -146,11 +147,44 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
 
 
-def _fnv1a(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode("utf-8"):
-        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h & 0x7FFFFFFFFFFFFFFF
+# polynomial token-hash parameters: FNV prime as the base (odd → has a
+# modular inverse mod 2^64, enabling the vectorized prefix trick below)
+_POLY_BASE = np.uint64(1099511628211)
+_POLY_INV = np.uint64(pow(1099511628211, -1, 1 << 64))
+
+
+def _token_hashes(arr: np.ndarray) -> np.ndarray:
+    """Polynomial hashes (mod 2^64) of the ASCII-whitespace-separated
+    tokens of one UTF-8 byte array — **fully vectorized**, zero
+    per-token Python.
+
+    Uses the prefix-product identity: with pw[k] = base^k and
+    S[k] = Σ_{j<k} byte_j·base^{-j} (both cumulative numpy ops under
+    uint64 wraparound), the hash of bytes [a, b) is
+    ``pw[b-1] · (S[b] - S[a]) = Σ byte_j · base^{b-1-j}`` — one gather
+    per token instead of a Python loop per token."""
+    is_tok = ~((arr == 32) | ((arr >= 9) & (arr <= 13)))
+    if not is_tok.any():
+        return np.empty(0, dtype=np.uint64)
+    d = np.diff(is_tok.astype(np.int8))
+    starts = np.nonzero(d == 1)[0] + 1
+    ends = np.nonzero(d == -1)[0] + 1
+    if is_tok[0]:
+        starts = np.concatenate(([0], starts))
+    if is_tok[-1]:
+        ends = np.concatenate((ends, [len(arr)]))
+    n = len(arr)
+    with np.errstate(over="ignore"):
+        pw = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n - 1, _POLY_BASE, dtype=np.uint64)))
+        )
+        ivp = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n - 1, _POLY_INV, dtype=np.uint64)))
+        )
+        s = np.concatenate(
+            ([np.uint64(0)], np.cumsum(arr.astype(np.uint64) * ivp))
+        )
+        return pw[ends - 1] * (s[ends] - s[starts])
 
 
 def minhash_lsh_candidates(
@@ -267,23 +301,27 @@ def minhash_dedup(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (Arrow-batched numpy)."""
+    """64-bit SimHash over ASCII-whitespace tokens (Arrow-batched).
+
+    Per document the token hashing is the vectorized prefix-product
+    polynomial hash (`_token_hashes`) and the bit votes are one
+    (tokens × bits) matrix op — the same zero-per-token-Python shape as
+    `minhash_signatures`."""
 
     @F.pandas_udf(T.LongType())
     def sig(texts: pd.Series) -> pd.Series:
         out = np.zeros(len(texts), dtype=np.int64)
+        shifts = np.arange(bits, dtype=np.uint64)
         for i, t in enumerate(texts):
-            toks = (t or "").split()
-            if not toks:
+            arr = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8)
+            hv = _token_hashes(arr)
+            if not len(hv):
                 continue
-            hv = np.fromiter((_fnv1a(tok) for tok in toks), dtype=np.uint64)
-            bitcols = ((hv[:, None] >> np.arange(bits, dtype=np.uint64)) & 1).astype(
-                np.int64
-            )
+            bitcols = ((hv[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
             votes = (2 * bitcols - 1).sum(axis=0)
-            word = np.uint64(0)
-            for bpos in np.nonzero(votes > 0)[0]:
-                word |= np.uint64(1) << np.uint64(bpos)
+            word = np.bitwise_or.reduce(
+                np.uint64(1) << shifts[votes > 0], initial=np.uint64(0)
+            )
             out[i] = np.int64(word & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pd.Series(out)
 
@@ -291,17 +329,26 @@ def simhash_signatures(
 
 
 def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs within Hamming distance via 4-block banding
-    (any pair ≤3 bits apart shares at least one of 4 16-bit blocks),
-    verified with native bit_count (Spark 3.5+)."""
+    """Candidate pairs within Hamming distance via block banding,
+    verified with native bit_count (Spark 3.5+).
+
+    The signature is split into ``max_hamming + 1`` near-equal bit
+    blocks — by pigeonhole, any pair ≤ max_hamming bits apart shares at
+    least one full block, so recall is GUARANTEED at the requested
+    radius (a fixed 4-block split only guarantees hamming ≤ 3)."""
+    n_blocks = min(max_hamming + 1, 64)
+    widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
+    offsets = np.concatenate(([0], np.cumsum(widths[:-1]))).tolist()
     blocks = sigs.select(
         "id",
         "simhash",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
+                    F.shiftrightunsigned("simhash", int(off)).bitwiseAND(
+                        F.lit((1 << wid) - 1)
+                    )
+                    for off, wid in zip(offsets, widths)
                 ]
             )
         ).alias("blk", "bval"),

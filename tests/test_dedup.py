@@ -79,3 +79,32 @@ def test_minhash_signature_determinism(planted):
     s2 = D.minhash_signatures(planted.repartition(13)).orderBy("id").collect()
     for a, b in zip(s1, s2):
         assert a["id"] == b["id"] and a["sig"] == b["sig"]
+
+
+def test_simhash_signature_determinism(planted):
+    s1 = D.simhash_signatures(planted).orderBy("id").collect()
+    s2 = D.simhash_signatures(planted.repartition(13)).orderBy("id").collect()
+    for a, b in zip(s1, s2):
+        assert a["id"] == b["id"] and a["simhash"] == b["simhash"]
+
+
+def test_simhash_banding_guarantees_radius(spark):
+    """Pigeonhole guarantee: with max_hamming+1 blocks, EVERY pair
+    within the requested radius is recalled — including pairs > 3 bits
+    apart, which the old fixed 4x16 banding only found by luck."""
+    from pyspark.sql import functions as F
+
+    base = 0x0123456789ABCDEF
+    rows = [(0, base)]
+    # flip k low bits spread across the word for k = 1..10
+    bitpos = [0, 7, 13, 22, 29, 35, 41, 48, 54, 60]
+    for k in range(1, 11):
+        v = base
+        for p in bitpos[:k]:
+            v ^= 1 << p
+        rows.append((k, v))
+    sigs = spark.createDataFrame(rows, "id long, simhash long")
+    pairs = D.simhash_near_pairs(sigs, max_hamming=10).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    for k in range(1, 11):
+        assert got.get((0, k)) == k, f"pair at hamming {k} missed"
