@@ -74,6 +74,7 @@ KNN_QUERIES = [  # (query_id, lat_centi, lon_centi)
     (3, 9000, 18000),
     (4, 500, 100),
     (5, 12570, 31970),
+    (6, 9000, 35995),  # lon ≈ +179.95: nearest pages wrap across ±180°
 ]
 
 SAMPLE_POINTS = [  # (id, lon, lat) — point sampling at JOIN_RES
@@ -898,7 +899,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, url, sqdist, rank FROM (
               SELECT q.query_id, p.url,
                      (p.lat_centi - q.q_lat) * (p.lat_centi - q.q_lat)
-                   + (p.lon_centi - q.q_lon) * (p.lon_centi - q.q_lon) AS sqdist,
+                   + least(abs(p.lon_centi - q.q_lon), 36000 - abs(p.lon_centi - q.q_lon))
+                   * least(abs(p.lon_centi - q.q_lon), 36000 - abs(p.lon_centi - q.q_lon)) AS sqdist,
                      row_number() OVER (PARTITION BY q.query_id
                                         ORDER BY sqdist, p.url) AS rank
               FROM {pages} p, ({knn_q}) q

@@ -39,8 +39,12 @@ def _ranked(cand: DataFrame, k: int) -> DataFrame:
 
 
 def _sqdist() -> F.Column:
+    # longitude wraps at ±180°: the ring explodes wrapped cells
+    # (grid.cell_ring pmods x), so the metric must wrap too or
+    # candidates pulled across the date line get inflated distances
     dlat = F.col("lat_centi") - F.col("q_lat_centi")
-    dlon = F.col("lon_centi") - F.col("q_lon_centi")
+    adlon = F.abs(F.col("lon_centi") - F.col("q_lon_centi"))
+    dlon = F.least(adlon, F.lit(36000) - adlon)
     return (dlat * dlat + dlon * dlon).cast("long")
 
 

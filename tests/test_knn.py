@@ -64,7 +64,8 @@ def test_knn_matches_duckdb_oracle(spark, queries):
         SELECT query_id, url, sqdist, rank FROM (
           SELECT q.query_id, p.url,
                  (p.lat_centi - q.q_lat) * (p.lat_centi - q.q_lat)
-               + (p.lon_centi - q.q_lon) * (p.lon_centi - q.q_lon) AS sqdist,
+               + least(abs(p.lon_centi - q.q_lon), 36000 - abs(p.lon_centi - q.q_lon))
+               * least(abs(p.lon_centi - q.q_lon), 36000 - abs(p.lon_centi - q.q_lon)) AS sqdist,
                  row_number() OVER (PARTITION BY q.query_id
                                     ORDER BY sqdist, p.url) AS rank
           FROM {P.sql_pages_subquery(n, "duckdb")} p, ({qsql}) q
@@ -79,3 +80,33 @@ def test_knn_matches_duckdb_oracle(spark, queries):
     )
     assert (got["url"].to_numpy() == expect["url"].to_numpy()).all()
     assert (got["sqdist"].to_numpy() == expect["sqdist"].to_numpy()).all()
+
+
+def test_knn_wraps_date_line(spark):
+    """A query at lon ≈ +179.99 must find pages just across ±180° as
+    nearest — wrapped dlon, not the 36000-centi-degree raw difference."""
+    from eodal_spark import grid as GR
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (url, lon_centi, lat_centi): two pages hugging the line's west
+        # side (lon ≈ -179.99 → lon_centi 1, 3), one far away eastward
+        (100, 1, 9000),
+        (101, 3, 9000),
+        (102, 30000, 9000),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "lon_centi", "lat_centi"])
+    pages = pages.withColumn(
+        "cell_id",
+        F.expr(GR.sql_cell_encode_centi("lon_centi", "lat_centi", RES, "spark")),
+    )
+    q = spark.createDataFrame([(1, 9000, 35999)], ["query_id", "lat_centi", "lon_centi"])
+    got = K.knn(q, pages, RES, k=2).orderBy("rank").collect()
+    assert [r["url"] for r in got] == [100, 101]
+    assert got[0]["sqdist"] == 2 * 2   # |35999-1| wraps to 2
+    assert got[1]["sqdist"] == 4 * 4
+    # brute path agrees
+    brute = K.knn_brute(q, pages, k=2).orderBy("rank").collect()
+    assert [(r["url"], r["sqdist"]) for r in got] == [
+        (r["url"], r["sqdist"]) for r in brute
+    ]
