@@ -590,17 +590,23 @@ def _q_indices_battery(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey",
         "l_linenumber",
-        F.col("l_quantity").alias("nir"),
-        (F.col("l_discount") * 10 + 0.1).alias("red"),
-        (F.col("l_tax") * 10 + 0.2).alias("green"),
+        F.col("l_quantity").cast("double").alias("nir"),
+        (F.col("l_discount").cast("double") * 10 + 0.1).alias("red"),
+        (F.col("l_tax").cast("double") * 10 + 0.2).alias("green"),
+        (F.col("l_extendedprice").cast("double") * 0.00001 + 0.05).alias("blue"),
+        ((F.col("l_partkey") % 100).cast("double") * 0.01 + 0.3).alias("rededge"),
+        ((F.col("l_suppkey") % 100).cast("double") * 0.01 + 0.4).alias("rededge3"),
+        (F.col("l_linenumber").cast("double") * 0.1 + 0.2).alias("swir"),
+        ((F.col("l_orderkey") % 7).cast("double") * 0.1 + 0.15).alias("swir2"),
     )
-    out = A.with_indices(
-        li, {"nir": "nir", "red": "red", "green": "green"},
-        "NDVI", "GNDVI", "NDWI", "CI_GREEN",
-    )
-    return out.select(
-        "l_orderkey", "l_linenumber", "ndvi", "gndvi", "ndwi", "ci_green"
-    )
+    bind = {
+        "nir": "nir", "red": "red", "green": "green", "blue": "blue",
+        "rededge": "rededge", "rededge3": "rededge3",
+        "swir": "swir", "swir2": "swir2", "vh": "green", "vv": "red",
+    }
+    names = A.list_indices()  # gate the FULL registry (16 indices)
+    out = A.with_indices(li, bind, *names)
+    return out.select("l_orderkey", "l_linenumber", *[n.lower() for n in names])
 
 
 def _q_filter_grammar(spark, sf_dir):
@@ -1143,15 +1149,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "indices_battery": """
             SELECT l_orderkey, l_linenumber,
-                   (nir - red) / NULLIF(nir + red, 0) AS ndvi,
+                   (swir + red - (nir + blue)) / NULLIF(swir + red + (nir + blue), 0) AS bsi,
+                   nir / NULLIF(green, 0) - 1 AS ci_green,
+                   green / NULLIF(red, 0) AS cr,
+                   CASE WHEN (2.5 * (nir - red)) / NULLIF(nir + 6 * red - 7.5 * blue + 1, 0) IS NULL
+                        THEN NULL
+                        ELSE least(greatest(
+                          (2.5 * (nir - red)) / NULLIF(nir + 6 * red - 7.5 * blue + 1, 0),
+                          -1.0), 1.0) END AS evi,
                    (nir - green) / NULLIF(nir + green, 0) AS gndvi,
+                   ((rededge - red) - 0.2 * (rededge - green))
+                     * (rededge / NULLIF(red, 0)) AS mcari,
+                   0.5 * (2 * nir + 1
+                     - sqrt((2 * nir + 1) * (2 * nir + 1) - 8 * (nir - red))) AS msavi,
+                   (3 * ((rededge - red)
+                         - 0.2 * (rededge - green) * (rededge / NULLIF(red, 0))))
+                     / NULLIF(1.16 * ((rededge3 - red) / NULLIF(rededge3 + red + 0.16, 0)), 0)
+                     AS mtcari_osavi,
+                   (nir - rededge) / NULLIF(nir + rededge, 0) AS ndre,
+                   (red - swir2) / NULLIF(red + swir2, 0) AS ndri,
+                   (swir - swir2) / NULLIF(swir + swir2, 0) AS ndti,
+                   (nir - red) / NULLIF(nir + red, 0) AS ndvi,
                    (green - nir) / NULLIF(green + nir, 0) AS ndwi,
-                   nir / NULLIF(green, 0) - 1 AS ci_green
+                   (green - blue) / NULLIF(green + blue, 0) AS ndyi,
+                   (swir - green) / NULLIF(swir + green, 0) AS nhi,
+                   (green - red) / NULLIF(green + red - blue, 0) AS vari
             FROM (
               SELECT l_orderkey, l_linenumber,
-                     l_quantity AS nir,
-                     l_discount * 10 + 0.1 AS red,
-                     l_tax * 10 + 0.2 AS green
+                     CAST(l_quantity AS DOUBLE) AS nir,
+                     CAST(l_discount AS DOUBLE) * 10 + 0.1 AS red,
+                     CAST(l_tax AS DOUBLE) * 10 + 0.2 AS green,
+                     CAST(l_extendedprice AS DOUBLE) * 0.00001 + 0.05 AS blue,
+                     CAST(l_partkey % 100 AS DOUBLE) * 0.01 + 0.3 AS rededge,
+                     CAST(l_suppkey % 100 AS DOUBLE) * 0.01 + 0.4 AS rededge3,
+                     CAST(l_linenumber AS DOUBLE) * 0.1 + 0.2 AS swir,
+                     CAST(l_orderkey % 7 AS DOUBLE) * 0.1 + 0.15 AS swir2
               FROM lineitem
             )
         """,

@@ -65,19 +65,20 @@ def _norm_diff(a: Column, b: Column) -> Column:
 # the reference's index set (formulas from eodal/core/band.py:124-356),
 # expressed over generic band bindings
 register_index("NDVI", lambda b: _norm_diff(b["nir"], b["red"]))
-register_index(
-    "EVI",
-    lambda b: F.least(
-        F.greatest(
-            F.try_divide(
-                2.5 * (b["nir"] - b["red"]),
-                b["nir"] + 6 * b["red"] - 7.5 * b["blue"] + 1,
-            ),
-            F.lit(-1.0),
-        ),
-        F.lit(1.0),
-    ),
-)
+def _evi(b: dict) -> Column:
+    # ±1 clip per Huete et al. (band.py:140-160); div-by-zero stays NULL
+    # (Spark's least/greatest would otherwise swallow the NULL into the
+    # clip bound — engines disagree on NULL there, so guard explicitly)
+    v = F.try_divide(
+        2.5 * (b["nir"] - b["red"]),
+        b["nir"] + 6 * b["red"] - 7.5 * b["blue"] + 1,
+    )
+    return F.when(v.isNull(), None).otherwise(
+        F.least(F.greatest(v, F.lit(-1.0)), F.lit(1.0))
+    )
+
+
+register_index("EVI", _evi)
 register_index(
     "MSAVI",
     lambda b: 0.5
@@ -95,6 +96,31 @@ register_index("NDWI", lambda b: _norm_diff(b["green"], b["nir"]))
 register_index("GNDVI", lambda b: _norm_diff(b["nir"], b["green"]))
 register_index("CR", lambda b: F.try_divide(b["vh"], b["vv"]))
 register_index("NDTI", lambda b: _norm_diff(b["swir"], b["swir2"]))
+# MCARI (spectral_indices.py:229-242): chlorophyll absorption in
+# reflectance; rededge = red_edge_1
+register_index(
+    "MCARI",
+    lambda b: ((b["rededge"] - b["red"]) - 0.2 * (b["rededge"] - b["green"]))
+    * F.try_divide(b["rededge"], b["red"]),
+)
+# MTCARI_OSAVI (spectral_indices.py:192-213): TCARI / OSAVI ratio;
+# rededge3 = red_edge_3
+register_index(
+    "MTCARI_OSAVI",
+    lambda b: F.try_divide(
+        3
+        * (
+            (b["rededge"] - b["red"])
+            - 0.2 * (b["rededge"] - b["green"]) * F.try_divide(b["rededge"], b["red"])
+        ),
+        (1 + 0.16)
+        * F.try_divide(b["rededge3"] - b["red"], b["rededge3"] + b["red"] + 0.16),
+    ),
+)
+# NHI (spectral_indices.py:303-315): ponds with vegetation
+register_index("NHI", lambda b: _norm_diff(b["swir"], b["green"]))
+# NDRI (spectral_indices.py:331-343): crop residues
+register_index("NDRI", lambda b: _norm_diff(b["red"], b["swir2"]))
 
 
 def scale_values(
