@@ -38,6 +38,7 @@ from eodal_spark.operators import text as TX
 from eodal_spark.operators import tiling as TIL
 from eodal_spark.operators import zonal as Z
 from eodal_spark.sources import pages as P
+from eodal_spark.sources import sensors as SN
 
 # ---------------------------------------------------------------------------
 # Fixed configuration shared by the Spark queries and the DuckDB oracles
@@ -609,6 +610,44 @@ def _q_indices_battery(spark, sf_dir):
     return out.select("l_orderkey", "l_linenumber", *[n.lower() for n in names])
 
 
+def _q_sensor_s2_scale(spark, sf_dir):
+    """Sentinel-2-style adapter: gain 1e-4 + per-row baseline-switched
+    offset (PDGS >= 400 → -0.1; `sentinel2.py:100-121`), nodata-0 → NULL.
+    Scenes synthesized from lineitem columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 10000).alias("B04"),
+        (F.col("l_suppkey") % 10000).alias("B08"),
+        (300 + (F.col("l_orderkey") % 2) * 100).alias("baseline"),
+    )
+    return SN.apply_adapter(
+        li, "sentinel2", bands=("red", "nir"), baseline_col="baseline",
+        keep=("l_orderkey", "l_linenumber", "baseline"),
+    )
+
+
+def _q_sensor_landsat_qa(spark, sf_dir):
+    """Landsat-style adapter: Collection-2 reflectance scaling + named
+    cloud/shadow (bits 1,2,3,5) and water (bit 7) masks from qa_pixel
+    (`landsat.py:354-519`, ``:559-671``)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 10000).alias("red_raw"),
+        (F.col("l_suppkey") % 1024).alias("qa_pixel"),
+    )
+    ad = SN.get_adapter("landsat")
+    out = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ad.scale(F.col("red_raw")).alias("red"),
+        SN.cloud_shadow_mask(F.col("qa_pixel"), ad.cloud_classes).alias("cloud_mask"),
+        SN.water_mask(F.col("qa_pixel"), ad.water_class).alias("water_mask"),
+    )
+    return out
+
+
 def _q_filter_grammar(spark, sf_dir):
     """The reference's Filter grammar compiled to Catalyst predicates
     (`eodal/mapper/filter.py:24-97`)."""
@@ -776,6 +815,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_events": _q_rolling_events,
         "scalar_battery": _q_scalar_battery,
         "indices_battery": _q_indices_battery,
+        "sensor_s2_scale": _q_sensor_s2_scale,
+        "sensor_landsat_qa": _q_sensor_landsat_qa,
         "filter_grammar": _q_filter_grammar,
         "scale_mask": _q_scale_mask,
         "valid_counts": _q_valid_counts,
@@ -1184,6 +1225,38 @@ def oracle_sql() -> dict[str, str]:
                      CAST(l_suppkey % 100 AS DOUBLE) * 0.01 + 0.4 AS rededge3,
                      CAST(l_linenumber AS DOUBLE) * 0.1 + 0.2 AS swir,
                      CAST(l_orderkey % 7 AS DOUBLE) * 0.1 + 0.15 AS swir2
+              FROM lineitem
+            )
+        """,
+        "sensor_s2_scale": """
+            SELECT l_orderkey, l_linenumber, baseline,
+                   CASE WHEN B04 = 0 THEN NULL
+                        ELSE CAST(B04 AS DOUBLE) * 0.0001
+                             + CASE WHEN baseline >= 400 THEN -0.1 ELSE 0.0 END
+                   END AS red,
+                   CASE WHEN B08 = 0 THEN NULL
+                        ELSE CAST(B08 AS DOUBLE) * 0.0001
+                             + CASE WHEN baseline >= 400 THEN -0.1 ELSE 0.0 END
+                   END AS nir
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     l_partkey % 10000 AS B04,
+                     l_suppkey % 10000 AS B08,
+                     300 + (l_orderkey % 2) * 100 AS baseline
+              FROM lineitem
+            )
+        """,
+        "sensor_landsat_qa": """
+            SELECT l_orderkey, l_linenumber,
+                   CASE WHEN red_raw = 0 THEN NULL
+                        ELSE CAST(red_raw AS DOUBLE) * 0.0000275 + -0.2
+                   END AS red,
+                   (qa_pixel & 46) != 0 AS cloud_mask,
+                   ((qa_pixel >> 7) & 1) = 1 AS water_mask
+            FROM (
+              SELECT l_orderkey, l_linenumber,
+                     l_partkey % 10000 AS red_raw,
+                     l_suppkey % 1024 AS qa_pixel
               FROM lineitem
             )
         """,
