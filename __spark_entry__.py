@@ -457,6 +457,7 @@ def _q_docs_token_stats(spark, sf_dir):
         TX.token_count(t).alias("n_tokens"),
         TX.bpe_ish_token_count(t).alias("n_subtokens"),
         TX.punct_ratio_milli(t).alias("punct_milli"),
+        TX.stopword_ratio_milli(t).alias("stop_milli"),
         TX.quality_score_milli(t).alias("quality_milli"),
     )
 
@@ -873,9 +874,9 @@ def oracle_sql() -> dict[str, str]:
     n_tokens = "len(regexp_extract_all(trim(text), '\\S+'))"
     n_subtokens = "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
     n_punct = "len(regexp_extract_all(text, '[^\\w\\s]'))"
-    punct_milli = f"CAST({n_punct} * 1000 / greatest(length(text), 1) AS BIGINT)"
+    punct_milli = f"({n_punct} * 1000 // greatest(length(text), 1))"
     stop_hits = lang_score["en"]
-    stop_milli = f"CAST({stop_hits} * 1000 / greatest({n_tokens}, 1) AS BIGINT)"
+    stop_milli = f"({stop_hits} * 1000 // greatest({n_tokens}, 1))"
     quality = (
         f"(CASE WHEN length(text) >= 20 AND length(text) <= 100000 THEN 400 ELSE 0 END"
         f" + CASE WHEN {punct_milli} < 300 THEN 300 ELSE 0 END"
@@ -1088,6 +1089,7 @@ def oracle_sql() -> dict[str, str]:
                    {n_tokens} AS n_tokens,
                    {n_subtokens} AS n_subtokens,
                    {punct_milli} AS punct_milli,
+                   {stop_milli} AS stop_milli,
                    {quality} AS quality_milli
             FROM documents
         """,

@@ -30,56 +30,57 @@ def asof_join(
 ) -> DataFrame:
     """For each left row: values of the latest right row at-or-before
     its timestamp (NULLs when none / outside tolerance)."""
-    l_tag = left.select(
-        F.col(on).alias("_k"),
-        F.col(left_ts).alias("_ts"),
-        F.lit(1).alias("_side"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_vals],
-        F.lit(None).cast("timestamp").alias("_rts"),
-    )
+    # the right side is carried as ONE struct (_rts + all value columns)
+    # so every output value comes from the SAME latest right row — a
+    # per-column last(ignorenulls) would stitch columns from different
+    # right rows whenever the latest row has a NULL in one of them
     r_tag = right.select(
         F.col(on).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tag.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_rv_{c}") for c in right_vals],
-        F.col(right_ts).alias("_rts"),
+        F.struct(
+            F.col(right_ts).alias("_rts"),
+            *[F.col(c).alias(c) for c in right_vals],
+        ).alias("_rrow"),
+    )
+    l_tag = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r_tag.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
     )
     # right rows sort before left rows at equal ts (inclusive as-of);
-    # ties among right rows at the same ts resolve by ascending value
-    # tuple (carried = last ⇒ the max wins) — a TOTAL order, so the
-    # result is deterministic under any shuffle (SURVEY.md §7.3)
+    # ties among right rows at the same ts resolve by ascending struct
+    # value (carried = last ⇒ the lexicographic max wins) — a TOTAL
+    # order, so the result is deterministic under any shuffle
     u = l_tag.unionByName(r_tag)
     w = (
         Window.partitionBy("_k")
         .orderBy(
             F.col("_ts").asc(),
             F.col("_side").asc(),
-            *[F.col(f"_rv_{c}").asc_nulls_first() for c in right_vals],
+            F.col("_rrow").asc_nulls_first(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
-        "*",
-        *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_c_{c}")
-            for c in right_vals
-        ],
-        F.last("_rts", ignorenulls=True).over(w).alias("_c_ts"),
-    ).filter(F.col("_side") == 1)
+        "_lrow",
+        "_ts",
+        F.last("_rrow", ignorenulls=True).over(w).alias("_c"),
+    ).filter(F.col("_lrow").isNotNull())
     if tolerance_seconds is not None:
         in_tol = (
-            F.unix_timestamp("_ts") - F.unix_timestamp("_c_ts")
+            F.unix_timestamp("_ts") - F.unix_timestamp(F.col("_c._rts"))
         ) <= F.lit(tolerance_seconds)
         carried = carried.select(
             "_lrow",
-            *[
-                F.when(in_tol, F.col(f"_c_{c}")).otherwise(None).alias(f"_c_{c}")
-                for c in right_vals
-            ],
+            F.when(in_tol, F.col("_c")).otherwise(None).alias("_c"),
         )
     out = carried.select(
-        "_lrow.*", *[F.col(f"_c_{c}").alias(f"asof_{c}") for c in right_vals]
+        "_lrow.*", *[F.col(f"_c.{c}").alias(f"asof_{c}") for c in right_vals]
     )
     return out

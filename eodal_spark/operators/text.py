@@ -73,16 +73,25 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.regexp_count(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"))
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integer (floor) division for non-negative operands — the
+    cross-engine-safe ratio: double-divide + cast('long') TRUNCATES in
+    Spark while DuckDB's CAST(double AS BIGINT) ROUNDS half-even, so the
+    two disagree on any fraction ≥ .5; a - pmod(a, b) is an exact
+    multiple of b (≤ 2^53 here), so the division is exact in both."""
+    return ((a - F.pmod(a, b)) / b).cast("long")
+
+
 def punct_ratio_milli(text: Column) -> Column:
-    """Punctuation chars per 1000 chars (integer — oracle-exact)."""
+    """Punctuation chars per 1000 chars (integer div — oracle-exact)."""
     n_punct = F.regexp_count(text, F.lit(r"[^\w\s]"))
-    return (n_punct * 1000 / F.greatest(F.length(text), F.lit(1))).cast("long")
+    return _idiv(n_punct * 1000, F.greatest(F.length(text), F.lit(1)))
 
 
 def stopword_ratio_milli(text: Column) -> Column:
-    """English stopword tokens per 1000 tokens (integer)."""
+    """English stopword tokens per 1000 tokens (integer div)."""
     hits = sum((_count_word(text, w) for w in LANG_MARKERS["en"]), F.lit(0))
-    return (hits * 1000 / F.greatest(token_count(text), F.lit(1))).cast("long")
+    return _idiv(hits * 1000, F.greatest(token_count(text), F.lit(1)))
 
 
 def quality_score_milli(text: Column) -> Column:

@@ -190,14 +190,23 @@ def geocode(df: DataFrame, res: int, html_col: str = "html") -> DataFrame:
         .withColumn("lon", lon)
         .withColumn(
             "cell_id",
-            # coalesce keeps the column non-nullable (div is marked
-            # nullable) — see parse_geo on why nullability costs 2-4×
-            F.coalesce(
-                F.expr(
-                    grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")
+            # gate the encode on the parse sentinel: Spark's `div`
+            # TRUNCATES (-1 div 36000 = 0), so an ungated encode would
+            # map garbage pages to the valid corner cell at -180/-90
+            # (and DuckDB's flooring `//` would disagree).  when/
+            # otherwise over non-nullable branches stays non-nullable —
+            # see parse_geo on why nullability costs 2-4×
+            F.when(
+                (F.col("lat_centi") >= 0) & (F.col("lon_centi") >= 0),
+                F.coalesce(
+                    F.expr(
+                        grid.sql_cell_encode_centi(
+                            "lon_centi", "lat_centi", res, "spark"
+                        )
+                    ),
+                    F.lit(-1),
                 ),
-                F.lit(-1),
-            ),
+            ).otherwise(F.lit(-1)),
         )
     )
     return out

@@ -101,3 +101,25 @@ def test_mask_from_bits(spark):
     df = spark.createDataFrame([(0b1011000,)], ["qa"])
     out = df.select(A.mask_from_bits(F.col("qa"), 3, 4).alias("b")).first()
     assert out["b"] == 0b1011
+
+
+def test_asof_nullable_right_vals_come_from_one_row(spark):
+    """If the latest right row has NULL in one value column, the output
+    must carry that NULL — not stitch the column from an older row."""
+    import datetime as dt
+
+    from eodal_spark.operators.asof import asof_join
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame([(1, t(10))], ["k", "lts"])
+    right = spark.createDataFrame(
+        [(1, t(5), 1, 2), (1, t(8), None, 9)],
+        "k long, rts timestamp, a long, b long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_vals=("a", "b"),
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["asof_a"] is None     # from the ts=8 row, NOT ts=5's 1
+    assert out[0]["asof_b"] == 9

@@ -72,3 +72,25 @@ def test_geocode_matches_embedded(spark, pages_small):
     assert -90 <= stats[0] <= stats[1] <= 90
     assert -180 <= stats[2] <= stats[3] <= 180
     assert stats[4] > 100
+
+
+def test_garbage_page_gets_sentinel_cell(spark):
+    """Unparseable html must get cell_id -1 (non-joining), NOT the valid
+    corner cell at lon -180 / lat -90 that an ungated truncating `div`
+    would produce."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import pages as P
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"<p>no geo marker here</p>")),
+         ("u2", bytearray(b"not even html"))],
+        ["url", "html"],
+    )
+    out = P.geocode(df, 12).select("url", "cell_id", "lat_centi").collect()
+    for r in out:
+        assert r["cell_id"] == -1
+        assert r["lat_centi"] == -1
+    # schema stays non-nullable (plan-shape invariant, see parse_geo)
+    geo = P.geocode(df, 12)
+    assert not dict(zip(geo.schema.names, geo.schema))["cell_id"].nullable
