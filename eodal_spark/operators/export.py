@@ -1,0 +1,95 @@
+"""Labeled nd-array export — the engine's `to_xarray` sink.
+
+The reference exports a Band / RasterCollection to a labeled xarray
+DataArray with coordinate vectors derived from the affine geo-transform
+(`eodal/core/band.py:2305-2364`, `eodal/core/raster.py:1986-2040`).
+Here the analogue pivots a (cell, band-value...) relation into dense
+per-band 2-D grids labeled with cell-centroid lon/lat coordinate
+vectors.
+
+Contract: this is an **export sink** — the selected window must fit on
+the driver (the reference's in-memory Band has the same bound).  The
+heavy lifting (filtering to the window, per-cell aggregation) stays in
+Spark; only the final pivot runs driver-side on the Arrow-fetched
+pandas frame.  ``xarray`` is optional in the runtime (not in this
+sandbox): `to_labeled` returns plain numpy + coord dict; `to_xarray`
+wraps it when the library is importable and raises with guidance when
+not.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from eodal_spark import grid
+
+
+def to_labeled(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    res: int,
+    cell_col: str = "cell_id",
+    nodata: float = np.nan,
+) -> dict:
+    """Pivot (cell_id, values...) into dense labeled 2-D arrays.
+
+    Returns ``{"coords": {"lon": 1-D, "lat": 1-D}, "data": {band: 2-D
+    (lat × lon)}, "res": res}`` — the xarray-free labeled form.  Cells
+    absent from ``df`` hold ``nodata`` (≡ the reference's masked-fill on
+    export, band.py:2337-2344).  Duplicate cells must be aggregated
+    upstream (raises otherwise — silent last-wins would be
+    nondeterministic under shuffle)."""
+    sel = df.select(
+        grid.cell_x_of(F.col(cell_col)).alias("_x"),
+        grid.cell_y_of(F.col(cell_col)).alias("_y"),
+        *[F.col(c) for c in value_cols],
+    )
+    pdf = sel.toPandas()  # Arrow batch fetch — the one driver transfer
+    if pdf.duplicated(["_x", "_y"]).any():
+        raise ValueError(
+            "duplicate cells in export window; aggregate per cell first "
+            "(e.g. zonal.reduce or mosaic_dedup)"
+        )
+    xs = np.sort(pdf["_x"].unique())
+    ys = np.sort(pdf["_y"].unique())
+    xi = {v: i for i, v in enumerate(xs)}
+    yi = {v: i for i, v in enumerate(ys)}
+    n = 1 << res
+    coords = {
+        "lon": (xs + 0.5) / n * 360.0 - 180.0,
+        "lat": (ys + 0.5) / n * 180.0 - 90.0,
+    }
+    row_i = pdf["_y"].map(yi).to_numpy()
+    col_i = pdf["_x"].map(xi).to_numpy()
+    data = {}
+    for c in value_cols:
+        a = np.full((len(ys), len(xs)), nodata, dtype=np.float64)
+        a[row_i, col_i] = pdf[c].to_numpy(dtype=np.float64)
+        data[c] = a
+    return {"coords": coords, "data": data, "res": res}
+
+
+def to_xarray(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    res: int,
+    cell_col: str = "cell_id",
+    nodata: float = np.nan,
+):
+    """`Band.to_xarray` twin: an ``xarray.Dataset`` with (lat, lon)
+    coords, one variable per value column.  Requires ``xarray`` at
+    runtime; `to_labeled` is the dependency-free equivalent."""
+    try:
+        import xarray as xr
+    except ImportError as e:  # pragma: no cover - xarray absent in sandbox
+        raise ImportError(
+            "xarray is not installed; use to_labeled() for the plain "
+            "numpy + coords form"
+        ) from e
+    lab = to_labeled(df, value_cols, res, cell_col, nodata)
+    return xr.Dataset(
+        {c: (("lat", "lon"), a) for c, a in lab["data"].items()},
+        coords=lab["coords"],
+    )

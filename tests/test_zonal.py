@@ -72,3 +72,35 @@ def test_value_counts_grouped(spark, pages_small):
     sums = out.groupBy("cell_id").agg(F.sum("share").alias("s"))
     bad = sums.filter(F.abs(F.col("s") - 1.0) > 1e-4).count()
     assert bad == 0
+
+
+def test_to_labeled_export(spark):
+    """Labeled nd-array export (to_xarray twin, band.py:2305-2364):
+    dense (lat x lon) grids with centroid coordinate vectors; gaps get
+    nodata; duplicate cells are refused."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eodal_spark import grid as GR
+    from eodal_spark.operators import export as X
+
+    res = 12
+    rows = [(8.5, 47.3, 10.0), (8.6, 47.3, 20.0), (9.9, 48.8, 30.0)]
+    df = spark.createDataFrame(rows, ["lon", "lat", "v"]).select(
+        GR.cell_encode("lon", "lat", res).alias("cell_id"), "v"
+    )
+    lab = X.to_labeled(df, ("v",), res)
+    a = lab["data"]["v"]
+    assert a.shape == (len(lab["coords"]["lat"]), len(lab["coords"]["lon"]))
+    vals = a[~np.isnan(a)]
+    assert sorted(vals.tolist()) == [10.0, 20.0, 30.0]
+    # coords are cell centroids (within half a cell of the inputs)
+    assert abs(lab["coords"]["lat"].min() - 47.3) < 180.0 / (1 << res)
+    # duplicates refused
+    dup = df.union(df)
+    import pytest as _pt
+    with _pt.raises(ValueError, match="duplicate"):
+        X.to_labeled(dup, ("v",), res)
+    # xarray absent in this sandbox -> actionable ImportError
+    with _pt.raises(ImportError, match="to_labeled"):
+        X.to_xarray(df, ("v",), res)
