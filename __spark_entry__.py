@@ -606,7 +606,13 @@ def _q_indices_battery(spark, sf_dir):
         "rededge": "rededge", "rededge3": "rededge3",
         "swir": "swir", "swir2": "swir2", "vh": "green", "vv": "red",
     }
-    names = A.list_indices()  # gate the FULL registry (16 indices)
+    # the reference's full 16-index set, pinned explicitly (the registry
+    # is user-extensible at runtime, so list_indices() is not stable)
+    names = [
+        "BSI", "CI_GREEN", "CR", "EVI", "GNDVI", "MCARI", "MSAVI",
+        "MTCARI_OSAVI", "NDRE", "NDRI", "NDTI", "NDVI", "NDWI", "NDYI",
+        "NHI", "VARI",
+    ]
     out = A.with_indices(li, bind, *names)
     return out.select("l_orderkey", "l_linenumber", *[n.lower() for n in names])
 

@@ -77,6 +77,16 @@ def headline_pipeline(spark, pages_path: str):
     return deduped
 
 
+def scan_control(spark, pages_path: str):
+    """Memory-bandwidth control: scan the same parquet and fold every
+    html byte into one sum — near-zero compute per byte, so throughput
+    is bounded by the storage/memory path, not the engine.  Comparing
+    its N→4N efficiency against the headline's separates 'the node ran
+    out of bandwidth' from 'the engine stopped scaling'."""
+    pages = spark.read.parquet(pages_path)
+    return pages.agg(F.sum(F.length("html")).alias("b"))
+
+
 def main() -> None:
     spark = get_spark(
         "eodal_spark_bench",
@@ -112,6 +122,13 @@ def main() -> None:
     rows_per_sec = BENCH_ROWS / headline_sec
 
     if "--headline-only" in sys.argv:
+        # bandwidth control alongside the headline (same JVM, same input)
+        scan_control(spark, pages_path).collect()
+        scan_sec = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            scan_control(spark, pages_path).collect()
+            scan_sec = min(scan_sec, time.time() - t0)
         print(
             json.dumps(
                 {
@@ -120,6 +137,8 @@ def main() -> None:
                     "seconds": round(headline_sec, 3),
                     "rows_per_sec": round(rows_per_sec),
                     "cpus": CPUS,
+                    "scan_seconds": round(scan_sec, 3),
+                    "scan_rows_per_sec": round(BENCH_ROWS / scan_sec),
                 }
             )
         )
