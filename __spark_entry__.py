@@ -120,6 +120,34 @@ def _duck_pages() -> str:
     return P.sql_pages_subquery(N_PAGES, "duckdb")
 
 
+def _buffered_oracle() -> str:
+    """spatial_join_buffered as DuckDB SQL: a page is in the buffered
+    covering iff SOME cell within Chebyshev distance BUFFER_K of its
+    join cell (x wrapped, y clamped — mirroring `grid.cell_ring`) has
+    its centroid inside the polygon.  Same integer cell math and float
+    centroid op order as the engine's covering."""
+    n = 1 << JOIN_RES
+    k = BUFFER_K
+    x = f"(lon_centi * {n} // 36000)"
+    y = f"(lat_centi * {n} // 18000)"
+    xw = f"((({x} + dx) % {n} + {n}) % {n})"
+    clon = f"(({xw} + 0.5) / {n} * 360.0 - 180.0)"
+    clat = f"((({y} + dy) + 0.5) / {n} * 180.0 - 90.0)"
+    hit = (
+        f"CASE WHEN ({y} + dy) >= 0 AND ({y} + dy) < {n} "
+        f"AND {_duck_pip(clon, clat)} THEN 1 ELSE 0 END"
+    )
+    any_hit = (
+        f"len(list_filter(flatten(list_transform(generate_series(-{k}, {k}), dx -> "
+        f"list_transform(generate_series(-{k}, {k}), dy -> {hit}))), v -> v = 1)) > 0"
+    )
+    return f"""
+        SELECT polys.poly_id, p.url
+        FROM {_duck_pages()} p, {_polys_duck()}
+        WHERE {any_hit}
+    """
+
+
 def _duck_cell(res: int) -> str:
     return grid.sql_cell_encode_centi("lon_centi", "lat_centi", res, "duckdb")
 
@@ -216,6 +244,25 @@ def _q_spatial_join_holes(spark, sf_dir):
     polys = geometry.polygons_df(spark, HOLED_POLYS)
     return SJ.spatial_join(
         _pages_geo(spark), polys, JOIN_RES, rule="exact", page_res=RES,
+    ).select("poly_id", "url")
+
+
+BUFFER_K = 2  # cell rings for the buffered join (≡ AOI padding)
+
+
+def _q_spatial_join_buffered(spark, sf_dir):
+    """Pages within BUFFER_K cells of a polygon (centroid rule): the
+    covering is buffered via `geometry.buffer_cells` (grid Minkowski
+    sum) and broadcast — the within-distance join shape."""
+    geo = _pages_geo(spark)
+    polys = _polys_spark(spark)
+    cover = geometry.polygon_cover_cells(polys, JOIN_RES, mode="centroid")
+    buf = geometry.buffer_cells(cover.select("poly_id", "cell_id"), BUFFER_K, JOIN_RES)
+    pages = geo.withColumn(
+        "_join_cell", grid.cell_parent("cell_id", RES, JOIN_RES)
+    )
+    return pages.join(
+        F.broadcast(buf.withColumnRenamed("cell_id", "_join_cell")), "_join_cell"
     ).select("poly_id", "url")
 
 
@@ -798,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_centroid": _q_spatial_join_centroid,
         "spatial_join_exact": _q_spatial_join_exact,
         "spatial_join_holes": _q_spatial_join_holes,
+        "spatial_join_buffered": _q_spatial_join_buffered,
         "zonal_stats": _q_zonal_stats,
         "mosaic_dedup": _q_mosaic_dedup,
         "tile_histogram": _q_tile_histogram,
@@ -923,6 +971,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {geometry.sql_pip_even_odd_rings(
                 plon, plat, "polys.rings_x", "polys.rings_y", "duckdb")}
         """,
+        "spatial_join_buffered": _buffered_oracle(),
         "zonal_stats": f"""
             SELECT polys.poly_id,
                    count(*) AS cnt,

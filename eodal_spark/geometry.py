@@ -603,6 +603,22 @@ def _cover_one(row, res: int, mode: str):
     return cell, full[keep]
 
 
+def buffer_cells(cover: DataFrame, k: int, res: int) -> DataFrame:
+    """Grid-native buffer: Minkowski sum of a (poly_id, cell_id)
+    covering with the k-cell Chebyshev disk — the engine's analogue of
+    shapely ``buffer`` padding an AOI before clipping (the reference
+    buffers vector features ahead of `band.py:758-775` mask reads).
+    Longitude wraps, latitude clamps (`grid.cell_ring`); output is
+    deduped per polygon.  Stays a broadcastable dimension: it grows the
+    covering by O(k·perimeter), never touches the pages side."""
+    from eodal_spark import grid
+
+    grown = cover.select(
+        "poly_id", F.explode(grid.cell_ring("cell_id", k, res)).alias("cell_id")
+    )
+    return grown.dropDuplicates(["poly_id", "cell_id"])
+
+
 # polygon layers up to this size are covered driver-side (one tiny
 # collect of an already-small dimension) — avoids paying Python-worker
 # startup on the query's critical path; larger layers distribute.
