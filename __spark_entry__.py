@@ -287,6 +287,13 @@ def _q_mosaic_dedup(spark, sf_dir):
     return TIL.mosaic_dedup(tiled).select("cell_id", "ts_bucket", "url")
 
 
+def _q_duplicate_split(spark, sf_dir):
+    """Duplicated-vs-unique split (≡ `mapper.py:565-570`): every row
+    tagged with its (cell, bucket) multiplicity."""
+    tiled = TIL.assign_tiles(_pages_geo(spark), RES, TILE_RES)
+    return TIL.duplicate_split(tiled).select("url", "cell_id", "ts_bucket", "n_dup")
+
+
 def _q_tile_histogram(spark, sf_dir):
     tiled = TIL.assign_tiles(_pages_geo(spark), RES, TILE_RES)
     return tiled.groupBy("tile_cell", "ts_bucket").agg(
@@ -739,6 +746,19 @@ def _q_scale_mask(spark, sf_dir):
     )
 
 
+def _q_cell_upsample(spark, sf_dir):
+    """Upsampling resample (≡ pixel-division value carry-down,
+    `eodal/utils/arrays.py:66-109`): each page's res-6 parent explodes
+    into its 4 res-7 children carrying the page count down."""
+    geo = _pages_geo(spark)
+    per6 = geo.groupBy(grid.cell_parent("cell_id", RES, 6).alias("cell6")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per6.select(
+        F.explode(grid.cell_children("cell6", 6, 7)).alias("cell7"), "n"
+    )
+
+
 def _q_cell_resample(spark, sf_dir):
     """Resolution rollup (≡ Band.resample downsampling,
     `eodal/core/band.py:1771-1860`): res-12 cells → res-6 parents via
@@ -848,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_buffered": _q_spatial_join_buffered,
         "zonal_stats": _q_zonal_stats,
         "mosaic_dedup": _q_mosaic_dedup,
+        "duplicate_split": _q_duplicate_split,
         "tile_histogram": _q_tile_histogram,
         "knn": _q_knn,
         "sample_points": _q_sample_points,
@@ -877,6 +898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "valid_counts": _q_valid_counts,
         "poly_timeseries": _q_poly_timeseries,
         "cell_resample": _q_cell_resample,
+        "cell_upsample": _q_cell_upsample,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
@@ -991,6 +1013,11 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY ts_sec, url) AS rn
               FROM {pages}
             ) WHERE rn = 1
+        """,
+        "duplicate_split": f"""
+            SELECT url, {cell} AS cell_id, ts_sec // {BUCKET} AS ts_bucket,
+                   count(*) OVER (PARTITION BY {cell}, ts_sec // {BUCKET}) AS n_dup
+            FROM {pages}
         """,
         "tile_histogram": f"""
             SELECT {tile_cell} AS tile_cell, ts_sec // {BUCKET} AS ts_bucket,
@@ -1348,6 +1375,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_duck_cell(6)} AS cell6, count(*) AS n
             FROM {pages}
             GROUP BY 1
+        """,
+        "cell_upsample": f"""
+            SELECT (CAST(7 AS BIGINT) << 58)
+                   + ((x6 * 2 + dx) << 29) + (y6 * 2 + dy) AS cell7, n
+            FROM (
+              SELECT lon_centi * 64 // 36000 AS x6,
+                     lat_centi * 64 // 18000 AS y6,
+                     count(*) AS n
+              FROM {pages}
+              GROUP BY 1, 2
+            ), (VALUES (CAST(0 AS BIGINT)), (1)) dxs(dx),
+               (VALUES (CAST(0 AS BIGINT)), (1)) dys(dy)
         """,
     }
 
