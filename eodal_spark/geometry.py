@@ -163,7 +163,13 @@ def to_wkt(gtype: str, coords: list) -> str:
     """Inverse of `parse_wkt` for POINT/MULTIPOINT/POLYGON/MULTIPOLYGON."""
 
     def _pt(p):
-        return f"{p[0]:g} {p[1]:g}"
+        # repr() is the shortest string that round-trips the double —
+        # %g would truncate to 6 significant digits and corrupt coords
+        def num(v):
+            r = repr(float(v))
+            return r[:-2] if r.endswith(".0") else r
+
+        return f"{num(p[0])} {num(p[1])}"
 
     def _ring(r):
         pts = list(r)
