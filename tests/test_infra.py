@@ -286,3 +286,53 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS pages_b")
         spark.sql("DROP TABLE IF EXISTS cells_b")
+
+
+def test_streaming_mosaic_dedup_matches_batch(spark, tmp_path):
+    """Streaming first-wins mosaic carries (min ts_sec, url) state across
+    micro-batches; its final per-key winners equal the batch
+    mosaic_dedup on the same rows, and a late losing row emits nothing."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "mosaic_src")
+    # batch 2 rows are a subset re-shuffled in: every key they touch
+    # already has a winner at least as small -> re-delivery is a no-op
+    P.synth_pages(spark, 3000).write.parquet(src)
+    P.synth_pages(spark, 3000).filter("url LIKE '%7'").write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    res = 6
+    out = ingest.streaming_mosaic_dedup(stream, res=res)
+    q = (
+        out.writeStream.format("memory").queryName("mosaic_out")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "mosaic_chk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("mosaic_out")
+    # last emitted winner per key (min over emissions — winners only improve)
+    finals = got.groupBy("cell_id", "ts_bucket").agg(
+        F.min(F.struct("ts_sec", "url")).alias("w")
+    ).select("cell_id", "ts_bucket", "w.ts_sec", "w.url")
+
+    geo = P.geocode(spark.read.parquet(src), res)
+    geo = geo.withColumn("ts_sec", F.col("warc_ts").cast("timestamp").cast("long"))
+    geo = geo.withColumn("ts_bucket", F.expr(f"ts_sec div {86_400 * 30}"))
+    expect = (
+        geo.groupBy("cell_id", "ts_bucket")
+        .agg(F.min(F.struct("ts_sec", "url")).alias("w"))
+        .select("cell_id", "ts_bucket", "w.ts_sec", "w.url")
+    )
+    assert finals.count() == expect.count()
+    mism = (
+        finals.alias("g").join(expect.alias("b"), ["cell_id", "ts_bucket"], "full")
+        .filter("g.url IS DISTINCT FROM b.url OR g.ts_sec IS DISTINCT FROM b.ts_sec")
+        .count()
+    )
+    assert mism == 0
