@@ -281,3 +281,21 @@ def test_spatial_join_exact_holed_and_multi(spark):
         expect = set(np.nonzero(geometry.np_pip_even_odd_rings(lon, lat, rx, ry))[0].tolist())
         have = set(got[got["poly_id"] == pid]["url"].tolist())
         assert have == expect, f"poly {pid}: {len(have ^ expect)} diffs"
+
+
+def test_distributed_covering_matches_driver_side(spark):
+    """polygon_cover_cells must produce identical coverings via the
+    driver-side collect path and the distributed mapInPandas path —
+    including holed and multi-part geometries."""
+    polys = geometry.polygons_df(
+        spark,
+        [(1, geometry.to_wkt("POLYGON", HOLED)),
+         (2, geometry.to_wkt("MULTIPOLYGON", MULTI)),
+         (3, [(60.0, 0.0), (70.0, 0.0), (65.0, 9.0)])],
+    )
+    for mode in ("centroid", "bbox"):
+        a = geometry.polygon_cover_cells(polys, 8, mode=mode, distributed=False)
+        b = geometry.polygon_cover_cells(polys, 8, mode=mode, distributed=True)
+        ra = {tuple(r) for r in a.collect()}
+        rb = {tuple(r) for r in b.collect()}
+        assert ra == rb and len(ra) > 0, mode
