@@ -338,6 +338,12 @@ def embedding_near_dup_pairs(
         ).alias("_tb"),
     ).select("vec_id", "embedding", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"))
 
+    if guard == "raise":
+        # the guard is an eager aggregation over the bucketed corpus;
+        # persist so the pair join below reuses the bucketing instead
+        # of recomputing the SRP UDFs (callers may unpersist the
+        # returned DataFrame's lineage when done)
+        stacked = stacked.persist()
     sizes = stacked.groupBy("tbl", "bucket").count()
     if guard == "raise":
         top = sizes.orderBy(F.desc("count")).first()
