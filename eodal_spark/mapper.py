@@ -42,7 +42,9 @@ class MapperConfigs:
     grid resolutions that replace the reference's pixres."""
 
     collection: str
-    feature: list[tuple[float, float]]  # polygon ring (lon, lat)
+    # polygon ring [(lon, lat), ...], ring list [exterior, hole, ...],
+    # parts structure, WKT string, or WKB bytes (geometry._as_parts)
+    feature: object
     time_start: str
     time_end: str
     metadata_filters: list[Filter] = field(default_factory=list)
@@ -69,8 +71,9 @@ class Mapper:
         ordered by sensing time (≡ querying.py:122)."""
         if self._tiles is None:
             raise ValueError("no tiles catalog attached")
-        xs = [p[0] for p in self.configs.feature]
-        ys = [p[1] for p in self.configs.feature]
+        parts = geometry._as_parts(self.configs.feature)
+        xs = [p[0] for part in parts for ring in part for p in ring]
+        ys = [p[1] for part in parts for ring in part for p in ring]
         md = self._tiles.filter(
             (F.col("xmax") >= min(xs))
             & (F.col("xmin") <= max(xs))

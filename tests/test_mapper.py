@@ -80,3 +80,19 @@ def test_extraction_requires_load(spark, pages_small, tiles_catalog):
     assert stats["cnt"] > 0
     ts = m.get_feature_timeseries().collect()
     assert len(ts) > 1 and all(r["n"] > 0 for r in ts)
+
+
+def test_mapper_accepts_wkt_feature(spark, pages_small):
+    """MapperConfigs.feature takes any polygonal form — a holed WKT AOI
+    queries and loads like a bare ring (feature.py:130-194 parity)."""
+    from eodal_spark.mapper import Mapper, MapperConfigs
+
+    wkt = ("POLYGON ((6.5 44.5, 10.5 44.5, 10.5 49.5, 6.5 49.5, 6.5 44.5), "
+           "(8.0 46.0, 9.5 46.0, 9.5 48.0, 8.0 48.0, 8.0 46.0))")
+    cfg = MapperConfigs(
+        collection="pages", feature=wkt,
+        time_start="2019-05-01 00:00:00", time_end="2019-08-31 23:59:59",
+    )
+    m = Mapper(cfg, pages_small)
+    out = m.load_scenes()
+    assert out.count() > 0
