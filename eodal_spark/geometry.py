@@ -570,26 +570,53 @@ def sql_pip_even_odd_rings(
 MAX_COVER_CELLS_PER_POLY = 2_000_000
 
 
-def _cover_one(row, res: int, mode: str):
-    """Covering cells of one polygon (numpy): (cell_ids, full_flags)."""
-    n = 1 << res
-    xs = np.asarray(row.xs, dtype=np.float64)
-    ys = np.asarray(row.ys, dtype=np.float64)
-    x0, _ = grid.np_cell_xy(np.array([row.xmin]), np.array([0.0]), res)
-    x1, _ = grid.np_cell_xy(np.array([row.xmax]), np.array([0.0]), res)
-    _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymin]), res)
-    _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([row.ymax]), res)
-    n_cand = int(x1[0] - x0[0] + 1) * int(y1[0] - y0[0] + 1)
-    if n_cand > MAX_COVER_CELLS_PER_POLY:
-        raise ValueError(
-            f"polygon {row.poly_id} would cover {n_cand:,} candidate cells "
-            f"at res {res} (> {MAX_COVER_CELLS_PER_POLY:,}); use a coarser "
-            f"join resolution or split the polygon"
-        )
+def _bbox_grid(xmin, ymin, xmax, ymax, res: int):
+    """Integer cell grid of one bbox: (gx, gy) raveled candidate arrays."""
+    x0, _ = grid.np_cell_xy(np.array([xmin]), np.array([0.0]), res)
+    x1, _ = grid.np_cell_xy(np.array([xmax]), np.array([0.0]), res)
+    _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([ymin]), res)
+    _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([ymax]), res)
     cx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
     cy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
     gx, gy = np.meshgrid(cx, cy, indexing="ij")
-    gx, gy = gx.ravel(), gy.ravel()
+    return gx.ravel(), gy.ravel()
+
+
+def _cover_one(row, res: int, mode: str):
+    """Covering cells of one polygon (numpy): (cell_ids, full_flags).
+
+    Candidates come from the union of **per-ring** bboxes, not one
+    global bbox: a MultiPolygon with far-apart parts (e.g. split at the
+    date line) covers only its parts' neighborhoods, never the span
+    between them.  Correct because any point of the polygon lies inside
+    some ring's bbox (holes sit inside their exterior's bbox)."""
+    n = 1 << res
+    xs = np.asarray(row.xs, dtype=np.float64)
+    ys = np.asarray(row.ys, dtype=np.float64)
+    if row.is_convex:
+        ring_boxes = [(row.xmin, row.ymin, row.xmax, row.ymax)]
+    else:
+        ring_boxes = [
+            (min(rx), min(ry), max(rx), max(ry))
+            for rx, ry in zip(row.rings_x, row.rings_y)
+        ]
+    parts_x, parts_y, n_cand = [], [], 0
+    for bx0, by0, bx1, by1 in ring_boxes:
+        gx, gy = _bbox_grid(bx0, by0, bx1, by1, res)
+        n_cand += len(gx)
+        if n_cand > MAX_COVER_CELLS_PER_POLY:
+            raise ValueError(
+                f"polygon {row.poly_id} would cover {n_cand:,}+ candidate "
+                f"cells at res {res} (> {MAX_COVER_CELLS_PER_POLY:,}); use a "
+                f"coarser join resolution or split the polygon"
+            )
+        parts_x.append(gx)
+        parts_y.append(gy)
+    gx = np.concatenate(parts_x)
+    gy = np.concatenate(parts_y)
+    if len(ring_boxes) > 1:  # overlapping ring bboxes → dedup candidates
+        packed = np.unique((gx << 29) | gy)
+        gx, gy = packed >> 29, packed & ((1 << 29) - 1)
     clon = (gx + 0.5) / n * 360.0 - 180.0
     clat = (gy + 0.5) / n * 180.0 - 90.0
     if row.is_convex:

@@ -299,3 +299,24 @@ def test_distributed_covering_matches_driver_side(spark):
         ra = {tuple(r) for r in a.collect()}
         rb = {tuple(r) for r in b.collect()}
         assert ra == rb and len(ra) > 0, mode
+
+
+def test_cover_skips_span_between_distant_parts(spark):
+    """A 2-part MultiPolygon at opposite ends of the world must cover
+    only its parts' bbox cells, never the ocean between them (per-ring
+    bbox union, not one global bbox)."""
+    far = geometry.polygons_df(
+        spark,
+        [(1, "MULTIPOLYGON (((-179.5 0.5, -178.5 0.5, -178.5 1.5, -179.5 1.5, -179.5 0.5)), "
+             "((178.5 0.5, 179.5 0.5, 179.5 1.5, 178.5 1.5, 178.5 0.5)))")],
+    )
+    res = 10
+    cover = geometry.polygon_cover_cells(far, res, mode="bbox").toPandas()
+    n = 1 << res
+    xs = ((cover["cell_id"].to_numpy() >> 29) & ((1 << 29) - 1))
+    lon = (xs + 0.5) / n * 360.0 - 180.0
+    # every candidate cell hugs one of the two parts
+    assert (((lon > 178.0) | (lon < -178.0))).all()
+    assert len(cover) > 0
+    # the old single-bbox behavior would have produced ~the whole equator band
+    assert len(cover) < 200
