@@ -186,6 +186,72 @@ def cell_ring(cell, k: int, res: int) -> Column:
     return F.array_distinct(F.filter(ids, lambda v: v.isNotNull()))
 
 
+def _spread_bits(v: Column) -> Column:
+    """Spread the low 29 bits of a long so bit i lands at position 2i
+    (magic-number interleave, all native bit ops → codegen)."""
+    masks = [
+        (16, 0x0000FFFF0000FFFF),
+        (8, 0x00FF00FF00FF00FF),
+        (4, 0x0F0F0F0F0F0F0F0F),
+        (2, 0x3333333333333333),
+        (1, 0x5555555555555555),
+    ]
+    out = v.cast("long").bitwiseAND(F.lit(_XY_MASK))
+    for sh, m in masks:
+        out = out.bitwiseOR(F.shiftleft(out, sh)).bitwiseAND(F.lit(m))
+    return out
+
+
+def cell_morton(cell) -> Column:
+    """Z-order (Morton) key of a cell: x/y bits interleaved.
+
+    The storage-layout key for spatial locality — sorting/range-
+    partitioning a 100 TB table by Morton instead of the concatenated
+    (x, y) cell id keeps bbox queries inside a handful of contiguous
+    key ranges (and therefore files/row-groups), where an x-major sort
+    stripes every bbox across the whole table.  Pure bit arithmetic,
+    zero Python — the engine's answer to the reference's COG tiling
+    layout (`eodal/core/band.py:2263-2303`)."""
+    c = _col(cell)
+    return _spread_bits(cell_x_of(c)).bitwiseOR(
+        F.shiftleft(_spread_bits(cell_y_of(c)), 1)
+    )
+
+
+def np_cell_morton(cell: np.ndarray) -> np.ndarray:
+    """numpy twin of `cell_morton` (tests / driver-side range planning)."""
+    x = (cell >> _X_SHIFT) & _XY_MASK
+    y = cell & _XY_MASK
+    out = np.zeros(cell.shape, dtype=np.int64)
+    for i in range(29):
+        out |= ((x >> i) & 1) << (2 * i)
+        out |= ((y >> i) & 1) << (2 * i + 1)
+    return out
+
+
+def morton_ranges(cells: np.ndarray, max_ranges: int = 64) -> list[tuple[int, int]]:
+    """Consolidate a cell covering into ≤ ``max_ranges`` inclusive
+    Morton-key ranges (driver-side; the covering is already small).
+
+    Exact by construction: every covering cell's key is inside some
+    range; gaps wider than the merge budget stay separate ranges.  The
+    caller turns these into OR-of-BETWEEN predicates that push down to
+    parquet/Iceberg min-max stats on a Morton-sorted table."""
+    keys = np.sort(np.unique(np_cell_morton(np.asarray(cells, dtype=np.int64))))
+    if len(keys) == 0:
+        return []
+    # split at the largest gaps until within budget
+    gaps = np.diff(keys)
+    n_splits = min(max_ranges - 1, int((gaps > 1).sum()))
+    if n_splits:
+        cut_at = np.sort(np.argsort(gaps)[::-1][:n_splits])
+        starts = np.concatenate(([0], cut_at + 1))
+        ends = np.concatenate((cut_at, [len(keys) - 1]))
+    else:
+        starts, ends = np.array([0]), np.array([len(keys) - 1])
+    return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
+
+
 def tile_of(cell, res: int, tile_res: int, ts, bucket: str = "30 days") -> Column:
     """Tile id = (coarse cell, time bucket) — the engine's analogue of the
     reference's (tile_id, rounded sensing_time) mosaic grouping key

@@ -142,3 +142,75 @@ def test_spark_and_duckdb_centi_encode_agree(spark):
         f"range % 18000 AS lat_centi FROM range(3000))"
     ).fetchnumpy()["cell"]
     assert (got_spark == got_duck).all()
+
+
+def test_cell_morton_native_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(5)
+    lon = rng.uniform(-180, 180, 500)
+    lat = rng.uniform(-90, 90, 500)
+    cells = grid.np_cell_encode(lon, lat, 12)
+    expect = grid.np_cell_morton(cells)
+    df = spark.createDataFrame([(int(c),) for c in cells], ["cell_id"])
+    got = np.array(
+        [r[0] for r in df.select(grid.cell_morton("cell_id")).collect()]
+    )
+    assert (got == expect).all()
+    # interleave spot-check against a hand value: x=0b11, y=0b01 -> 0b0111
+    one = grid.np_cell_morton(np.array([(12 << 58) | (3 << 29) | 1]))
+    assert one[0] == 0b0111
+
+
+def test_morton_ranges_cover_all_cells():
+    import numpy as np
+
+    rng = np.random.default_rng(6)
+    lon = rng.uniform(7.0, 10.0, 300)
+    lat = rng.uniform(45.0, 49.0, 300)
+    cells = np.unique(grid.np_cell_encode(lon, lat, 10))
+    ranges = grid.morton_ranges(cells, max_ranges=8)
+    assert 1 <= len(ranges) <= 8
+    keys = grid.np_cell_morton(cells)
+    for k in keys:
+        assert any(lo <= k <= hi for lo, hi in ranges)
+    # ranges are disjoint and ordered
+    flat = [b for r in ranges for b in r]
+    assert flat == sorted(flat)
+
+
+def test_morton_sorted_layout_prunes_files(spark, tmp_path):
+    """Z-order layout: a bbox query hits a handful of files on a
+    Morton-sorted table, not a stripe across all of them."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import pages as P
+
+    res = 8
+    geo = P.geocode(P.synth_pages(spark, 40_000), res).select("url", "cell_id")
+    path = str(tmp_path / "zorder")
+    (
+        geo.withColumn("morton", grid.cell_morton("cell_id"))
+        .repartitionByRange(16, "morton")
+        .sortWithinPartitions("morton")
+        .write.parquet(path)
+    )
+    table = spark.read.parquet(path)
+    n_files = table.select(F.input_file_name()).distinct().count()
+    assert n_files >= 8
+    # bbox covering (Zürich box) -> morton ranges -> OR-of-BETWEEN
+    lon = np.arange(7.0, 10.0, 0.2)
+    lat = np.arange(45.0, 49.0, 0.2)
+    gx, gy = np.meshgrid(lon, lat)
+    cells = np.unique(grid.np_cell_encode(gx.ravel(), gy.ravel(), res))
+    ranges = grid.morton_ranges(cells, max_ranges=8)
+    pred = None
+    for lo, hi in ranges:
+        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+        pred = p if pred is None else (pred | p)
+    hit = table.filter(pred)
+    hit_files = hit.select(F.input_file_name()).distinct().count()
+    assert hit.count() > 0
+    assert hit_files <= max(2, n_files // 4), (hit_files, n_files)
