@@ -746,6 +746,14 @@ def _q_scale_mask(spark, sf_dir):
     )
 
 
+def _q_value_histogram(spark, sf_dir):
+    """Binned value histogram (Band.hist, band.py:1482-1520): integer
+    bin edges, empty bins backfilled, per return-flag zone."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return Z.histogram(li, "l_quantity", n_bins=10, lo=0, hi=50,
+                       by=("l_returnflag",))
+
+
 def _q_cell_upsample(spark, sf_dir):
     """Upsampling resample (≡ pixel-division value carry-down,
     `eodal/utils/arrays.py:66-109`): each page's res-6 parent explodes
@@ -899,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_timeseries": _q_poly_timeseries,
         "cell_resample": _q_cell_resample,
         "cell_upsample": _q_cell_upsample,
+        "value_histogram": _q_value_histogram,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
@@ -1375,6 +1384,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT {_duck_cell(6)} AS cell6, count(*) AS n
             FROM {pages}
             GROUP BY 1
+        """,
+        "value_histogram": """
+            SELECT k.l_returnflag, k.bin, coalesce(c.n, 0) AS n
+            FROM (
+              SELECT l_returnflag, b.bin
+              FROM (SELECT DISTINCT l_returnflag FROM lineitem),
+                   (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin) b
+            ) k
+            LEFT JOIN (
+              SELECT l_returnflag,
+                     least(greatest((CAST(floor(l_quantity) AS BIGINT) - 0) * 10 // 50, 0), 9) AS bin,
+                     count(*) AS n
+              FROM lineitem
+              GROUP BY 1, 2
+            ) c ON c.l_returnflag = k.l_returnflag AND c.bin = k.bin
         """,
         "cell_upsample": f"""
             SELECT (CAST(7 AS BIGINT) << 58)

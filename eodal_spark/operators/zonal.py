@@ -93,3 +93,38 @@ def value_counts(
         "share",
         F.when(total > 0, (F.col("n").cast("decimal(28,6)") / total).cast("decimal(28,6)")).otherwise(None),
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    n_bins: int,
+    lo: int,
+    hi: int,
+    by: tuple[str, ...] = (),
+) -> DataFrame:
+    """Fixed-width binned counts — `Band.hist` (`eodal/core/band.py:
+    1482-1520`) as one groupBy (optionally per zone via ``by``).
+
+    Bin assignment is **integer arithmetic** (``(v-lo)·n div (hi-lo)``,
+    clamped to the edge bins) so the result is bit-identical in any
+    engine — no float bin-edge ambiguity.  Returns (by..., bin, lo_edge
+    numerator kept integral) with empty bins backfilled per group."""
+    # floor-to-long first: CAST(double AS long) truncates in Spark but
+    # ROUNDS in DuckDB — floor() is the mode-free common ground
+    raw = F.expr(
+        f"((CAST(floor({value_col}) AS BIGINT) - {lo}) * {n_bins}) div ({hi} - {lo})"
+    )
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).alias("bin")
+    counts = df.select(*by, bin_).groupBy(*by, "bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spark = df.sparkSession
+    bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
+    if by:
+        keys = df.select(*by).distinct()
+        bins = keys.crossJoin(bins)
+    return (
+        bins.join(counts, [*by, "bin"], "left")
+        .withColumn("n", F.coalesce("n", F.lit(0)))
+    )
