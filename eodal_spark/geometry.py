@@ -570,14 +570,20 @@ def sql_pip_even_odd_rings(
 MAX_COVER_CELLS_PER_POLY = 2_000_000
 
 
-def _bbox_grid(xmin, ymin, xmax, ymax, res: int):
-    """Integer cell grid of one bbox: (gx, gy) raveled candidate arrays."""
+def _bbox_corners(xmin, ymin, xmax, ymax, res: int):
+    """Integer cell-coordinate corners of one bbox (no materialization)."""
     x0, _ = grid.np_cell_xy(np.array([xmin]), np.array([0.0]), res)
     x1, _ = grid.np_cell_xy(np.array([xmax]), np.array([0.0]), res)
     _, y0 = grid.np_cell_xy(np.array([0.0]), np.array([ymin]), res)
     _, y1 = grid.np_cell_xy(np.array([0.0]), np.array([ymax]), res)
-    cx = np.arange(x0[0], x1[0] + 1, dtype=np.int64)
-    cy = np.arange(y0[0], y1[0] + 1, dtype=np.int64)
+    return int(x0[0]), int(x1[0]), int(y0[0]), int(y1[0])
+
+
+def _bbox_grid(corners):
+    """Materialize the (gx, gy) candidate grid of precomputed corners."""
+    x0, x1, y0, y1 = corners
+    cx = np.arange(x0, x1 + 1, dtype=np.int64)
+    cy = np.arange(y0, y1 + 1, dtype=np.int64)
     gx, gy = np.meshgrid(cx, cy, indexing="ij")
     return gx.ravel(), gy.ravel()
 
@@ -600,20 +606,23 @@ def _cover_one(row, res: int, mode: str):
             (min(rx), min(ry), max(rx), max(ry))
             for rx, ry in zip(row.rings_x, row.rings_y)
         ]
-    parts_x, parts_y, n_cand = [], [], 0
-    for bx0, by0, bx1, by1 in ring_boxes:
-        gx, gy = _bbox_grid(bx0, by0, bx1, by1, res)
-        n_cand += len(gx)
-        if n_cand > MAX_COVER_CELLS_PER_POLY:
-            raise ValueError(
-                f"polygon {row.poly_id} would cover {n_cand:,}+ candidate "
-                f"cells at res {res} (> {MAX_COVER_CELLS_PER_POLY:,}); use a "
-                f"coarser join resolution or split the polygon"
-            )
-        parts_x.append(gx)
-        parts_y.append(gy)
-    gx = np.concatenate(parts_x)
-    gy = np.concatenate(parts_y)
+    # size check from corner arithmetic ALONE, before any grid exists —
+    # a near-global polygon at a fine res must raise the actionable
+    # error, not OOM inside meshgrid
+    corners = [
+        _bbox_corners(bx0, by0, bx1, by1, res)
+        for bx0, by0, bx1, by1 in ring_boxes
+    ]
+    n_cand = sum((x1 - x0 + 1) * (y1 - y0 + 1) for x0, x1, y0, y1 in corners)
+    if n_cand > MAX_COVER_CELLS_PER_POLY:
+        raise ValueError(
+            f"polygon {row.poly_id} would cover {n_cand:,} candidate "
+            f"cells at res {res} (> {MAX_COVER_CELLS_PER_POLY:,}); use a "
+            f"coarser join resolution or split the polygon"
+        )
+    parts = [_bbox_grid(c) for c in corners]
+    gx = np.concatenate([p[0] for p in parts])
+    gy = np.concatenate([p[1] for p in parts])
     if len(ring_boxes) > 1:  # overlapping ring bboxes → dedup candidates
         packed = np.unique((gx << 29) | gy)
         gx, gy = packed >> 29, packed & ((1 << 29) - 1)

@@ -166,6 +166,9 @@ def _token_hashes(arr: np.ndarray) -> np.ndarray:
     is_tok = ~((arr == 32) | ((arr >= 9) & (arr <= 13)))
     if not is_tok.any():
         return np.empty(0, dtype=np.uint64)
+    # NOTE: raw polynomial hashes of short tokens are tiny (1-byte token
+    # → value < 2^8), which would zero the high simhash bit votes; the
+    # splitmix64 finalizer below (_mix64) spreads them over all 64 bits.
     d = np.diff(is_tok.astype(np.int8))
     starts = np.nonzero(d == 1)[0] + 1
     ends = np.nonzero(d == -1)[0] + 1
@@ -184,7 +187,21 @@ def _token_hashes(arr: np.ndarray) -> np.ndarray:
         s = np.concatenate(
             ([np.uint64(0)], np.cumsum(arr.astype(np.uint64) * ivp))
         )
-        return pw[ends - 1] * (s[ends] - s[starts])
+        return _mix64(pw[ends - 1] * (s[ends] - s[starts]))
+
+
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized): bijective 64-bit avalanche so
+    every output bit depends on every input bit — without it, short
+    tokens leave the high bits all-zero and bias simhash votes."""
+    with np.errstate(over="ignore"):
+        h = h.astype(np.uint64)
+        h ^= h >> np.uint64(30)
+        h *= np.uint64(0xBF58476D1CE4E5B9)
+        h ^= h >> np.uint64(27)
+        h *= np.uint64(0x94D049BB133111EB)
+        h ^= h >> np.uint64(31)
+        return h
 
 
 def minhash_lsh_candidates(
@@ -346,7 +363,9 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.array(
                 *[
                     F.shiftrightunsigned("simhash", int(off)).bitwiseAND(
-                        F.lit((1 << wid) - 1)
+                        # width 64 (max_hamming=0): (1<<64)-1 overflows
+                        # LongType — -1 is the all-ones long
+                        F.lit((1 << wid) - 1 if wid < 64 else -1)
                     )
                     for off, wid in zip(offsets, widths)
                 ]

@@ -52,8 +52,18 @@ def to_labeled(
             "duplicate cells in export window; aggregate per cell first "
             "(e.g. zonal.reduce or mosaic_dedup)"
         )
-    xs = np.sort(pdf["_x"].unique())
-    ys = np.sort(pdf["_y"].unique())
+    if len(pdf) == 0:
+        return {
+            "coords": {"lon": np.empty(0), "lat": np.empty(0)},
+            "data": {c: np.empty((0, 0)) for c in value_cols},
+            "res": res,
+        }
+    # DENSE coordinate ranges (min..max), not just observed values —
+    # an entirely-empty lon column / lat row inside the window must
+    # appear as a nodata stripe, or consumers treating the result as a
+    # regular raster misplace every cell past the gap
+    xs = np.arange(pdf["_x"].min(), pdf["_x"].max() + 1, dtype=np.int64)
+    ys = np.arange(pdf["_y"].min(), pdf["_y"].max() + 1, dtype=np.int64)
     xi = {v: i for i, v in enumerate(xs)}
     yi = {v: i for i, v in enumerate(ys)}
     n = 1 << res

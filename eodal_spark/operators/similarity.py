@@ -176,12 +176,15 @@ def ivf_train_centroids(
     """Coarse quantizer for IVF: k-means on a driver-side sample
     (Lloyd's, numpy).  At 10^12 scale the sample is still tiny — the
     quantizer is a model artifact, not a data pass."""
-    # deterministic sample: top-`sample` by vec_id runs as
-    # TakeOrderedAndProject (per-partition top-k + merge, no full sort),
-    # unlike bare limit() whose rows depend on partition layout
+    # deterministic AND spread sample: order by a hash of vec_id so the
+    # sample isn't the lowest-id prefix (vec_id usually correlates with
+    # insertion time/source, which would train every centroid on the
+    # oldest shard's distribution); runs as TakeOrderedAndProject
+    # (per-partition top-k + merge, no full sort), and is reproducible
+    # under any partition layout — unlike bare limit()
     rows = (
         corpus.select("vec_id", "embedding")
-        .orderBy("vec_id")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
         .limit(sample)
         .collect()
     )
@@ -277,11 +280,16 @@ def embedding_near_dup_pairs(
     ``sqdist``), engineered for 10^12-row corpora:
 
     1. **exact-duplicate collapse** — vectors identical under q7
-       quantization group to one representative (min id); members pair
-       with their representative *linearly* (sqdist 0), never all-pairs.
-       This removes the classic skew killer (millions of identical
-       empty-doc embeddings landing in one SRP bucket — no number of
-       extra planes can split identical vectors).
+       quantization group to one representative (min id); only
+       representatives enter SRP bucketing.  This removes the classic
+       skew killer (millions of identical empty-doc embeddings landing
+       in one SRP bucket — no number of extra planes can split
+       identical vectors).  The output is then **expanded back to the
+       full pair closure** (members inherit their representative's
+       matches, and duplicate groups emit their within-group pairs at
+       sqdist 0), so the result equals the all-pairs definition — the
+       expansion is linear in the *output* size, which is the
+       irreducible cost of the pairs contract itself.
     2. **adaptive plane count** — ``n_planes`` defaults to
        log2(|reps| / target_bucket_rows), so expected bucket size stays
        ~``target_bucket_rows`` at any corpus size instead of the
@@ -296,26 +304,20 @@ def embedding_near_dup_pairs(
     exploded to (table, bucket) rows; candidates shuffle once on the
     (table, bucket) key; the exact q7 distance filter runs before
     dropDuplicates so only true near-pairs are deduped."""
+    members = None
     if collapse_exact:
         qv = corpus.select(
             "vec_id", "embedding", _quantize_vec(F.col("embedding")).alias("_q")
         )
         reps = qv.groupBy("_q").agg(
-            F.min("vec_id").alias("vec_id"),
+            F.min("vec_id").alias("rep_id"),
             F.min_by("embedding", "vec_id").alias("embedding"),
-        )
-        exact_pairs = (
-            qv.join(reps.select("_q", F.col("vec_id").alias("id_a")), "_q")
-            .filter(F.col("vec_id") != F.col("id_a"))
-            .select(
-                "id_a",
-                F.col("vec_id").alias("id_b"),
-                F.lit(0).cast("long").alias("sqdist"),
-            )
-        )
-        base = reps.select("vec_id", "embedding")
+        ).persist()  # reused by base, the plane-count sizing, and expansion
+        members = qv.join(reps.select("_q", "rep_id"), "_q").select(
+            "rep_id", "vec_id"
+        )  # every vector (including each representative itself)
+        base = reps.select(F.col("rep_id").alias("vec_id"), "embedding")
     else:
-        exact_pairs = None
         base = corpus.select("vec_id", "embedding")
 
     if n_planes is None:
@@ -338,16 +340,17 @@ def embedding_near_dup_pairs(
         ).alias("_tb"),
     ).select("vec_id", "embedding", F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"))
 
-    if guard == "raise":
-        # the guard is an eager aggregation over the bucketed corpus;
-        # persist so the pair join below reuses the bucketing instead
-        # of recomputing the SRP UDFs (callers may unpersist the
-        # returned DataFrame's lineage when done)
-        stacked = stacked.persist()
+    # persist in BOTH guard paths: sizes, the self-join's build side and
+    # its probe side would otherwise each rerun the n_tables SRP UDFs
+    # over the corpus (callers may unpersist the result's lineage)
+    stacked = stacked.persist()
     sizes = stacked.groupBy("tbl", "bucket").count()
     if guard == "raise":
         top = sizes.orderBy(F.desc("count")).first()
         if top is not None and top["count"] > max_bucket_rows:
+            stacked.unpersist()
+            if members is not None:
+                reps.unpersist()
             raise ValueError(
                 f"SRP bucket (table {top['tbl']}, bucket {top['bucket']}) has "
                 f"{top['count']:,} rows (> {max_bucket_rows:,}); raise n_planes "
@@ -374,6 +377,31 @@ def embedding_near_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    if exact_pairs is not None:
-        pairs = pairs.unionByName(exact_pairs)
-    return pairs
+    if members is None:
+        return pairs
+    # expand back to the full pair closure (see docstring): members
+    # inherit their representative's matches — quantized-identical
+    # vectors have the SAME q7 distance to any third vector, so the
+    # inherited sqdist is exact, not approximate
+    ma = members.select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("_va"))
+    mb = members.select(F.col("rep_id").alias("id_b"), F.col("vec_id").alias("_vb"))
+    cross = (
+        pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_va", "_vb").alias("id_a"),
+            F.greatest("_va", "_vb").alias("id_b"),
+            "sqdist",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), "rep_id")
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("id_a"),
+            F.col("y.vec_id").alias("id_b"),
+            F.lit(0).cast("long").alias("sqdist"),
+        )
+    )
+    return cross.unionByName(within)

@@ -122,7 +122,10 @@ def histogram(
     spark = df.sparkSession
     bins = spark.range(n_bins).select(F.col("id").cast("int").alias("bin"))
     if by:
-        keys = df.select(*by).distinct()
+        # group keys come from the (already tiny) counts aggregate —
+        # re-scanning the fact table just to enumerate keys would be a
+        # second full pass
+        keys = counts.select(*by).distinct()
         bins = keys.crossJoin(bins)
     return (
         bins.join(counts, [*by, "bin"], "left")

@@ -125,33 +125,33 @@ def streaming_mosaic_dedup(
 ) -> DataFrame:
     """Streaming first-wins mosaic: the stateful twin of
     `tiling.mosaic_dedup` — per (cell, time-bucket) keep the min
-    (ts_sec, url) row EVER seen, carried across micro-batches in
+    (ts_us, url) row EVER seen, carried across micro-batches in
     `applyInPandasWithState` state.  Emits a row only when the winner
     for a key changes (update mode), so a re-delivered or late page
     that loses the total-order tie-break produces no output — the same
     deterministic survivor the batch operator picks.
 
-    State per key is two scalars (ts_sec, url) — at 10^12 pages the
+    State per key is two scalars (ts_us, url) — at 10^12 pages the
     state store scales with |distinct (cell, bucket)| (the mosaic's
     output cardinality), not the input rate."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from eodal_spark.sources.pages import extract_text, parse_geo
-
-    txt = extract_text(F.col("html"))
-    _, _, lat, lon = parse_geo(txt)
-    geo = pages_stream.select("url", "warc_ts", lat.alias("lat"), lon.alias("lon"))
-    geo = geo.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    # the SAME gated geocode as the batch path (P.geocode): unparseable
+    # pages get cell_id -1 instead of the valid -180/-90 corner cell,
+    # and the order key is full-precision microseconds (the batch
+    # operator orders by full warc_ts — second-truncation would pick a
+    # different survivor for sub-second ties)
+    geo = P.geocode(pages_stream, res).select("url", "warc_ts", "cell_id")
     geo = geo.withColumn(
-        "ts_sec", F.col("warc_ts").cast("timestamp").cast("long")
-    ).withColumn("ts_bucket", F.expr(f"ts_sec div {bucket_seconds}"))
+        "ts_us", F.unix_micros(F.col("warc_ts").cast("timestamp"))
+    ).withColumn("ts_bucket", F.expr(f"ts_us div {bucket_seconds * 1_000_000}"))
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
 
         best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
-            for ts, url in zip(pdf["ts_sec"], pdf["url"]):
+            for ts, url in zip(pdf["ts_us"], pdf["url"]):
                 cand = (int(ts), str(url))
                 if best is None or cand < best:
                     best = cand
@@ -162,15 +162,15 @@ def streaming_mosaic_dedup(
                 {
                     "cell_id": [key[0]],
                     "ts_bucket": [key[1]],
-                    "ts_sec": [best[0]],
+                    "ts_us": [best[0]],
                     "url": [best[1]],
                 }
             )
 
     return geo.groupBy("cell_id", "ts_bucket").applyInPandasWithState(
         update,
-        outputStructType="cell_id long, ts_bucket long, ts_sec long, url string",
-        stateStructType="ts_sec long, url string",
+        outputStructType="cell_id long, ts_bucket long, ts_us long, url string",
+        stateStructType="ts_us long, url string",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

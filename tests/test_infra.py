@@ -318,21 +318,23 @@ def test_streaming_mosaic_dedup_matches_batch(spark, tmp_path):
     got = spark.table("mosaic_out")
     # last emitted winner per key (min over emissions — winners only improve)
     finals = got.groupBy("cell_id", "ts_bucket").agg(
-        F.min(F.struct("ts_sec", "url")).alias("w")
-    ).select("cell_id", "ts_bucket", "w.ts_sec", "w.url")
+        F.min(F.struct("ts_us", "url")).alias("w")
+    ).select("cell_id", "ts_bucket", "w.ts_us", "w.url")
 
     geo = P.geocode(spark.read.parquet(src), res)
-    geo = geo.withColumn("ts_sec", F.col("warc_ts").cast("timestamp").cast("long"))
-    geo = geo.withColumn("ts_bucket", F.expr(f"ts_sec div {86_400 * 30}"))
+    geo = geo.withColumn(
+        "ts_us", F.unix_micros(F.col("warc_ts").cast("timestamp"))
+    )
+    geo = geo.withColumn("ts_bucket", F.expr(f"ts_us div {86_400 * 30 * 1_000_000}"))
     expect = (
         geo.groupBy("cell_id", "ts_bucket")
-        .agg(F.min(F.struct("ts_sec", "url")).alias("w"))
-        .select("cell_id", "ts_bucket", "w.ts_sec", "w.url")
+        .agg(F.min(F.struct("ts_us", "url")).alias("w"))
+        .select("cell_id", "ts_bucket", "w.ts_us", "w.url")
     )
     assert finals.count() == expect.count()
     mism = (
         finals.alias("g").join(expect.alias("b"), ["cell_id", "ts_bucket"], "full")
-        .filter("g.url IS DISTINCT FROM b.url OR g.ts_sec IS DISTINCT FROM b.ts_sec")
+        .filter("g.url IS DISTINCT FROM b.url OR g.ts_us IS DISTINCT FROM b.ts_us")
         .count()
     )
     assert mism == 0

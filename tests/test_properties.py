@@ -11,7 +11,7 @@ from hypothesis import strategies as st
 
 from eodal_spark import grid
 from eodal_spark import geometry as G
-from eodal_spark.operators.dedup import _token_hashes, _POLY_BASE
+from eodal_spark.operators.dedup import _mix64, _token_hashes, _POLY_BASE
 
 lon_st = st.floats(min_value=-180.0, max_value=179.999, allow_nan=False)
 lat_st = st.floats(min_value=-90.0, max_value=89.999, allow_nan=False)
@@ -110,6 +110,10 @@ def test_token_hashes_match_per_token_reference(words):
         h = 0
         for b in tok:
             h = (h * int(_POLY_BASE) + b) & 0xFFFFFFFFFFFFFFFF
-        return h
+        return int(_mix64(np.array([h], dtype=np.uint64))[0])
 
     assert got == [ref(w.encode()) for w in text.split()]
+    # the finalizer spreads short tokens over all 64 bits
+    if any(len(w) <= 2 for w in words):
+        short = [ref(w.encode()) for w in words if len(w) <= 2]
+        assert any(h >> 48 for h in short) or len(short) < 3

@@ -175,3 +175,38 @@ def test_near_dup_adaptive_planes_and_recall(spark, corpus):
     )
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert {(v, v + 100000) for v in range(20)} <= got
+
+
+def test_near_dup_closure_with_duplicate_groups(spark, corpus):
+    """Full all-pairs closure with collapse_exact: a duplicate group
+    {a1,a2,a3} plus a near-neighbor b must emit every within-group pair
+    AND b's pair with EVERY member — not just the representative."""
+    one = corpus.orderBy("vec_id").first()
+    a1 = one["vec_id"]
+    clones = spark.createDataFrame(
+        [(900001, one["embedding"]), (900002, one["embedding"])],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    near = spark.createDataFrame(
+        [(900003, [float(x) * 1.001 for x in one["embedding"]])],
+        ["vec_id", "embedding"],
+    ).select("vec_id", F.col("embedding").cast("array<float>"))
+    aug = (
+        corpus.filter(F.col("vec_id") < 100)
+        .select("vec_id", "embedding")
+        .unionByName(clones)
+        .unionByName(near)
+    )
+    dim = len(one["embedding"])
+    pairs = S.embedding_near_dup_pairs(
+        aug, sqdist_threshold=10_000_000_000, dim=dim, collapse_exact=True
+    )
+    got = {(r["id_a"], r["id_b"]): r["sqdist"] for r in pairs.collect()}
+    group = sorted([a1, 900001, 900002])
+    # within-group closure at sqdist 0
+    for i in range(3):
+        for j in range(i + 1, 3):
+            assert got.get((group[i], group[j])) == 0
+    # the near vector pairs with EVERY member, same inherited distance
+    dists = {got.get((min(m, 900003), max(m, 900003))) for m in group}
+    assert None not in dists and len(dists) == 1
