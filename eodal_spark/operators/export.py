@@ -25,6 +25,11 @@ from pyspark.sql import functions as F
 
 from eodal_spark import grid
 
+# dense-window guard (the covering/bucket-guard pattern): two observed
+# cells at opposite corners of a fine grid must fail fast with guidance,
+# not allocate a driver-crushing dense array
+MAX_EXPORT_CELLS = 100_000_000  # ~800 MB float64 per value column
+
 
 def to_labeled(
     df: DataFrame,
@@ -62,17 +67,25 @@ def to_labeled(
     # an entirely-empty lon column / lat row inside the window must
     # appear as a nodata stripe, or consumers treating the result as a
     # regular raster misplace every cell past the gap
-    xs = np.arange(pdf["_x"].min(), pdf["_x"].max() + 1, dtype=np.int64)
-    ys = np.arange(pdf["_y"].min(), pdf["_y"].max() + 1, dtype=np.int64)
-    xi = {v: i for i, v in enumerate(xs)}
-    yi = {v: i for i, v in enumerate(ys)}
+    x_lo, x_hi = int(pdf["_x"].min()), int(pdf["_x"].max())
+    y_lo, y_hi = int(pdf["_y"].min()), int(pdf["_y"].max())
+    n_cells = (x_hi - x_lo + 1) * (y_hi - y_lo + 1)
+    if n_cells > MAX_EXPORT_CELLS:
+        raise ValueError(
+            f"dense export window spans {n_cells:,} cells "
+            f"(> {MAX_EXPORT_CELLS:,}); export a smaller window, a coarser "
+            f"resolution (grid.cell_parent), or keep the relation sparse"
+        )
+    xs = np.arange(x_lo, x_hi + 1, dtype=np.int64)
+    ys = np.arange(y_lo, y_hi + 1, dtype=np.int64)
     n = 1 << res
     coords = {
         "lon": (xs + 0.5) / n * 360.0 - 180.0,
         "lat": (ys + 0.5) / n * 180.0 - 90.0,
     }
-    row_i = pdf["_y"].map(yi).to_numpy()
-    col_i = pdf["_x"].map(xi).to_numpy()
+    # contiguous ranges → indices by subtraction (no per-row dict maps)
+    row_i = pdf["_y"].to_numpy(dtype=np.int64) - y_lo
+    col_i = pdf["_x"].to_numpy(dtype=np.int64) - x_lo
     data = {}
     for c in value_cols:
         a = np.full((len(ys), len(xs)), nodata, dtype=np.float64)

@@ -275,6 +275,8 @@ def embedding_near_dup_pairs(
     max_bucket_rows: int = 200_000,
     guard: str = "raise",
     collapse_exact: bool = True,
+    expand: str = "closure",
+    max_group_size: int = 2_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (id_a < id_b, quantized-exact
     ``sqdist``), engineered for 10^12-row corpora:
@@ -289,7 +291,13 @@ def embedding_near_dup_pairs(
        matches, and duplicate groups emit their within-group pairs at
        sqdist 0), so the result equals the all-pairs definition — the
        expansion is linear in the *output* size, which is the
-       irreducible cost of the pairs contract itself.
+       irreducible cost of the pairs contract itself.  Because a
+       duplicate group's clique is quadratic in its size AND lands on
+       one join key (unsplittable), groups larger than
+       ``max_group_size`` fail fast with guidance; ``expand="star"``
+       emits the linear representative→member star instead of the
+       clique (the right contract for survivor-selection dedup, where
+       the closure is redundant).
     2. **adaptive plane count** — ``n_planes`` defaults to
        log2(|reps| / target_bucket_rows), so expected bucket size stays
        ~``target_bucket_rows`` at any corpus size instead of the
@@ -303,7 +311,17 @@ def embedding_near_dup_pairs(
     All ``n_tables`` hash tables are computed in ONE corpus scan and
     exploded to (table, bucket) rows; candidates shuffle once on the
     (table, bucket) key; the exact q7 distance filter runs before
-    dropDuplicates so only true near-pairs are deduped."""
+    dropDuplicates so only true near-pairs are deduped.
+
+    Caching note: intermediates (reps/members/bucketing) are persisted
+    because the guard makes this operator eager and the pair join reuses
+    them; they stay cached for the returned DataFrame's lifetime —
+    long-lived sessions issuing many calls should ``spark.catalog.
+    clearCache()`` between them."""
+    if guard not in ("raise", "skip"):
+        raise ValueError(guard)
+    if expand not in ("closure", "star"):
+        raise ValueError(expand)
     members = None
     if collapse_exact:
         qv = corpus.select(
@@ -315,7 +333,25 @@ def embedding_near_dup_pairs(
         ).persist()  # reused by base, the plane-count sizing, and expansion
         members = qv.join(reps.select("_q", "rep_id"), "_q").select(
             "rep_id", "vec_id"
-        )  # every vector (including each representative itself)
+        ).persist()  # reused by ma/mb and both sides of the within join
+        if expand == "closure":
+            big = (
+                members.groupBy("rep_id")
+                .count()
+                .filter(F.col("count") > max_group_size)
+                .orderBy(F.desc("count"))
+                .first()
+            )
+            if big is not None:
+                members.unpersist()
+                reps.unpersist()
+                raise ValueError(
+                    f"duplicate group of representative {big['rep_id']} has "
+                    f"{big['count']:,} members (> {max_group_size:,}); its "
+                    f"pair clique is quadratic AND lands on one join key — "
+                    f"use expand='star' (linear representative→member pairs) "
+                    f"or raise max_group_size deliberately"
+                )
         base = reps.select(F.col("rep_id").alias("vec_id"), "embedding")
     else:
         base = corpus.select("vec_id", "embedding")
@@ -351,6 +387,7 @@ def embedding_near_dup_pairs(
             stacked.unpersist()
             if members is not None:
                 reps.unpersist()
+                members.unpersist()
             raise ValueError(
                 f"SRP bucket (table {top['tbl']}, bucket {top['bucket']}) has "
                 f"{top['count']:,} rows (> {max_bucket_rows:,}); raise n_planes "
@@ -379,6 +416,13 @@ def embedding_near_dup_pairs(
     )
     if members is None:
         return pairs
+    if expand == "star":
+        star = members.filter(F.col("vec_id") != F.col("rep_id")).select(
+            F.col("rep_id").alias("id_a"),
+            F.col("vec_id").alias("id_b"),
+            F.lit(0).cast("long").alias("sqdist"),
+        )
+        return pairs.unionByName(star)
     # expand back to the full pair closure (see docstring): members
     # inherit their representative's matches — quantized-identical
     # vectors have the SAME q7 distance to any third vector, so the

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from eodal_spark import grid
 from eodal_spark.sources import pages as P
 
 
@@ -39,6 +38,16 @@ def streaming_pages(spark, rows_per_second: int = 1000) -> DataFrame:
     )
 
 
+def _gated_geo(pages_stream: DataFrame, res: int) -> DataFrame:
+    """The SAME gated geocode as the batch path (`P.geocode`), shared by
+    every streaming operator: unparseable pages get the non-joining
+    cell_id -1 sentinel and are EXCLUDED from per-cell streams — the
+    batch pipeline drops them at the polygon/covering join; streaming
+    per-cell aggregates have no such join, so without the filter every
+    garbage page would pile onto one hot corner-cell key."""
+    return P.geocode(pages_stream, res).filter(F.col("cell_id") != -1)
+
+
 def windowed_cell_counts(
     pages_stream: DataFrame,
     res: int,
@@ -48,16 +57,7 @@ def windowed_cell_counts(
     """Watermarked tumbling-window per-cell page counts — the streaming
     analogue of tile histograms. Late rows beyond the watermark are
     dropped (≡ the reference's tolerance cut, mapper.py:655-663)."""
-    from eodal_spark.sources.pages import extract_text, parse_geo
-
-    txt = extract_text(F.col("html"))
-    lat_centi, lon_centi, lat, lon = parse_geo(txt)
-    geo = pages_stream.select(
-        "url",
-        "warc_ts",
-        lat.alias("lat"),
-        lon.alias("lon"),
-    ).withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    geo = _gated_geo(pages_stream, res).select("url", "warc_ts", "cell_id")
     return (
         geo.withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("win"), F.col("cell_id"))
@@ -75,12 +75,7 @@ def session_windowed_counts(
     grouping of tiles into one scene per (rounded) timestamp
     (`eodal/mapper/mapper.py:572-616`): bursts of pages for a cell
     within ``gap`` of each other collapse into one session row."""
-    from eodal_spark.sources.pages import extract_text, parse_geo
-
-    txt = extract_text(F.col("html"))
-    _, _, lat, lon = parse_geo(txt)
-    geo = pages_stream.select("url", "warc_ts", lat.alias("lat"), lon.alias("lon"))
-    geo = geo.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    geo = _gated_geo(pages_stream, res).select("url", "warc_ts", "cell_id")
     return (
         geo.withWatermark("warc_ts", watermark)
         .groupBy(F.session_window("warc_ts", gap).alias("sess"), F.col("cell_id"))
@@ -95,12 +90,7 @@ def stateful_cell_counter(pages_stream: DataFrame, res: int) -> DataFrame:
     one long per cell; each batch emits the updated running total."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    from eodal_spark.sources.pages import extract_text, parse_geo
-
-    txt = extract_text(F.col("html"))
-    _, _, lat, lon = parse_geo(txt)
-    geo = pages_stream.select("url", lat.alias("lat"), lon.alias("lon"))
-    geo = geo.withColumn("cell_id", grid.cell_encode("lon", "lat", res))
+    geo = _gated_geo(pages_stream, res).select("url", "cell_id")
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -136,12 +126,11 @@ def streaming_mosaic_dedup(
     output cardinality), not the input rate."""
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    # the SAME gated geocode as the batch path (P.geocode): unparseable
-    # pages get cell_id -1 instead of the valid -180/-90 corner cell,
-    # and the order key is full-precision microseconds (the batch
-    # operator orders by full warc_ts — second-truncation would pick a
-    # different survivor for sub-second ties)
-    geo = P.geocode(pages_stream, res).select("url", "warc_ts", "cell_id")
+    # gated geocode via _gated_geo (sentinel rows excluded); the order
+    # key is full-precision microseconds — the batch operator orders by
+    # full warc_ts, so second-truncation would pick a different survivor
+    # for sub-second ties
+    geo = _gated_geo(pages_stream, res).select("url", "warc_ts", "cell_id")
     geo = geo.withColumn(
         "ts_us", F.unix_micros(F.col("warc_ts").cast("timestamp"))
     ).withColumn("ts_bucket", F.expr(f"ts_us div {bucket_seconds * 1_000_000}"))

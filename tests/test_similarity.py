@@ -210,3 +210,31 @@ def test_near_dup_closure_with_duplicate_groups(spark, corpus):
     # the near vector pairs with EVERY member, same inherited distance
     dists = {got.get((min(m, 900003), max(m, 900003))) for m in group}
     assert None not in dists and len(dists) == 1
+
+
+def test_near_dup_group_size_guard_and_star(spark, corpus):
+    """A duplicate group beyond max_group_size fails fast in closure
+    mode (its clique is quadratic on ONE join key); expand='star' emits
+    the linear representative->member pairs instead."""
+    one = corpus.orderBy("vec_id").first()
+    clones = spark.range(1000, 1050).select(
+        F.col("id").alias("vec_id"),
+        F.lit(one["embedding"]).cast("array<float>").alias("embedding"),
+    )
+    aug = corpus.filter(F.col("vec_id") < 50).select(
+        "vec_id", "embedding"
+    ).unionByName(clones)
+    dim = len(one["embedding"])
+    with pytest.raises(ValueError, match="star"):
+        S.embedding_near_dup_pairs(
+            aug, sqdist_threshold=1, dim=dim, max_group_size=10,
+        )
+    pairs = S.embedding_near_dup_pairs(
+        aug, sqdist_threshold=1, dim=dim, max_group_size=10, expand="star",
+    ).collect()
+    rep = min(one["vec_id"], 1000)
+    star = {(r["id_a"], r["id_b"]) for r in pairs if r["sqdist"] == 0}
+    expected = {(rep, m) for m in ({one["vec_id"], *range(1000, 1050)} - {rep})}
+    assert expected <= star
+    # star is linear: no member-member pairs
+    assert all(a == rep for a, _ in star)
