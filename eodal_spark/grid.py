@@ -252,21 +252,6 @@ def morton_ranges(cells: np.ndarray, max_ranges: int = 64) -> list[tuple[int, in
     return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
 
 
-def tile_of(cell, res: int, tile_res: int, ts, bucket: str = "30 days") -> Column:
-    """Tile id = (coarse cell, time bucket) — the engine's analogue of the
-    reference's (tile_id, rounded sensing_time) mosaic grouping key
-    (`eodal/mapper/mapper.py:554-570`). String for human-readable output."""
-    coarse = cell_parent(cell, res, tile_res)
-    return F.concat_ws(
-        "/",
-        F.lit(f"r{tile_res}"),
-        cell_x_of(coarse).cast("string"),
-        cell_y_of(coarse).cast("string"),
-        F.date_trunc("day", F.window(_col(ts), bucket).start).cast("date").cast(
-            "string"
-        ),
-    )
-
 
 # ---------------------------------------------------------------------------
 # Arrow-vectorized variant + numpy reference (used by oracles/tests)

@@ -89,9 +89,21 @@ class Mapper:
     # -- phase 2: pixels ---------------------------------------------------
     def load_scenes(self) -> DataFrame:
         """Pixel phase (≡ mapper.py:833-909 + _load_scenes_collection
-        :471-792): geocode → clip to feature → tile tag → first-wins
-        mosaic dedup. One lazy DAG; the per-scene loop is gone."""
+        :471-792): geocode → restrict to the QUERIED scenes' footprints
+        → clip to feature → tile tag → first-wins mosaic dedup.  One
+        lazy DAG; the per-scene loop is gone.
+
+        Query-before-load is enforced when a tiles catalog is attached
+        (≡ the reference's guards, mapper.py:317-344): the catalog
+        phase decides WHICH scenes exist, so metadata filters genuinely
+        restrict the loaded pixels — pages outside every queried
+        scene's footprint are excluded."""
         c = self.configs
+        if self._tiles is not None and self.metadata is None:
+            raise ValueError(
+                "call query_scenes() before load_scenes() — the catalog "
+                "phase selects the scenes the pixel phase loads"
+            )
         geo = P.geocode(
             self._pages.filter(
                 (F.col("warc_ts") >= F.lit(c.time_start))
@@ -99,6 +111,19 @@ class Mapper:
             ),
             c.res,
         )
+        if self.metadata is not None:
+            # footprints of the queried scenes (tiny catalog result) →
+            # OR-of-bbox predicate, evaluated map-side on the pages scan
+            boxes = self.metadata.select("xmin", "ymin", "xmax", "ymax").collect()
+            pred = F.lit(False)
+            for b in boxes:
+                pred = pred | (
+                    (F.col("lon") >= b["xmin"])
+                    & (F.col("lon") <= b["xmax"])
+                    & (F.col("lat") >= b["ymin"])
+                    & (F.col("lat") <= b["ymax"])
+                )
+            geo = geo.filter(pred)
         polys = geometry.polygons_df(
             geo.sparkSession, [(1, c.feature)]
         )

@@ -102,7 +102,11 @@ def frame_sample(df: DataFrame, payload_col: str, every_n: int, frame_bytes: int
     "frames" and keep every n-th — native byte slicing via substring on
     binary (no UDF); the real path would substitute codec-aware cuts."""
     n_frames = F.floor(F.length(payload_col) / frame_bytes).cast("int")
-    idx = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+    # payloads shorter than one frame yield an EMPTY array — the old
+    # greatest(n-1, 0) clamp leaked a phantom partial frame for them
+    idx = F.when(
+        n_frames >= 1, F.sequence(F.lit(0), n_frames - 1)
+    ).otherwise(F.array().cast("array<int>"))
     frames = F.filter(idx, lambda i: i % every_n == 0)
     return df.select(
         "*",

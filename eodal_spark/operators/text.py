@@ -63,8 +63,14 @@ def lang_id(text: Column) -> Column:
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace tokenization count — native, no UDF."""
-    return F.size(F.split(F.trim(text), r"\s+"))
+    """Whitespace tokenization count — native, no UDF.
+
+    Empty/whitespace-only text counts 0 tokens (split('') yields ['']
+    — size 1 — without the guard, making empty docs indistinguishable
+    from one-word docs and disagreeing with the regexp-count oracle)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:

@@ -42,7 +42,12 @@ def assign_tiles(
         "tile_cell", grid.cell_parent("cell_id", res, tile_res)
     ).withColumn(
         "ts_bucket",
-        (F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)).cast("long"),
+        # floor division (not double-divide + truncating cast): pre-epoch
+        # timestamps must bucket like the oracle's `//` — trunc would
+        # collapse the two buckets around 1970 into one
+        F.floor(
+            F.unix_timestamp(F.col(ts_col)) / F.lit(bucket_seconds)
+        ).cast("long"),
     )
     return df.withColumn(
         "tile_id",

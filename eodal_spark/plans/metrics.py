@@ -28,7 +28,14 @@ def count_rows_accumulator(df: DataFrame, sc=None):
 
     Returns (df_passthrough, accumulator).  The accumulator fills when
     the plan executes — read it *after* an action.  mapInPandas
-    pass-through keeps Arrow batching (no per-row Python)."""
+    pass-through keeps Arrow batching (no per-row Python).
+
+    CAVEAT (inherent to transformation-side accumulators): Spark
+    guarantees exactly-once updates only inside actions, so task
+    retries/speculation and re-running actions on the same plan inflate
+    the count — treat it as a live progress signal, not lineage truth.
+    Exact per-stage counts come from `append_stage_metrics` (a real
+    aggregation)."""
     sc = sc or df.sparkSession.sparkContext
     acc = sc.accumulator(0)
 
@@ -59,9 +66,13 @@ def append_stage_metrics(df: DataFrame, stage: str, metrics_dir: str) -> dict:
     """Compute partition metrics for a stage and append them to the
     metrics table (parquet dir, Iceberg in production).  Returns a
     lineage record {stage, partitions, rows}."""
-    m = partition_metrics(df, stage)
+    # persist the (tiny) metrics frame: the write and the aggregate are
+    # two actions, and without it each re-executes the stage's full
+    # upstream plan
+    m = partition_metrics(df, stage).persist()
     m.write.mode("append").parquet(os.path.join(metrics_dir, "partition_metrics"))
     agg = m.agg(F.count(F.lit(1)), F.sum("rows")).first()
+    m.unpersist()
     record = {"stage": stage, "partitions": int(agg[0] or 0), "rows": int(agg[1] or 0)}
     with open(os.path.join(metrics_dir, "lineage.jsonl"), "a") as f:
         f.write(json.dumps(record) + "\n")

@@ -99,8 +99,12 @@ class SnapshotCatalog:
         man["snapshots"] = [
             s for s in man["snapshots"] if s["snapshot_id"] <= snapshot_id
         ]
-        with open(self._manifest_path(table), "w") as f:
+        # same atomic tmp+replace commit as write(): a crash mid-dump
+        # must never leave a truncated manifest that bricks the table
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
             json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
         for s in dropped:
             shutil.rmtree(s["path"], ignore_errors=True)
 

@@ -61,6 +61,10 @@ class SensorAdapter:
     offset: float = 0.0
     offset_by_baseline: tuple[tuple[int, float], ...] = ()
     qa_band: str | None = None
+    # "bits": QA is a bitmask (Landsat qa_pixel) — cloud_classes are bit
+    # positions; "classes": QA is categorical (Sentinel-2 SCL) —
+    # cloud_classes are class codes tested with isin
+    qa_kind: str = "bits"
     cloud_classes: tuple[int, ...] = ()
     water_class: int | None = None
     nodata: int = 0
@@ -111,6 +115,9 @@ register_adapter(
         gain=0.0001,                      # s2_gain_factor (constants:189)
         offset_by_baseline=((400, -0.1),),  # PDGS >= N0400 (sentinel2.py:118-121)
         qa_band="SCL",
+        qa_kind="classes",                # SCL is categorical, not a bitmask
+        # mask_clouds_and_shadows default classes (sentinel2.py:606)
+        cloud_classes=(1, 2, 3, 7, 8, 9, 10, 11),
     )
 )
 register_adapter(
@@ -159,16 +166,36 @@ def apply_adapter(
     DataFrame twin of `mask_clouds_and_shadows`."""
     if isinstance(adapter, str):
         adapter = get_adapter(adapter)
+    qa_logical = {"scl", "qa"}
     if bands is None:
-        bands = tuple(b for b in adapter.band_map if b not in ("scl", "qa"))
+        bands = tuple(b for b in adapter.band_map if b not in qa_logical)
     baseline = F.col(baseline_col) if baseline_col else None
     cols = [F.col(c) for c in keep]
     for b in bands:
         phys = adapter.band_map[b]
-        cols.append(adapter.scale(F.col(phys), baseline).alias(b))
-    if adapter.qa_band and adapter.cloud_classes:
-        qa = F.col(adapter.band_map.get("qa", adapter.qa_band))
-        cols.append(cloud_shadow_mask(qa, adapter.cloud_classes).alias("cloud_mask"))
+        if b in qa_logical:
+            # QA/SCL bands are categorical or bitmask codes — NEVER
+            # radiometrically scaled; pass through raw
+            cols.append(F.col(phys).alias(b))
+        else:
+            cols.append(adapter.scale(F.col(phys), baseline).alias(b))
+    qa_phys = next(
+        (adapter.band_map[b] for b in qa_logical if b in adapter.band_map),
+        adapter.qa_band,
+    )
+    # masks only when the QA column is actually present in this frame
+    # (metadata-only scans legitimately omit it)
+    if adapter.cloud_classes and qa_phys and qa_phys in df.columns:
+        qa = F.col(qa_phys)
+        if adapter.qa_kind == "classes":
+            # categorical scene classification (S2 SCL): class membership
+            cols.append(
+                qa.isin([int(c) for c in adapter.cloud_classes]).alias("cloud_mask")
+            )
+        else:
+            cols.append(
+                cloud_shadow_mask(qa, adapter.cloud_classes).alias("cloud_mask")
+            )
         if adapter.water_class is not None:
             cols.append(water_mask(qa, adapter.water_class).alias("water_mask"))
     return df.select(*cols)

@@ -47,7 +47,8 @@ def stack_csv(
             f"no {pattern} in {in_dir} within [{start}, {end}]"
         )
     df = spark.read.option("header", True).option("inferSchema", True).csv(keep)
-    date_str = F.regexp_extract(
-        F.input_file_name(), r"(\d{4}-\d{2}-\d{2})", 1
-    )
+    # date from the BASENAME (the same string filename_date pruned on) —
+    # a dated directory component would otherwise win the regex match
+    base = F.element_at(F.split(F.input_file_name(), "/"), -1)
+    date_str = F.regexp_extract(base, r"(\d{4}-\d{2}-\d{2})", 1)
     return df.withColumn("file_date", F.to_date(date_str))

@@ -57,6 +57,7 @@ def test_metadata_filters_cloud(spark, pages_small, tiles_catalog):
 
 def test_load_scenes_clips_and_dedups(spark, pages_small, tiles_catalog):
     m = _mapper(spark, pages_small, tiles_catalog)
+    m.query_scenes()  # catalog phase first (enforced)
     data = m.load_scenes().cache()
     assert data.count() > 0
     # all pages inside the feature bbox and time window
@@ -75,6 +76,7 @@ def test_extraction_requires_load(spark, pages_small, tiles_catalog):
     m = _mapper(spark, pages_small, tiles_catalog)
     with pytest.raises(ValueError):
         m.band_summaries()
+    m.query_scenes()
     m.load_scenes()
     stats = m.band_summaries().first()
     assert stats["cnt"] > 0
@@ -96,3 +98,34 @@ def test_mapper_accepts_wkt_feature(spark, pages_small):
     m = Mapper(cfg, pages_small)
     out = m.load_scenes()
     assert out.count() > 0
+
+
+def test_load_requires_query_and_metadata_restricts_pixels(
+    spark, pages_small, tiles_catalog
+):
+    """Query-before-load is enforced when a catalog is attached, and
+    metadata filters restrict the LOADED pixels to the queried scenes'
+    footprints (not just the catalog listing)."""
+    m = _mapper(spark, pages_small, tiles_catalog)
+    with pytest.raises(ValueError, match="query_scenes"):
+        m.load_scenes()
+    # cloud filter keeps only T1 (bbox lon 6..9): loaded pages must all
+    # fall inside T1's footprint even though the feature extends to 10
+    m2 = _mapper(
+        spark, pages_small, tiles_catalog,
+        filters=[Filter("cloudy_pixel_percentage", "<", 90)],
+    )
+    m2.query_scenes()
+    data = m2.load_scenes()
+    assert data.count() > 0
+    # every surviving page's own lon (parseable from its text) must lie
+    # inside T1's footprint (lon <= 9) — T2 (lon 8..11) was filtered out
+    from eodal_spark.sources.pages import parse_geo
+
+    _, _, _, lon = parse_geo(F.col("text"))
+    assert data.filter(lon > 9.0).count() == 0
+    # sanity: without the metadata filter the same area DOES have pages
+    m3 = _mapper(spark, pages_small, tiles_catalog)
+    m3.query_scenes()
+    _, _, _, lon3 = parse_geo(F.col("text"))
+    assert m3.load_scenes().filter(lon3 > 9.0).count() > 0

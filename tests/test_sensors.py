@@ -67,3 +67,25 @@ def test_adapter_is_single_projection_no_python(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_s2_scl_class_mask(spark):
+    """S2's SCL is categorical, not a bitmask: cloud_mask is class
+    membership in the reference default set [1,2,3,7,8,9,10,11]
+    (sentinel2.py:606), and the SCL band passes through UNscaled."""
+    df = spark.createDataFrame(
+        [(1, 2000, 300, 4), (2, 2000, 300, 9), (3, 2000, 300, 3)],
+        ["id", "B04", "baseline", "SCL"],
+    )
+    out = SN.apply_adapter(
+        df, "sentinel2", bands=("red", "scl"), baseline_col="baseline",
+        keep=("id",),
+    ).orderBy("id").collect()
+    assert [r["cloud_mask"] for r in out] == [False, True, True]
+    assert [r["scl"] for r in out] == [4, 9, 3]   # raw class codes, not scaled
+    # a frame WITHOUT the SCL column still works (metadata-only scans)
+    df2 = spark.createDataFrame([(1, 2000, 300)], ["id", "B04", "baseline"])
+    out2 = SN.apply_adapter(
+        df2, "sentinel2", bands=("red",), baseline_col="baseline", keep=("id",)
+    )
+    assert "cloud_mask" not in out2.columns
