@@ -214,3 +214,20 @@ def test_morton_sorted_layout_prunes_files(spark, tmp_path):
     hit_files = hit.select(F.input_file_name()).distinct().count()
     assert hit.count() > 0
     assert hit_files <= max(2, n_files // 4), (hit_files, n_files)
+
+
+def test_morton_ranges_edge_cases():
+    import numpy as np
+
+    assert grid.morton_ranges(np.array([], dtype=np.int64)) == []
+    one = grid.np_cell_encode(np.array([8.0]), np.array([47.0]), 10)
+    r = grid.morton_ranges(one, max_ranges=1)
+    k = int(grid.np_cell_morton(one)[0])
+    assert r == [(k, k)]
+    # max_ranges=1 over scattered cells collapses to one covering range
+    many = grid.np_cell_encode(
+        np.array([-170.0, 0.0, 170.0]), np.array([-80.0, 0.0, 80.0]), 10
+    )
+    r1 = grid.morton_ranges(many, max_ranges=1)
+    keys = grid.np_cell_morton(many)
+    assert len(r1) == 1 and r1[0][0] == keys.min() and r1[0][1] == keys.max()
