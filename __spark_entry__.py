@@ -11,7 +11,8 @@ arithmetic; the DuckDB oracle reproduces the identical table via
 so the value-hash gate is exact, not approximate.
 
 ``oracle_sql()`` — DuckDB SQL per query.  Omitted only for the
-probabilistic candidate generators (MinHash LSH banding, SRP ANN),
+probabilistic candidate generators (MinHash LSH banding, SimHash
+banding, SRP ANN, IVF ANN — the four rows-only queries),
 whose outputs are instead verified in tests/ against planted ground
 truth (the driver then records a rows-only check).
 """
@@ -96,12 +97,9 @@ def _polys_spark(spark: SparkSession) -> DataFrame:
 
 
 def _ccw(ring):
-    import numpy as np
-
-    xs = np.array([p[0] for p in ring])
-    ys = np.array([p[1] for p in ring])
-    if float(np.sum(xs * np.roll(ys, -1) - np.roll(xs, -1) * ys)) < 0:
-        xs, ys = xs[::-1], ys[::-1]
+    # the engine's own normalization — ONE code path, so the convex
+    # oracle's arrays can never drift from polygons_df's
+    xs, ys = geometry._clean_ring(ring)
     return xs.tolist(), ys.tolist()
 
 
@@ -972,7 +970,6 @@ def oracle_sql() -> dict[str, str]:
         "(SELECT DISTINCT doc_id AS id, substr(text, g, 5) AS s "
         "FROM documents, UNNEST(generate_series(1, greatest(length(text) - 4, 1))) AS t(g))"
     )
-    dec = lambda e: f"CAST(CAST({e} AS DOUBLE) AS DECIMAL(12,9))"  # noqa: E731
     rev = "CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(28,8))"
 
     return {

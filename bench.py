@@ -113,7 +113,7 @@ def main() -> None:
     # warm the JVM/codegen + OS page cache so the headline measures
     # steady-state compute; best-of-N timed runs defend against the
     # sandbox VM's noisy-neighbor CPU steal
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     headline_pipeline(spark, pages_path).count()
 
     headline_sec, out_rows = float("inf"), 0

@@ -133,7 +133,14 @@ def streaming_mosaic_dedup(
     geo = _gated_geo(pages_stream, res).select("url", "warc_ts", "cell_id")
     geo = geo.withColumn(
         "ts_us", F.unix_micros(F.col("warc_ts").cast("timestamp"))
-    ).withColumn("ts_bucket", F.expr(f"ts_us div {bucket_seconds * 1_000_000}"))
+    ).withColumn(
+        "ts_bucket",
+        # floor (not truncating div): pre-epoch timestamps must bucket
+        # exactly like the batch twin (tiling.assign_tiles)
+        F.floor(
+            F.col("ts_us") / F.lit(bucket_seconds * 1_000_000)
+        ).cast("long"),
+    )
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -165,16 +172,33 @@ def streaming_mosaic_dedup(
     )
 
 
-def run_available_now(stream_df: DataFrame, checkpoint_dir: str, out_dir: str):
-    """Drain everything currently available into parquet (append mode),
-    checkpointed — resumable via checkpointLocation."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", out_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
+def run_available_now(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    output_mode: str = "append",
+):
+    """Drain everything currently available into parquet, checkpointed —
+    resumable via checkpointLocation.
+
+    File sinks are append-only, so update-mode streams (the stateful
+    operators `streaming_mosaic_dedup` / `stateful_cell_counter`) are
+    drained via ``foreachBatch`` parquet appends — pass
+    ``output_mode="update"`` for them; a direct parquet sink would be
+    rejected by Spark at ``start()``."""
+    w = (
+        stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
-        .start()
     )
+    if output_mode == "append":
+        q = w.format("parquet").option("path", out_dir).outputMode("append").start()
+    else:
+        q = (
+            w.outputMode(output_mode)
+            .foreachBatch(
+                lambda bdf, _id: bdf.write.mode("append").parquet(out_dir)
+            )
+            .start()
+        )
     q.awaitTermination()
     return q

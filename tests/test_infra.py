@@ -338,3 +338,25 @@ def test_streaming_mosaic_dedup_matches_batch(spark, tmp_path):
         .count()
     )
     assert mism == 0
+
+
+def test_run_available_now_update_mode(spark, tmp_path):
+    """The drain helper must handle update-mode stateful streams (file
+    sinks are append-only → foreachBatch path)."""
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "drain_src")
+    P.synth_pages(spark, 500).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+    )
+    mosaic = ingest.streaming_mosaic_dedup(stream, res=6)
+    out = str(tmp_path / "drain_out")
+    ingest.run_available_now(
+        mosaic, str(tmp_path / "drain_chk"), out, output_mode="update"
+    )
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert set(got.columns) == {"cell_id", "ts_bucket", "ts_us", "url"}
