@@ -1391,7 +1391,7 @@ def oracle_sql() -> dict[str, str]:
             ) k
             LEFT JOIN (
               SELECT l_returnflag,
-                     least(greatest((CAST(floor(l_quantity) AS BIGINT) - 0) * 10 // 50, 0), 9) AS bin,
+                     least(greatest(CAST(floor((CAST(l_quantity AS DOUBLE) - 0.0) * 10 / 50.0) AS BIGINT), 0), 9) AS bin,
                      count(*) AS n
               FROM lineitem
               GROUP BY 1, 2

@@ -73,9 +73,13 @@ def asof_join(
         F.last("_rrow", ignorenulls=True).over(w).alias("_c"),
     ).filter(F.col("_lrow").isNotNull())
     if tolerance_seconds is not None:
+        # microsecond precision: unix_timestamp() truncates to whole
+        # seconds, accepting sub-second tolerance violations (0.9 s gap
+        # passes tolerance 0) and rejecting 1 ms near-misses
         in_tol = (
-            F.unix_timestamp("_ts") - F.unix_timestamp(F.col("_c._rts"))
-        ) <= F.lit(tolerance_seconds)
+            F.unix_micros(F.col("_ts").cast("timestamp"))
+            - F.unix_micros(F.col("_c._rts").cast("timestamp"))
+        ) <= F.lit(tolerance_seconds * 1_000_000)
         carried = carried.select(
             "_lrow",
             F.when(in_tol, F.col("_c")).otherwise(None).alias("_c"),

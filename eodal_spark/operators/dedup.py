@@ -29,15 +29,21 @@ from pyspark.sql.window import Window
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id document per exact text content (sha256 groupBy).
-    Returns the surviving rows. One shuffle on the hash."""
+    Returns the surviving rows.
+
+    Aggregation form, NOT a window: ``min_by(struct(row), id)`` combines
+    map-side, so 10^8 copies of one boilerplate page reduce to one
+    candidate per map partition before the shuffle — a row_number window
+    would funnel the whole duplicate group into a single task (window
+    partitions cannot be split by AQE)."""
+    cols = df.columns
     h = F.sha2(F.col(text_col), 256).alias("_h")
-    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
-    return (
+    win = (
         df.withColumn("_h", h)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter("_rn = 1")
-        .drop("_h", "_rn")
+        .groupBy("_h")
+        .agg(F.min_by(F.struct(*cols), F.col(id_col)).alias("_w"))
     )
+    return win.select(*[F.col(f"_w.{c}").alias(c) for c in cols])
 
 
 # ---------------------------------------------------------------------------
@@ -278,7 +284,10 @@ def minhash_dedup(
     index — at 10^12 docs the candidate set is the only thing that may
     exist materialized).  Returns (id_a, id_b, inter, uni) verified
     near-dup pairs; survivors follow the min-id rule downstream."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, w)
+    # persist: the signature UDF is the dominant cost and is consumed
+    # by the banding self-join (both sides) AND the sa/sb estimate joins
+    # — without the cache it would re-run up to 4x over the corpus
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, w).persist()
     cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
     # signature-level Jaccard estimate (pure JVM zip_with) prunes the
     # candidate set BEFORE the Python exact verifier — banding alone

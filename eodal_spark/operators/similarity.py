@@ -5,7 +5,7 @@ no corpus shuffle).  Scale path: LSH-bucketed ANN via signed random
 projections (the embedding analogue of the grid's cell bucketing).
 
 Numeric policy: distances for oracle-gated queries use **decimal
-arithmetic** (cast each component to decimal(18,9), exact sums) so
+arithmetic** (cast each component to decimal(12,9), exact sums) so
 rankings are bit-identical to the DuckDB oracle; the cosine variant
 (float, transcendental-free but order-sensitive) is provided for
 completeness without an oracle gate.
@@ -29,9 +29,10 @@ def l2_sqdist_decimal(a: Column, b: Column) -> Column:
     """Exact decimal squared L2 distance between two float arrays.
 
     Types are pinned so every step is exact (no 38-precision cap hits):
-    elements → decimal(12,9) (|x| < 1000), diff² → decimal(25,18)
-    exact, accumulator decimal(32,18) (headroom for 10^7 dims)."""
-    diff = F.zip_with(a, b, lambda x, y: (_dec(x) - _dec(y)).cast("decimal(12,9)"))
+    elements → decimal(12,9) (|x| < 1000), diff → decimal(13,9) (|x-y|
+    can reach 2000 — a (12,9) re-cast would overflow under ANSI), diff²
+    → decimal(27,18) exact, accumulator decimal(32,18)."""
+    diff = F.zip_with(a, b, lambda x, y: (_dec(x) - _dec(y)).cast("decimal(13,9)"))
     return F.aggregate(
         diff,
         F.lit(0).cast("decimal(32,18)"),
@@ -396,8 +397,11 @@ def embedding_near_dup_pairs(
             )
         ok = stacked
     elif guard == "skip":
-        keep = sizes.filter(F.col("count") <= max_bucket_rows).drop("count")
-        ok = stacked.join(F.broadcast(keep), ["tbl", "bucket"])
+        # broadcast the OVERSIZED buckets (bounded, tiny) and anti-join —
+        # the keep-list of all small buckets scales with the corpus and
+        # would defeat the broadcast at 10^12 rows
+        over = sizes.filter(F.col("count") > max_bucket_rows).select("tbl", "bucket")
+        ok = stacked.join(F.broadcast(over), ["tbl", "bucket"], "left_anti")
     else:
         raise ValueError(guard)
 

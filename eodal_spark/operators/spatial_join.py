@@ -76,32 +76,48 @@ def spatial_join(
         need |= {"lon", "lat"}
     pages_geo = pages_geo.select(*need)
 
+    # polygon attribute columns beyond poly_id attach via one extra
+    # broadcast join on poly_id AFTER the spatial match (attributes
+    # never ride along in the covering, which stays compact)
+    attr_cols = [c for c in poly_cols if c != "poly_id"]
+
+    def _attach_attrs(joined: DataFrame) -> DataFrame:
+        if not attr_cols:
+            return joined
+        attrs = polys.select("poly_id", *attr_cols)
+        return joined.join(F.broadcast(attrs), "poly_id", "left")
+
     if rule == "centroid":
         cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
         cover = cover.select("poly_id", F.col("cell_id").alias("_join_cell"))
-        joined = pages_geo.join(F.broadcast(cover), "_join_cell", how)
+        joined = _attach_attrs(pages_geo.join(F.broadcast(cover), "_join_cell", how))
         return joined.select(
             F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols
         )
 
     if rule != "exact":
         raise ValueError(rule)
+    if how != "inner":
+        raise NotImplementedError(
+            "rule='exact' supports how='inner' only; for left semantics "
+            "join the inner result back to the pages side on a page key"
+        )
 
-    # Single-pass refinement: ONE scan of the pages side, one broadcast
-    # join, one conditional filter — no unions (which would re-evaluate
-    # the candidate join per branch).  Full cells (cell ⊆ polygon) skip
-    # PIP; convex rings use the boundary-inclusive min-cross expression;
-    # concave / holed / multi-part geometries use even-odd parity over
-    # all rings.  Every branch is a native Catalyst expression → the
-    # whole refine stage is whole-stage codegen, zero Python.
+    # Single-pass refinement: ONE scan of the pages side, two broadcast
+    # joins, one conditional filter — no unions (which would re-evaluate
+    # the candidate join per branch).  The covering broadcast stays
+    # COMPACT (poly_id, cell, full); the per-polygon ring arrays attach
+    # through a second broadcast keyed on poly_id, so a polygon covering
+    # 500k cells ships its vertices once, not 500k times.  Full cells
+    # (cell ⊆ polygon) skip PIP; convex rings use the boundary-inclusive
+    # min-cross expression; concave / holed / multi-part geometries use
+    # even-odd parity over all rings.  Every branch is native Catalyst →
+    # the whole refine stage is whole-stage codegen, zero Python.
     cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
-    ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")
-    # dim × dim: broadcast the per-polygon ring row so the cover join
-    # never sorts/shuffles (it's |polys| rows against |cover| rows)
-    cover = cover.join(F.broadcast(ring), "poly_id").withColumnRenamed(
-        "cell_id", "_join_cell"
-    )
+    cover = cover.withColumnRenamed("cell_id", "_join_cell")
     cand = pages_geo.join(F.broadcast(cover), "_join_cell", "inner")
+    ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")
+    cand = cand.join(F.broadcast(ring), "poly_id")
 
     lon, lat = F.col("lon"), F.col("lat")
     keep = (
@@ -118,7 +134,7 @@ def spatial_join(
         )
     )
     out_cols = [F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols]
-    return cand.filter(keep).select(*out_cols)
+    return _attach_attrs(cand.filter(keep)).select(*out_cols)
 
 
 def sample_points(

@@ -106,15 +106,17 @@ def histogram(
     """Fixed-width binned counts — `Band.hist` (`eodal/core/band.py:
     1482-1520`) as one groupBy (optionally per zone via ``by``).
 
-    Bin assignment is **integer arithmetic** (``(v-lo)·n div (hi-lo)``,
-    clamped to the edge bins) so the result is bit-identical in any
-    engine — no float bin-edge ambiguity.  Returns (by..., bin, lo_edge
-    numerator kept integral) with empty bins backfilled per group."""
-    # floor-to-long first: CAST(double AS long) truncates in Spark but
-    # ROUNDS in DuckDB — floor() is the mode-free common ground
-    raw = F.expr(
-        f"((CAST(floor({value_col}) AS BIGINT) - {lo}) * {n_bins}) div ({hi} - {lo})"
-    )
+    Bin assignment floors ``(v - lo) · n_bins / (hi - lo)`` computed in
+    IEEE doubles — identical op order in any engine gives bit-identical
+    bins (floor has no rounding mode), clamped to the edge bins.
+    Fractional values and non-integer bin widths bin correctly (an
+    integer pre-floor of v would mis-bin them).  Returns (by..., bin, n)
+    with empty bins backfilled per group."""
+    raw = F.floor(
+        (F.col(value_col).cast("double") - F.lit(float(lo)))
+        * F.lit(n_bins)
+        / F.lit(float(hi - lo))
+    ).cast("long")
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).alias("bin")
     counts = df.select(*by, bin_).groupBy(*by, "bin").agg(
         F.count(F.lit(1)).alias("n")

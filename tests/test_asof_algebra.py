@@ -123,3 +123,29 @@ def test_asof_nullable_right_vals_come_from_one_row(spark):
     assert len(out) == 1
     assert out[0]["asof_a"] is None     # from the ts=8 row, NOT ts=5's 1
     assert out[0]["asof_b"] == 9
+
+
+def test_asof_tolerance_subsecond(spark):
+    """Tolerance is checked at microsecond precision: a 0.9 s gap must
+    fail tolerance 0 (whole-second truncation used to accept it)."""
+    import datetime as dt
+
+    from eodal_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0, 900000))], ["k", "lts"]
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0, 0, 0), 7)],
+        "k long, rts timestamp, v long",
+    )
+    out = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_vals=("v",), tolerance_seconds=0,
+    ).first()
+    assert out["asof_v"] is None
+    out1 = asof_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_vals=("v",), tolerance_seconds=1,
+    ).first()
+    assert out1["asof_v"] == 7

@@ -100,3 +100,32 @@ def test_sample_points_left_join_nulls(spark, pages_geo):
     assert out.filter("id = 1 AND url IS NOT NULL").count() > 0
     dead = out.filter("id = 2").collect()
     assert len(dead) == 1 and dead[0]["url"] is None
+
+
+def test_spatial_join_carries_polygon_attributes(spark, pages_small):
+    """poly_cols beyond poly_id (attrs from polygons_df(attrs=...)) must
+    reach the output in BOTH modes — attributes attach via a broadcast
+    join on poly_id, never riding in the covering."""
+    import __spark_entry__ as E
+    from eodal_spark import geometry
+    from eodal_spark.sources import pages as P
+
+    geo = P.geocode(pages_small, E.RES)
+    polys = geometry.polygons_df(
+        spark, E.PAGE_POLYS,
+        attrs={1: {"name": "zrh"}, 2: {"name": "nyc"},
+               3: {"name": "jp"}, 4: {"name": "void"}},
+    )
+    from eodal_spark.operators import spatial_join as SJ
+
+    for rule in ("centroid", "exact"):
+        out = SJ.spatial_join(
+            geo, polys, E.JOIN_RES, rule=rule, page_res=E.RES,
+            poly_cols=("poly_id", "name"),
+        )
+        got = {r["name"] for r in out.select("name").distinct().collect()}
+        assert {"zrh", "nyc", "jp"} <= got, rule
+    # exact mode refuses non-inner joins instead of silently dropping rows
+    import pytest as _pt
+    with _pt.raises(NotImplementedError, match="inner"):
+        SJ.spatial_join(geo, polys, E.JOIN_RES, rule="exact", how="left")

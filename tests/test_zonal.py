@@ -104,3 +104,21 @@ def test_to_labeled_export(spark):
     # xarray absent in this sandbox -> actionable ImportError
     with _pt.raises(ImportError, match="to_labeled"):
         X.to_xarray(df, ("v",), res)
+
+
+def test_histogram_fractional_values(spark):
+    """Fractional values and non-integer bin widths bin correctly (an
+    integer pre-floor of the value would zero out odd bins)."""
+    from eodal_spark.operators import zonal as Z
+
+    df = spark.createDataFrame(
+        [(0.3,), (0.7,), (1.2,), (3.5,), (4.9,)], ["v"]
+    )
+    got = {
+        r["bin"]: r["n"]
+        for r in Z.histogram(df, "v", n_bins=10, lo=0, hi=5).collect()
+    }
+    # widths of 0.5: 0.3→0, 0.7→1, 1.2→2, 3.5→7, 4.9→9
+    assert got[0] == 1 and got[1] == 1 and got[2] == 1
+    assert got[7] == 1 and got[9] == 1
+    assert sum(got.values()) == 5
