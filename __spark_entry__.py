@@ -514,6 +514,19 @@ def _q_docs_token_stats(spark, sf_dir):
     )
 
 
+def _q_docs_quality_filter(spark, sf_dir):
+    """The canonical corpus-filter op: keep documents passing a quality
+    threshold AND a language gate — the composition every training-data
+    pipeline runs before dedup."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        TX.quality_score_milli(t).alias("quality_milli"),
+        TX.lang_id(t).alias("lang_guess"),
+    ).filter((F.col("quality_milli") >= 700) & (F.col("lang_guess") == "en"))
+
+
 def _q_docs_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -911,6 +924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard": _q_docs_jaccard,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_id": _q_docs_lang_id,
+        "docs_quality_filter": _q_docs_quality_filter,
         "docs_fingerprint": _q_docs_fingerprint,
         "emb_l2_topk": _q_emb_l2_topk,
         "emb_near_dup": _q_emb_near_dup,
@@ -1190,6 +1204,19 @@ def oracle_sql() -> dict[str, str]:
                         WHEN {lang_score['fr']} >= {lang_score['it']} THEN 'fr'
                         ELSE 'it' END AS lang_guess
             FROM documents
+        """,
+        "docs_quality_filter": f"""
+            SELECT doc_id, quality_milli, lang_guess FROM (
+              SELECT doc_id,
+                     {quality} AS quality_milli,
+                     CASE WHEN greatest({lang_score['de']}, {lang_score['en']},
+                                        {lang_score['fr']}, {lang_score['it']}) = 0 THEN 'und'
+                          WHEN {lang_score['de']} >= greatest({lang_score['en']}, {lang_score['fr']}, {lang_score['it']}) THEN 'de'
+                          WHEN {lang_score['en']} >= greatest({lang_score['fr']}, {lang_score['it']}) THEN 'en'
+                          WHEN {lang_score['fr']} >= {lang_score['it']} THEN 'fr'
+                          ELSE 'it' END AS lang_guess
+              FROM documents
+            ) WHERE quality_milli >= 700 AND lang_guess = 'en'
         """,
         "docs_fingerprint": """
             SELECT doc_id,
