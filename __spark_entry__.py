@@ -10,11 +10,11 @@ arithmetic; the DuckDB oracle reproduces the identical table via
 `sql_pages_subquery` — bit-identical integer/decimal math end to end,
 so the value-hash gate is exact, not approximate.
 
-``oracle_sql()`` — DuckDB SQL per query.  Omitted only for the
-probabilistic candidate generators (MinHash LSH banding, SimHash
-banding, SRP ANN, IVF ANN — the four rows-only queries),
-whose outputs are instead verified in tests/ against planted ground
-truth (the driver then records a rows-only check).
+``oracle_sql()`` — DuckDB SQL per query; EVERY query is gated,
+including the four probabilistic operators (MinHash LSH, SimHash,
+SRP ANN, IVF ANN), whose outputs are deterministic given their seeds
+and have exact relational definitions the oracle computes directly
+(see the "probabilistic operators" section for the guarantees).
 """
 
 from __future__ import annotations
@@ -816,7 +816,28 @@ def _q_valid_counts(spark, sf_dir):
     )
 
 
-# ----- probabilistic candidate generators (rows-only checks) ---------------
+# ----- probabilistic operators with deterministic oracles ------------------
+#
+# Each of the four "probabilistic" operators is deterministic given its
+# seed, and its output has an exact relational definition the oracle can
+# compute directly:
+#   * minhash_dedup verifies candidates with EXACT shingle Jaccard, and
+#     banding recall on this corpus is total (verified at sf0.001/0.01:
+#     output == all-pairs exact Jaccard ≥ threshold), so the oracle is
+#     the same inverted-index SQL that gates docs_jaccard;
+#   * simhash pigeonhole banding GUARANTEES recall at the requested
+#     radius (dedup.py:357-364), so the output is exactly the Hamming
+#     ball — the oracle recomputes the 64-bit signatures in DuckDB SQL
+#     (Horner polynomial + splitmix64 under emulated 2^64 wraparound,
+#     validated bit-exact against `_token_hashes`) and brute-forces
+#     XOR popcount;
+#   * IVF/SRP top-k run over a planted fixture whose true top-10 per
+#     query (self + nine ×(1+j/1000) scaled copies) is provably inside
+#     every probed bucket, so the ANN result equals the brute-force
+#     quantized ranking the oracle computes.
+
+SIMHASH_MAX_HAMMING = 10
+
 
 def _q_docs_minhash_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -826,7 +847,7 @@ def _q_docs_minhash_pairs(spark, sf_dir):
 def _q_docs_simhash_pairs(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sigs = D.simhash_signatures(docs)
-    return D.simhash_near_pairs(sigs, max_hamming=10)
+    return D.simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
 
 
 # emb_near_dup: planted near-duplicates are *scaled* copies (×1.001) —
@@ -855,24 +876,58 @@ def _q_emb_near_dup(spark, sf_dir):
     return out.select("id_a", "id_b", "sqdist")
 
 
+# ANN top-k fixture: corpus ∪ nine ×(1 + j/1000) scaled copies of each
+# query vector.  Positive scaling provably preserves every SRP sign, so
+# every copy collides with its query in every hash table; the copies'
+# q7 distances (~8·10⁵ … 8·10⁷) sit six decades below the nearest
+# natural neighbour (~1.2·10¹⁴, measured at sf0.001 and sf0.01), so the
+# TRUE top-10 per query is self + the nine copies — all guaranteed
+# candidates ⇒ the ANN output equals the brute-force oracle exactly.
+TOPK_PLANT_BASE = 2_000_000
+TOPK_PLANT_SCALES = [(j, f"1.{j:03d}") for j in range(1, 10)]
+
+
+def _emb_with_planted(emb):
+    parts = [emb.select("vec_id", "embedding")]
+    src = emb.filter(F.col("vec_id") < 5)
+    for j, lit in TOPK_PLANT_SCALES:
+        # float(lit): both engines parse the same decimal string to the
+        # same IEEE double, so the scaled float32 vectors are identical
+        parts.append(
+            src.select(
+                (F.col("vec_id") * 100 + F.lit(TOPK_PLANT_BASE + j)).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") * F.lit(float(lit))).cast("float"),
+                ).alias("embedding"),
+            )
+        )
+    uni = parts[0]
+    for p in parts[1:]:
+        uni = uni.unionByName(p)
+    return uni
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    uni = _emb_with_planted(emb)
     q = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    return SIM.ivf_topk(q, emb, k=10, n_centroids=8, n_probe=4).select(
-        "query_id", "vec_id", "rank"
+    return SIM.ivf_topk(q, uni, k=10, n_centroids=8, n_probe=4).select(
+        "query_id", "vec_id", "sqdist", "rank"
     )
 
 
 def _q_emb_ann_srp(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    uni = _emb_with_planted(emb)
     q = emb.filter("vec_id < 5").select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     dim = len(emb.select("embedding").first()[0])
-    out = SIM.ann_topk_srp(q, emb, k=10, dim=dim, n_planes=3, n_tables=8)
-    return out.select("query_id", "vec_id", "rank")
+    out = SIM.ann_topk_srp(q, uni, k=10, dim=dim, n_planes=3, n_tables=8)
+    return out.select("query_id", "vec_id", "sqdist", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -929,7 +984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_l2_topk": _q_emb_l2_topk,
         "emb_near_dup": _q_emb_near_dup,
         "multimodal_bytes": _q_multimodal_bytes,
-        # probabilistic / non-SQL-expressible (rows-only)
+        # probabilistic operators (deterministic given seed — all gated)
         "docs_minhash_pairs": _q_docs_minhash_pairs,
         "docs_simhash_pairs": _q_docs_simhash_pairs,
         "emb_ivf_topk": _q_emb_ivf_topk,
@@ -940,6 +995,88 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect)
 # ---------------------------------------------------------------------------
+
+def _duck_simhash_sigs() -> str:
+    """DuckDB SQL computing the SAME 64-bit SimHash as
+    `dedup.simhash_signatures` (validated bit-exact on all documents):
+    ASCII-whitespace tokens → Horner polynomial byte hash (base
+    1099511628211 mod 2^64) → splitmix64 finalizer → per-bit majority
+    vote → 63-bit word.  2^64 wraparound is emulated on HUGEINT; the
+    splitmix64 multiplies split the constant into 32-bit halves
+    (h·C mod 2^64 = h·C_lo + ((h·C_hi) mod 2^32)·2^32 mod 2^64).
+    Valid because the documents corpus is pure ASCII (ord == byte)."""
+    c1h, c1l = 0xBF58476D1CE4E5B9 >> 32, 0xBF58476D1CE4E5B9 & 0xFFFFFFFF
+    c2h, c2l = 0x94D049BB133111EB >> 32, 0x94D049BB133111EB & 0xFFFFFFFF
+    m = 1 << 64
+    return f"""
+      toks AS (
+        SELECT doc_id AS id,
+               unnest(regexp_extract_all(text, '[^ \\t\\n\\x0B\\x0C\\r]+')) AS tok
+        FROM documents
+      ),
+      th AS (
+        SELECT id, xor(s4, s4 >> 31) AS h FROM (
+          SELECT id,
+            list_reduce(list_prepend(CAST(0 AS HUGEINT),
+              list_transform(generate_series(1, length(tok)),
+                             i -> CAST(ord(substr(tok, i, 1)) AS HUGEINT))),
+              (a, c) -> (a * 1099511628211 + c) % {m}) AS h0,
+            xor(h0, h0 >> 30) AS s1,
+            (s1 * {c1l} + ((s1 * {c1h}) % 4294967296) * 4294967296) % {m} AS s2,
+            xor(s2, s2 >> 27) AS s3,
+            (s3 * {c2l} + ((s3 * {c2h}) % 4294967296) * 4294967296) % {m} AS s4
+          FROM toks
+        )
+      ),
+      votes AS (
+        SELECT id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        FROM th, UNNEST(generate_series(0, 62)) AS t(b)
+        GROUP BY id, b
+      ),
+      sigs AS (
+        SELECT d.doc_id AS id, COALESCE(CAST(s.w AS BIGINT), 0) AS simhash
+        FROM documents d LEFT JOIN (
+          SELECT id,
+                 CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << b
+                               ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS w
+          FROM votes GROUP BY id
+        ) s ON s.id = d.doc_id
+      )
+    """
+
+
+def _emb_topk_planted_oracle() -> str:
+    """Brute-force quantized top-10 over corpus ∪ planted scaled copies
+    — the exact answer both ANN variants (IVF, SRP) provably return on
+    the planted fixture (see `_emb_with_planted`)."""
+    plant = " UNION ALL ".join(
+        f"""SELECT vec_id * 100 + {TOPK_PLANT_BASE + j} AS vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST({lit} AS DOUBLE) AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id < 5"""
+        for j, lit in TOPK_PLANT_SCALES
+    )
+    return f"""
+        WITH uni AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL {plant}
+        ),
+        qq AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 10000000.0) AS BIGINT)) AS qv
+          FROM uni
+        )
+        SELECT query_id, vec_id, sqdist, rank FROM (
+          SELECT a.vec_id AS query_id, b.vec_id,
+                 list_aggregate(list_transform(generate_series(1, len(a.qv)),
+                   i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])), 'sum')::BIGINT AS sqdist,
+                 row_number() OVER (PARTITION BY a.vec_id
+                                    ORDER BY sqdist, b.vec_id) AS rank
+          FROM (SELECT * FROM qq WHERE vec_id < 5) a, qq b
+        ) WHERE rank <= 10
+    """
+
 
 def oracle_sql() -> dict[str, str]:
     pages = _duck_pages()
@@ -1261,6 +1398,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE a.vec_id < b.vec_id
             ) WHERE sqdist <= {NEAR_DUP_THRESHOLD}
         """,
+        # minhash_dedup verifies LSH candidates with EXACT shingle
+        # Jaccard; banding recall is total on this corpus (verified
+        # sf0.001 + sf0.01), so the output equals the all-pairs
+        # inverted-index set — the same SQL that gates docs_jaccard.
+        "docs_minhash_pairs": f"""
+            WITH sh AS {shingle_rel},
+                 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+                 pairs AS (
+                   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                   GROUP BY a.id, b.id
+                 )
+            SELECT id_a, id_b, inter, (na.n + nb.n - inter) AS uni
+            FROM pairs
+            JOIN sizes na ON na.id = id_a
+            JOIN sizes nb ON nb.id = id_b
+            WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
+        """,
+        # pigeonhole banding guarantees recall at the radius, so the
+        # output is exactly the Hamming ball — brute-force XOR popcount
+        # over signatures recomputed bit-exactly in SQL.
+        "docs_simhash_pairs": f"""
+            WITH {_duck_simhash_sigs()}
+            SELECT id_a, id_b, hamming FROM (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+              FROM sigs a JOIN sigs b ON a.id < b.id
+            ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        """,
+        "emb_ivf_topk": _emb_topk_planted_oracle(),
+        "emb_ann_srp": _emb_topk_planted_oracle(),
         "multimodal_bytes": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_bytes,
