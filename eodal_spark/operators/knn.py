@@ -10,10 +10,11 @@ north rule requires general kNN.  Algorithm:
    shuffles), compute the squared equirectangular distance;
 3. rank per query (``row_number`` ordered by distance, tie-broken by
    url — total order ⇒ deterministic under any parallelism);
-4. queries whose k-th distance is not provably inside the searched ring
-   (kth_dist > r·cell_height) escalate to radius 2r; after
-   ``max_rounds`` the remainder falls back to a brute-force broadcast
-   scan (correct for any density, including empty regions).
+4. queries whose k-th distance is not provably inside the searched disk
+   (kth_dist > r·cell_height) escalate to radius 2r, 4r, … — each round
+   re-joins ONLY the unresolved queries; after ``max_rounds`` doublings
+   the remainder falls back to a brute-force broadcast scan (correct
+   for any density, including empty regions).
 
 Distance is **squared centi-degree distance** — pure integer/float
 arithmetic with no transcendentals, so rankings are bit-identical
@@ -54,23 +55,29 @@ def knn(
     res: int,
     k: int,
     start_radius: int = 2,
+    max_rounds: int = 3,
 ) -> DataFrame:
     """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
     geocoded pages with cell_id, lat_centi, lon_centi, url.
     Returns (query_id, url, sqdist, rank), rank 1..k.
 
-    Two passes over the pages side, maximum — the big side is expensive
-    to scan, the query side is tiny:
+    Ring escalation — at most ``max_rounds`` ring passes plus one
+    bounded brute fallback; every pass re-joins ONLY the still-
+    unresolved queries, so a sparse-region query never drags resolved
+    ones back over the pages side:
 
-    1. ring pass: explode the radius-``start_radius`` Chebyshev ring of
-       every query (broadcast), equi-join, rank; a query is *resolved*
-       when it has k candidates whose k-th distance is provably inside
-       the searched ring (kth ≤ (r·cell_height)²);
-    2. the per-query resolution stats (|queries| rows) come back to the
-       driver, and only unresolved queries run a brute-force broadcast
-       scan — correct for any density including empty regions.
+    1. round i explodes the radius ``start_radius·2^i`` Chebyshev disk
+       of each unresolved query (broadcast), equi-joins on cell_id (the
+       big side never shuffles), ranks; a query is *resolved* when it
+       has k candidates whose k-th distance is provably inside the
+       searched disk (kth ≤ (r·cell_height)²);
+    2. the per-query resolution stats (≤ |queries| rows/round) come
+       back to the driver to drive the escalation;
+    3. queries still unresolved after ``max_rounds`` doublings fall
+       back to ONE brute-force broadcast scan — correct for any
+       density including empty regions, and at 10^12 rows only the
+       (rare) truly-isolated queries ever pay for it.
     """
-    spark = queries.sparkSession
     q = queries.select(
         "query_id",
         F.col("lat_centi").alias("q_lat_centi"),
@@ -80,30 +87,43 @@ def knn(
         ).alias("q_cell"),
     )
     pages_side = pages_geo.select("cell_id", "url", "lat_centi", "lon_centi")
-    # cell height in centi-degrees: any point outside ring r is at least
-    # r*height away (height <= width on this grid)
+    # cell height in centi-degrees: any point outside the radius-r disk
+    # is at least r*height away (height <= width on this grid)
     cell_h_centi = 18000.0 / (1 << res)
-    bound = (start_radius * cell_h_centi) ** 2
 
-    ring = q.select(
-        "query_id", "q_lat_centi", "q_lon_centi",
-        F.explode(grid.cell_ring("q_cell", start_radius, res)).alias("cell_id"),
-    )
-    cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
-    topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
-        "query_id", "url", "sqdist", "rank"
-    )
-    topk = topk.cache()  # tiny: ≤ |queries|·k rows, reused twice below
-    stats = topk.groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
-    ).collect()
-    resolved = {
-        r["query_id"] for r in stats if r["n"] == k and r["kth"] <= bound
-    }
     all_ids = {r["query_id"] for r in queries.select("query_id").collect()}
-    unresolved = sorted(all_ids - resolved)
+    unresolved = sorted(all_ids)
+    results: DataFrame | None = None
+    n_cells = 1 << res
+    for i in range(max_rounds):
+        if not unresolved:
+            break
+        radius = start_radius << i
+        bound = (radius * cell_h_centi) ** 2
+        rest_q = q.filter(F.col("query_id").isin(unresolved))
+        ring = rest_q.select(
+            "query_id", "q_lat_centi", "q_lon_centi",
+            F.explode(grid.cell_ring("q_cell", radius, res)).alias("cell_id"),
+        )
+        cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
+        topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+            "query_id", "url", "sqdist", "rank"
+        )
+        topk = topk.cache()  # tiny: ≤ |unresolved|·k rows, reused below
+        stats = topk.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
+        ).collect()
+        resolved = {
+            r["query_id"] for r in stats if r["n"] == k and r["kth"] <= bound
+        }
+        if 2 * radius + 1 >= n_cells:
+            # the disk already covered every cell — nothing more to find
+            resolved = {r["query_id"] for r in stats}
+        if resolved:
+            part = topk.filter(F.col("query_id").isin(list(resolved)))
+            results = part if results is None else results.unionByName(part)
+        unresolved = sorted(set(unresolved) - resolved)
 
-    results = topk.filter(F.col("query_id").isin(list(resolved)) if resolved else F.lit(False))
     if unresolved:
         rest = q.filter(F.col("query_id").isin(unresolved)).select(
             "query_id", "q_lat_centi", "q_lon_centi"
@@ -112,7 +132,14 @@ def knn(
         brute = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
         )
-        results = results.unionByName(brute)
+        results = brute if results is None else results.unionByName(brute)
+    if results is None:  # no queries at all
+        return _ranked(
+            pages_side.crossJoin(F.broadcast(q.limit(0))).withColumn(
+                "sqdist", _sqdist()
+            ),
+            k,
+        ).select("query_id", "url", "sqdist", "rank")
     return results.select("query_id", "url", "sqdist", "rank")
 
 

@@ -82,6 +82,46 @@ def test_knn_matches_duckdb_oracle(spark, queries):
     assert (got["sqdist"].to_numpy() == expect["sqdist"].to_numpy()).all()
 
 
+def test_knn_escalation_resolves_sparse_without_brute(spark):
+    """A query one ring-doubling away from its neighbours must resolve
+    in an ESCALATED ring pass — never via the brute-force fallback (the
+    plan must stay CartesianProduct-free), matching brute row-for-row."""
+    from eodal_spark import grid as GR
+    from pyspark.sql import functions as F
+
+    # res 8: cell height 70.3, width 140.6 centi-deg.  Neighbours sit
+    # 500 centi-deg east: outside the radius-2 disk (round 1 empty),
+    # inside the radius-4 disk but past its provable bound (281.25²),
+    # provably resolved by the radius-8 disk (bound 562.5² > 500²+14²).
+    rows = [(100 + i, 18000 + 500, 9000 + 7 * i) for i in range(4)]
+    pages = spark.createDataFrame(rows, ["url", "lon_centi", "lat_centi"])
+    pages = pages.withColumn(
+        "cell_id",
+        F.expr(GR.sql_cell_encode_centi("lon_centi", "lat_centi", RES, "spark")),
+    )
+    q = spark.createDataFrame([(1, 9000, 18000)], ["query_id", "lat_centi", "lon_centi"])
+    out = K.knn(q, pages, RES, k=3, start_radius=2, max_rounds=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = out.orderBy("rank").collect()
+    brute = K.knn_brute(q, pages, k=3).orderBy("rank").collect()
+    assert [(r["url"], r["sqdist"]) for r in got] == [
+        (r["url"], r["sqdist"]) for r in brute
+    ]
+
+
+def test_knn_dense_first_round_plan_has_no_cartesian(pages_geo, spark):
+    """All-dense queries resolve in round one: the returned plan must be
+    the broadcast ring join only — no CartesianProduct fallback branch."""
+    q = spark.createDataFrame(
+        [(1, 13737, 18854), (2, 13070, 10600)],
+        ["query_id", "lat_centi", "lon_centi"],
+    )
+    out = K.knn(q, pages_geo, RES, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def test_knn_wraps_date_line(spark):
     """A query at lon ≈ +179.99 must find pages just across ±180° as
     nearest — wrapped dlon, not the 36000-centi-degree raw difference."""
