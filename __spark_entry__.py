@@ -33,6 +33,7 @@ from eodal_spark.operators import asof as ASOF
 from eodal_spark.operators import dedup as D
 from eodal_spark.operators import knn as K
 from eodal_spark.operators import multimodal as MM
+from eodal_spark.operators import resample as RS
 from eodal_spark.operators import similarity as SIM
 from eodal_spark.operators import spatial_join as SJ
 from eodal_spark.operators import text as TX
@@ -787,6 +788,28 @@ def _q_cell_resample(spark, sf_dir):
     return geo.groupBy(c6.alias("cell6")).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _q_cell_resample_mean(spark, sf_dir):
+    """AREA-kernel downsample (≡ Band.resample with an interpolating
+    kernel, `eodal/core/band.py:1771-1860`): res-12 cells aggregate to
+    res-6 parents with the full reduce set — exact integer mean."""
+    geo = _pages_geo(spark).withColumn("n_chars", F.length("text"))
+    return RS.downsample_agg(
+        geo, "cell_id", RES, 6, "n_chars",
+        stats=("count", "mean_milli", "min", "max", "median"),
+    )
+
+
+def _q_cell_upsample_bilinear(spark, sf_dir):
+    """Bilinear upsample (≡ Band.resample cv2.INTER_LINEAR/CUBIC,
+    `eodal/core/band.py:1771-1860`): per-res-6-cell page counts
+    interpolate down to res-7 children with exact integer weights."""
+    geo = _pages_geo(spark)
+    coarse = geo.groupBy(grid.cell_parent("cell_id", RES, 6).alias("c6")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return RS.upsample_bilinear(coarse, "c6", 6, 7, "n", broadcast_coarse=True)
+
+
 def _q_poly_timeseries(spark, sf_dir):
     """Per-feature time series (≡ get_feature_timeseries,
     `eodal/core/scene.py:469-539`): the reference's per-scene loop +
@@ -973,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "poly_timeseries": _q_poly_timeseries,
         "cell_resample": _q_cell_resample,
         "cell_upsample": _q_cell_upsample,
+        "cell_resample_mean": _q_cell_resample_mean,
+        "cell_upsample_bilinear": _q_cell_upsample_bilinear,
         "value_histogram": _q_value_histogram,
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
@@ -1577,6 +1602,20 @@ def oracle_sql() -> dict[str, str]:
             FROM {pages}
             GROUP BY 1
         """,
+        "cell_resample_mean": f"""
+            SELECT {_duck_cell(6)} AS cell_to,
+                   count(*) AS count,
+                   CAST(sum(length(text)) AS BIGINT) * 1000 // count(*) AS mean_milli,
+                   min(length(text)) AS min,
+                   max(length(text)) AS max,
+                   median(length(text)) AS median
+            FROM {pages}
+            GROUP BY 1
+        """,
+        "cell_upsample_bilinear": RS.sql_upsample_bilinear(
+            f"(SELECT {_duck_cell(6)} AS cell_from, count(*) AS v FROM {pages} GROUP BY 1)",
+            6, 7,
+        ),
         "value_histogram": """
             SELECT k.l_returnflag, k.bin, coalesce(c.n, 0) AS n
             FROM (
