@@ -38,6 +38,7 @@ from eodal_spark.operators import similarity as SIM
 from eodal_spark.operators import spatial_join as SJ
 from eodal_spark.operators import text as TX
 from eodal_spark.operators import tiling as TIL
+from eodal_spark.operators import timeseries as TS
 from eodal_spark.operators import zonal as Z
 from eodal_spark.sources import pages as P
 from eodal_spark.sources import sensors as SN
@@ -828,6 +829,18 @@ def _q_poly_timeseries(spark, sf_dir):
     )
 
 
+def _q_poly_timeseries_reindexed(spark, sf_dir):
+    """Dense time axis + gap fill (≡ get_feature_timeseries
+    reindexing, `eodal/core/scene.py:472-539`, plus the pandas
+    ``reindex().ffill()`` idiom): the observed per-poly buckets complete
+    to a global spine; counts zero-fill, measurements forward-fill."""
+    observed = _q_poly_timeseries(spark, sf_dir)
+    return TS.reindex_buckets(
+        observed, "poly_id", "ts_bucket",
+        fill_zero=("n",), fill_forward=("avg_chars_milli",),
+    )
+
+
 def _q_valid_counts(spark, sf_dir):
     """count_valid + all-invalid test (≡ eodal/utils/arrays.py:34-63
     count_valid and Sentinel2.is_blackfilled sentinel2.py:77-98)."""
@@ -994,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scale_mask": _q_scale_mask,
         "valid_counts": _q_valid_counts,
         "poly_timeseries": _q_poly_timeseries,
+        "poly_timeseries_reindexed": _q_poly_timeseries_reindexed,
         "cell_resample": _q_cell_resample,
         "cell_upsample": _q_cell_upsample,
         "cell_resample_mean": _q_cell_resample_mean,
@@ -1597,6 +1611,18 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_duck_pip(clon, clat)}
             GROUP BY 1, 2
         """,
+        "poly_timeseries_reindexed": TS.sql_reindex_buckets(
+            f"""(
+              SELECT polys.poly_id, p.ts_sec // {BUCKET} AS ts_bucket,
+                     count(*) AS n,
+                     CAST(sum(length(p.text)) * 1000 // count(*) AS BIGINT) AS avg_chars_milli
+              FROM {pages} p, {polys}
+              WHERE {_duck_pip(clon, clat)}
+              GROUP BY 1, 2
+            )""",
+            "poly_id", "ts_bucket", ("n", "avg_chars_milli"),
+            fill_zero=("n",), fill_forward=("avg_chars_milli",),
+        ),
         "cell_resample": f"""
             SELECT {_duck_cell(6)} AS cell6, count(*) AS n
             FROM {pages}

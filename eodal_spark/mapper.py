@@ -145,16 +145,27 @@ class Mapper:
         df = self.data.withColumn("n_chars", F.length("text"))
         return Z.zonal_stats(df.withColumn("poly_id", F.lit(1)), value_col)
 
-    def get_feature_timeseries(self) -> DataFrame:
+    def get_feature_timeseries(self, reindex: bool = False) -> DataFrame:
         """≡ SceneCollection.get_feature_timeseries
-        (`eodal/core/scene.py:469-539`) — one groupBy, not a loop."""
+        (`eodal/core/scene.py:469-539`) — one groupBy, not a loop.
+        ``reindex=True`` (≡ reindex_dataframe, scene.py:532-539
+        generalized to a regular time axis) completes the result to a
+        dense bucket spine: gap buckets appear with n=0 and a
+        forward-filled avg_chars."""
         if self.data is None:
             raise ValueError("call load_scenes() first")
-        return (
+        out = (
             self.data.groupBy("ts_bucket")
             .agg(
                 F.count(F.lit(1)).alias("n"),
                 F.avg(F.length("text")).alias("avg_chars"),
             )
-            .orderBy("ts_bucket")
         )
+        if reindex:
+            from eodal_spark.operators import timeseries as TS
+
+            out = TS.reindex_buckets(
+                out.withColumn("_k", F.lit(1)), "_k", "ts_bucket",
+                fill_zero=("n",), fill_forward=("avg_chars",),
+            ).drop("_k")
+        return out.orderBy("ts_bucket")

@@ -84,6 +84,23 @@ def test_extraction_requires_load(spark, pages_small, tiles_catalog):
     assert len(ts) > 1 and all(r["n"] > 0 for r in ts)
 
 
+def test_mapper_timeseries_reindex(spark, pages_small, tiles_catalog):
+    """reindex=True completes the bucket axis (scene.py:532-539
+    generalized): consecutive buckets, zero-filled gap counts,
+    forward-filled measurements, is_observed marking real rows."""
+    m = _mapper(spark, pages_small, tiles_catalog)
+    m.query_scenes()
+    m.load_scenes()
+    sparse = m.get_feature_timeseries().collect()
+    dense = m.get_feature_timeseries(reindex=True).collect()
+    buckets = [r["ts_bucket"] for r in dense]
+    assert buckets == list(range(min(buckets), max(buckets) + 1))
+    assert len(dense) >= len(sparse)
+    assert sum(1 for r in dense if r["is_observed"]) == len(sparse)
+    assert all(r["n"] == 0 and r["avg_chars"] is not None
+               for r in dense if not r["is_observed"]) or len(dense) == len(sparse)
+
+
 def test_mapper_accepts_wkt_feature(spark, pages_small):
     """MapperConfigs.feature takes any polygonal form — a holed WKT AOI
     queries and loads like a bare ring (feature.py:130-194 parity)."""
