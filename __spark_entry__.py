@@ -841,6 +841,44 @@ def _q_poly_timeseries_reindexed(spark, sf_dir):
     )
 
 
+def _q_morton_bbox_scan(spark, sf_dir):
+    """Z-order layout end-to-end (≡ the COG tiled layout contract,
+    `eodal/core/band.py` to_rasterio tiling): write the pages table
+    Morton-sorted, turn the bbox covering into OR-of-BETWEEN morton
+    ranges (row-group skipping at scan time — metric-asserted in
+    tests/test_grid.py::test_morton_scan_metrics_skip_row_groups), and
+    apply the exact bbox residual so the result is IDENTICAL to the
+    direct query the oracle runs on the unsorted table."""
+    import tempfile
+
+    import numpy as np
+
+    geo = _pages_geo(spark)
+    path = tempfile.mkdtemp(prefix="eodal_morton_") + "/pages"
+    (
+        geo.withColumn("morton", grid.cell_morton("cell_id"))
+        .repartitionByRange(16, "morton")
+        .sortWithinPartitions("morton")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    table = spark.read.parquet(path)
+    lo_lon, hi_lon, lo_lat, hi_lat = BBOX_A
+    n = 1 << RES
+    x = np.arange(lo_lon * n // 36000, ((hi_lon - 1) * n // 36000) + 1)
+    y = np.arange(lo_lat * n // 18000, ((hi_lat - 1) * n // 18000) + 1)
+    gx, gy = np.meshgrid(x, y)
+    cells = (RES << 58) + (gx.ravel().astype(np.int64) << 29) + gy.ravel()
+    pred = None
+    for lo, hi in grid.morton_ranges(cells):
+        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+        pred = p if pred is None else (pred | p)
+    return table.filter(pred).filter(
+        F.col("lon_centi").between(lo_lon, hi_lon - 1)
+        & F.col("lat_centi").between(lo_lat, hi_lat - 1)
+    ).select("url", "cell_id", "lat_centi", "lon_centi")
+
+
 def _q_valid_counts(spark, sf_dir):
     """count_valid + all-invalid test (≡ eodal/utils/arrays.py:34-63
     count_valid and Sentinel2.is_blackfilled sentinel2.py:77-98)."""
@@ -996,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "segment_mode": _q_segment_mode,
         "bbox_cell_range": _q_bbox_cell_range,
+        "morton_bbox_scan": _q_morton_bbox_scan,
         "setops_except": _q_setops_except,
         "share_en_per_tile": _q_share_en_per_tile,
         "rolling_events": _q_rolling_events,
@@ -1478,6 +1517,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bbox_cell_range": _bbox_range_sql(),
+        "morton_bbox_scan": f"""
+            SELECT url, {cell} AS cell_id, lat_centi, lon_centi
+            FROM {pages}
+            WHERE lon_centi BETWEEN {BBOX_A[0]} AND {BBOX_A[1] - 1}
+              AND lat_centi BETWEEN {BBOX_A[2]} AND {BBOX_A[3] - 1}
+        """,
         "setops_except": f"""
             SELECT url FROM {pages}
             WHERE lon_centi BETWEEN {BBOX_A[0]} AND {BBOX_A[1] - 1}

@@ -216,6 +216,68 @@ def test_morton_sorted_layout_prunes_files(spark, tmp_path):
     assert hit_files <= max(2, n_files // 4), (hit_files, n_files)
 
 
+def test_morton_scan_metrics_skip_row_groups(spark, tmp_path):
+    """The 100 TB layout claim, measured: on a Morton-sorted table the
+    OR-of-BETWEEN range predicate reaches the parquet reader
+    (PushedFilters) and row-group min/max stats skip most of the data —
+    the scan node MATERIALIZES a fraction of the rows — while results
+    stay identical to the same bbox filter on the unsorted table."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import pages as P
+
+    res = 8
+    geo = P.geocode(P.synth_pages(spark, 40_000), res).select(
+        "url", "cell_id", "lon_centi", "lat_centi"
+    )
+    path = str(tmp_path / "zorder_metrics")
+    (
+        geo.withColumn("morton", grid.cell_morton("cell_id"))
+        .repartitionByRange(16, "morton")
+        .sortWithinPartitions("morton")
+        .write.parquet(path)
+    )
+    table = spark.read.parquet(path)
+    lon = np.arange(7.0, 10.0, 0.2)
+    lat = np.arange(45.0, 49.0, 0.2)
+    gx, gy = np.meshgrid(lon, lat)
+    cells = np.unique(grid.np_cell_encode(gx.ravel(), gy.ravel(), res))
+    pred = None
+    for lo, hi in grid.morton_ranges(cells, max_ranges=8):
+        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
+        pred = p if pred is None else (pred | p)
+    hit = table.filter(pred)
+    got = {r["url"] for r in hit.collect()}
+
+    # pushed down: the ranges must reach the parquet scan
+    plan_str = hit._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan_str and "GreaterThanOrEqual(morton" in plan_str
+
+    # scan metric: rows MATERIALIZED from parquet (after row-group
+    # min/max skipping) must be a fraction of the table
+    leaves = hit._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.apply(0)
+    scanned = scan.metrics().apply("numOutputRows").value()
+    total = 40_000
+    assert 0 < scanned <= total // 4, (scanned, total)
+
+    # unchanged results vs the unsorted path
+    unsorted_hit = {
+        r["url"]
+        for r in geo.join(
+            spark.createDataFrame(
+                [(int(c),) for c in cells], ["cell_id"]
+            ).hint("broadcast"),
+            "cell_id",
+        ).collect()
+    }
+    # morton ranges are a superset of the covering cells: every covering
+    # row must be found; rows outside the covering can only come from
+    # range consolidation (the documented residual-filter contract)
+    assert unsorted_hit <= got
+
+
 def test_morton_ranges_edge_cases():
     import numpy as np
 
