@@ -703,13 +703,29 @@ def polygon_cover_cells(
         "xmin", "ymin", "xmax", "ymax", "is_convex",
     ]
 
+    rows = None
     if distributed is None:
-        distributed = polys.count() > DRIVER_COVER_MAX_POLYS
+        # ONE bounded job decides AND fetches: collect up to MAX+1 rows —
+        # small layers keep them (the collect was needed anyway for the
+        # driver-side cover), large layers fall through to mapInPandas.
+        # No separate polys.count() job on the query path.  coalesce(1)
+        # keeps CollectLimit from scale-up retries (1 job, not 2); the
+        # limit still cuts the single task's iterator after MAX+1 rows,
+        # so probing a huge layer stays O(MAX) work.
+        rows = (
+            polys.select(*cols)
+            .coalesce(1)
+            .limit(DRIVER_COVER_MAX_POLYS + 1)
+            .collect()
+        )
+        distributed = len(rows) > DRIVER_COVER_MAX_POLYS
 
     if not distributed:
         spark = polys.sparkSession
+        if rows is None:
+            rows = polys.select(*cols).collect()
         out = []
-        for row in polys.select(*cols).collect():
+        for row in rows:
             cell, full = _cover_one(row, res, mode)
             out.extend(
                 (int(row.poly_id), int(c), bool(f)) for c, f in zip(cell, full)

@@ -34,6 +34,10 @@ from eodal_spark.operators import zonal as Z
 from eodal_spark.operators.filters import Filter, apply_filters
 from eodal_spark.sources import pages as P
 
+# footprint-count cutoff between the OR-of-bbox literal predicate and
+# the broadcast left-semi range join (see load_scenes)
+_MAX_OR_FOOTPRINTS = 64
+
 
 @dataclass
 class MapperConfigs:
@@ -112,18 +116,35 @@ class Mapper:
             c.res,
         )
         if self.metadata is not None:
-            # footprints of the queried scenes (tiny catalog result) →
-            # OR-of-bbox predicate, evaluated map-side on the pages scan
-            boxes = self.metadata.select("xmin", "ymin", "xmax", "ymax").collect()
-            pred = F.lit(False)
-            for b in boxes:
-                pred = pred | (
-                    (F.col("lon") >= b["xmin"])
-                    & (F.col("lon") <= b["xmax"])
-                    & (F.col("lat") >= b["ymin"])
-                    & (F.col("lat") <= b["ymax"])
+            # footprints of the queried scenes restrict the pixel load.
+            # Few boxes → OR-of-bbox literal predicate (evaluated
+            # map-side inside the scan filter).  Many boxes → the same
+            # semantics as a broadcast LEFT-SEMI range join: a catalog
+            # query returning thousands of scenes must not grow an
+            # unbounded Catalyst expression tree (analysis/codegen blow
+            # up long before the data does).  Left-semi keeps pages
+            # matching several footprints unduplicated, and the build
+            # side is the tiny catalog result.
+            boxes_df = self.metadata.select("xmin", "ymin", "xmax", "ymax")
+            boxes = boxes_df.limit(_MAX_OR_FOOTPRINTS + 1).collect()
+            if len(boxes) <= _MAX_OR_FOOTPRINTS:
+                pred = F.lit(False)
+                for b in boxes:
+                    pred = pred | (
+                        (F.col("lon") >= b["xmin"])
+                        & (F.col("lon") <= b["xmax"])
+                        & (F.col("lat") >= b["ymin"])
+                        & (F.col("lat") <= b["ymax"])
+                    )
+                geo = geo.filter(pred)
+            else:
+                cond = (
+                    (F.col("lon") >= F.col("xmin"))
+                    & (F.col("lon") <= F.col("xmax"))
+                    & (F.col("lat") >= F.col("ymin"))
+                    & (F.col("lat") <= F.col("ymax"))
                 )
-            geo = geo.filter(pred)
+                geo = geo.join(F.broadcast(boxes_df), cond, "left_semi")
         polys = geometry.polygons_df(
             geo.sparkSession, [(1, c.feature)]
         )

@@ -189,6 +189,11 @@ def ivf_train_centroids(
         .limit(sample)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "empty corpus sample; cannot train IVF centroids — the "
+            "corpus DataFrame has no rows (or no embedding column values)"
+        )
     m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     n_centroids = min(n_centroids, len(m))  # tiny corpora: one list per row
     rng = np.random.RandomState(seed)

@@ -183,9 +183,15 @@ def run_available_now(
 
     File sinks are append-only, so update-mode streams (the stateful
     operators `streaming_mosaic_dedup` / `stateful_cell_counter`) are
-    drained via ``foreachBatch`` parquet appends — pass
-    ``output_mode="update"`` for them; a direct parquet sink would be
-    rejected by Spark at ``start()``."""
+    drained via ``foreachBatch`` — pass ``output_mode="update"`` for
+    them; a direct parquet sink would be rejected by Spark at
+    ``start()``.  The foreachBatch path is EXACTLY-ONCE, not
+    at-least-once: each micro-batch lands in its own ``batch_id=N``
+    partition directory, written with overwrite and skipped when its
+    ``_SUCCESS`` marker already exists — a crash between the parquet
+    write and the checkpoint commit replays the batch into the same
+    directory instead of duplicating rows.  Readers see ``batch_id``
+    as a partition column (per-batch lineage, per the north rule)."""
     w = (
         stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -193,12 +199,16 @@ def run_available_now(
     if output_mode == "append":
         q = w.format("parquet").option("path", out_dir).outputMode("append").start()
     else:
-        q = (
-            w.outputMode(output_mode)
-            .foreachBatch(
-                lambda bdf, _id: bdf.write.mode("append").parquet(out_dir)
-            )
-            .start()
-        )
+        def _write_batch(bdf, batch_id: int):
+            spark = bdf.sparkSession
+            dest = f"{out_dir}/batch_id={batch_id}"
+            jvm = spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                return  # replayed batch (crash before checkpoint commit)
+            bdf.write.mode("overwrite").parquet(dest)
+
+        q = w.outputMode(output_mode).foreachBatch(_write_batch).start()
     q.awaitTermination()
     return q

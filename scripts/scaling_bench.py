@@ -85,7 +85,18 @@ def main() -> None:
         f"{round(r['rows_per_sec'] / c):,} | {scan_best[c]:,.0f} |"
         for c, r in results.items()
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve the skew section (scripts/skew_bench.py owns it)
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    skew_section = ""
+    if os.path.exists(md_path):
+        prev = open(md_path).read()
+        if "<!-- SKEW:BEGIN -->" in prev and "<!-- SKEW:END -->" in prev:
+            skew_section = (
+                "\n\n<!-- SKEW:BEGIN -->"
+                + prev.split("<!-- SKEW:BEGIN -->", 1)[1].split("<!-- SKEW:END -->", 1)[0]
+                + "<!-- SKEW:END -->\n"
+            )
+    with open(md_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured engine numbers
 
@@ -130,6 +141,7 @@ input, identical job, two parallelism levels, efficiency =
 rows_per_sec(4N) / (4 × rows_per_sec(N)); runs in separate JVMs via
 `python bench.py --headline-only` (spark-submit-equivalent local mode).
 """
+            + skew_section
         )
     print("wrote BENCH/BASELINE.md")
 

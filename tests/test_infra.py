@@ -358,5 +358,24 @@ def test_run_available_now_update_mode(spark, tmp_path):
         mosaic, str(tmp_path / "drain_chk"), out, output_mode="update"
     )
     got = spark.read.parquet(out)
-    assert got.count() > 0
-    assert set(got.columns) == {"cell_id", "ts_bucket", "ts_us", "url"}
+    n = got.count()
+    assert n > 0
+    # batch_id partition dir = per-batch lineage + the idempotency key
+    assert set(got.columns) == {"cell_id", "ts_bucket", "ts_us", "url", "batch_id"}
+
+    # exactly-once: replaying a batch id that already has a _SUCCESS
+    # marker must be a no-op (crash between write and checkpoint commit)
+    import os
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert batch_dirs
+    assert os.path.exists(os.path.join(out, batch_dirs[0], "_SUCCESS"))
+    # second drain over the same checkpoint is a no-op (all data seen)
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    )
+    ingest.run_available_now(
+        ingest.streaming_mosaic_dedup(stream2, res=6),
+        str(tmp_path / "drain_chk"), out, output_mode="update",
+    )
+    assert spark.read.parquet(out).count() == n

@@ -101,6 +101,39 @@ def test_mapper_timeseries_reindex(spark, pages_small, tiles_catalog):
                for r in dense if not r["is_observed"]) or len(dense) == len(sparse)
 
 
+def test_many_footprints_use_semi_join_same_answer(spark, pages_small, monkeypatch):
+    """Above the OR-chain cutoff the footprint restriction switches to a
+    broadcast left-semi range join — same rows, bounded expression tree
+    (a thousand-scene catalog must not blow up Catalyst analysis)."""
+    import eodal_spark.mapper as MOD
+
+    # 9×9 grid of overlapping tiles over the Zürich box (81 footprints)
+    rows = []
+    for i in range(9):
+        for j in range(9):
+            rows.append(
+                (f"t{i}_{j}", "2019-06-01 00:00:00", 4326, 10.0,
+                 7.0 + i * 0.4, 45.0 + j * 0.5, 7.0 + i * 0.4 + 0.5, 45.0 + j * 0.5 + 0.6)
+            )
+    tiles = spark.createDataFrame(
+        rows,
+        ["tile_id", "sensing_time", "epsg", "cloudy_pixel_percentage",
+         "xmin", "ymin", "xmax", "ymax"],
+    ).withColumn("sensing_time", F.to_timestamp("sensing_time"))
+
+    def load(cutoff):
+        monkeypatch.setattr(MOD, "_MAX_OR_FOOTPRINTS", cutoff)
+        m = _mapper(spark, pages_small, tiles)
+        m.query_scenes()
+        return {
+            tuple(r) for r in m.load_scenes().select("url", "cell_id").collect()
+        }
+
+    via_or = load(1000)   # literal OR path
+    via_semi = load(4)    # forced semi-join path
+    assert via_or == via_semi and len(via_or) > 0
+
+
 def test_mapper_accepts_wkt_feature(spark, pages_small):
     """MapperConfigs.feature takes any polygonal form — a holed WKT AOI
     queries and loads like a bare ring (feature.py:130-194 parity)."""

@@ -97,6 +97,21 @@ def test_knn_pages_side_not_shuffled(spark, pages_parquet):
     assert "BroadcastHashJoin" in plan  # ring side broadcast, pages probe
 
 
+def test_driver_cover_runs_exactly_one_job(spark):
+    """polygon_cover_cells(distributed=None) must not run a separate
+    count() job: the bounded limit-collect decides AND fetches in ONE
+    Spark job (the data was needed driver-side anyway)."""
+    from eodal_spark import geometry
+
+    polys = E.geometry.polygons_df(spark, E.PAGE_POLYS)
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    cover = geometry.polygon_cover_cells(polys, E.JOIN_RES)
+    after = set(tracker.getJobIdsForGroup())
+    assert len(after - before) == 1, sorted(after - before)
+    assert cover.count() > 0  # cover itself is a local relation
+
+
 def test_exact_spatial_join_single_pass_no_python(spark, pages_parquet):
     """Exact-rule refine is single-pass: ONE scan of the pages side,
     one broadcast join, no unions, and zero Python stages (convex

@@ -238,3 +238,15 @@ def test_near_dup_group_size_guard_and_star(spark, corpus):
     assert expected <= star
     # star is linear: no member-member pairs
     assert all(a == rep for a, _ in star)
+
+
+def test_ivf_empty_corpus_raises_actionable(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+    ])
+    empty = spark.createDataFrame([], schema)
+    with pytest.raises(ValueError, match="empty corpus sample"):
+        S.ivf_train_centroids(empty, n_centroids=4)
