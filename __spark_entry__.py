@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from eodal_spark import geometry, grid
 from eodal_spark.operators import asof as ASOF
 from eodal_spark.operators import dedup as D
+from eodal_spark.operators import export as EX
 from eodal_spark.operators import knn as K
 from eodal_spark.operators import multimodal as MM
 from eodal_spark.operators import resample as RS
@@ -841,6 +842,15 @@ def _q_poly_timeseries_reindexed(spark, sf_dir):
     )
 
 
+def _q_heatmap_grid(spark, sf_dir):
+    """2-D binned density+mean grid (≡ the distributed half of
+    Band.plot / plot_multiple_bands, `eodal/core/band.py:1522`,
+    `raster.py:1060-1076`): per render-bin count and exact integer
+    mean of page length at a 64×64 render resolution."""
+    geo = _pages_geo(spark).withColumn("n_chars", F.length("text"))
+    return EX.heatmap_grid(geo, 6, value_col="n_chars", cell_res=RES)
+
+
 def _q_morton_bbox_scan(spark, sf_dir):
     """Z-order layout end-to-end (≡ the COG tiled layout contract,
     `eodal/core/band.py` to_rasterio tiling): write the pages table
@@ -1035,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_mode": _q_segment_mode,
         "bbox_cell_range": _q_bbox_cell_range,
         "morton_bbox_scan": _q_morton_bbox_scan,
+        "heatmap_grid": _q_heatmap_grid,
         "setops_except": _q_setops_except,
         "share_en_per_tile": _q_share_en_per_tile,
         "rolling_events": _q_rolling_events,
@@ -1522,6 +1533,14 @@ def oracle_sql() -> dict[str, str]:
             FROM {pages}
             WHERE lon_centi BETWEEN {BBOX_A[0]} AND {BBOX_A[1] - 1}
               AND lat_centi BETWEEN {BBOX_A[2]} AND {BBOX_A[3] - 1}
+        """,
+        "heatmap_grid": f"""
+            SELECT ({cell6} >> 29) & 536870911 AS x,
+                   {cell6} & 536870911 AS y,
+                   count(*) AS n,
+                   CAST(sum(length(text)) AS BIGINT) * 1000 // count(*) AS mean_milli
+            FROM {pages}
+            GROUP BY 1, 2
         """,
         "setops_except": f"""
             SELECT url FROM {pages}

@@ -94,6 +94,78 @@ def to_labeled(
     return {"coords": coords, "data": data, "res": res}
 
 
+def heatmap_grid(
+    df: DataFrame,
+    res: int,
+    value_col: str | None = None,
+    cell_col: str = "cell_id",
+    cell_res: int | None = None,
+) -> DataFrame:
+    """2-D binned aggregate — the distributed half of `Band.plot`
+    (`eodal/core/band.py:1522`) / `RasterCollection.plot_multiple_bands`
+    (`raster.py:1060-1076`): per render-bin row counts and an exact
+    integer mean of ``value_col``.  The caller renders (see
+    `plot_data`); the engine's job ends at the (x, y, n, mean) grid.
+    Pure Catalyst; one partial-aggregated shuffle on the bin key."""
+    cell = F.col(cell_col)
+    if cell_res is not None and cell_res != res:
+        cell = grid.cell_parent(cell, cell_res, res)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(
+            F.expr(f"sum({value_col}) * 1000 div count(*)").alias("mean_milli")
+        )
+    return df.groupBy(
+        grid.cell_x_of(cell).alias("x"), grid.cell_y_of(cell).alias("y")
+    ).agg(*aggs)
+
+
+def plot_data(
+    df: DataFrame,
+    value_cols: tuple[str, ...],
+    res: int,
+    cell_col: str = "cell_id",
+) -> dict:
+    """`Band.plot`'s data contract without the renderer: the dense
+    labeled grid (`to_labeled`) plus extent + per-band value range —
+    everything a plotting frontend needs.  Rendering itself
+    (`render_plot`) is import-gated on matplotlib, which this container
+    does not ship; the reference's epsg/colorbar/colormap handling
+    (band.py:1522-1700) belongs to that frontend layer."""
+    lab = to_labeled(df, value_cols, res, cell_col)
+    lon, lat = lab["coords"]["lon"], lab["coords"]["lat"]
+    extent = (
+        (float(lon.min()), float(lon.max()), float(lat.min()), float(lat.max()))
+        if len(lon) and len(lat)
+        else None
+    )
+    ranges = {
+        c: (float(np.nanmin(a)), float(np.nanmax(a))) if a.size and not np.isnan(a).all() else None
+        for c, a in lab["data"].items()
+    }
+    return {**lab, "extent": extent, "vrange": ranges}
+
+
+def render_plot(df: DataFrame, value_col: str, res: int, **imshow_kwargs):
+    """Matplotlib rendering of one band — import-gated (the sandbox has
+    no matplotlib; `plot_data` is the dependency-free hand-off)."""
+    try:
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover - matplotlib absent here
+        raise ImportError(
+            "matplotlib is not installed; use plot_data() for the "
+            "render-ready grid + extent + value range"
+        ) from e
+    pd_ = plot_data(df, (value_col,), res)
+    fig, ax = plt.subplots()
+    im = ax.imshow(
+        pd_["data"][value_col], origin="lower", extent=pd_["extent"],
+        **imshow_kwargs,
+    )
+    fig.colorbar(im, ax=ax, label=value_col)
+    return fig
+
+
 def to_xarray(
     df: DataFrame,
     value_cols: tuple[str, ...],

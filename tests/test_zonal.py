@@ -122,3 +122,27 @@ def test_histogram_fractional_values(spark):
     assert got[0] == 1 and got[1] == 1 and got[2] == 1
     assert got[7] == 1 and got[9] == 1
     assert sum(got.values()) == 5
+
+
+def test_plot_data_and_heatmap(spark):
+    """plot_data: Band.plot's render-ready contract (grid + extent +
+    vrange); heatmap_grid: the distributed 2-D binned aggregate."""
+    from eodal_spark.operators import export as X
+
+    res = 4
+    rows = [((res << 58) + (x << 29) + y, float(x * 10 + y))
+            for x in (1, 2) for y in (3, 4)]
+    df = spark.createDataFrame(rows, ["cell_id", "v"])
+    pd_ = X.plot_data(df, ("v",), res)
+    assert pd_["extent"] is not None and pd_["vrange"]["v"] == (13.0, 24.0)
+    assert pd_["data"]["v"].shape == (2, 2)
+
+    hm = {(r["x"], r["y"]): (r["n"], r["mean_milli"])
+          for r in X.heatmap_grid(df.withColumn("n_chars", (F.col("v") * 2).cast("long")),
+                                  res, value_col="n_chars").collect()}
+    assert hm[(1, 3)] == (1, 26000)
+    assert len(hm) == 4
+
+    import pytest as _pytest
+    with _pytest.raises(ImportError, match="matplotlib"):
+        X.render_plot(df, "v", res)
