@@ -705,16 +705,21 @@ def polygon_cover_cells(
 
     rows = None
     if distributed is None:
-        # ONE bounded job decides AND fetches: collect up to MAX+1 rows —
-        # small layers keep them (the collect was needed anyway for the
-        # driver-side cover), large layers fall through to mapInPandas.
-        # No separate polys.count() job on the query path.  coalesce(1)
-        # keeps CollectLimit from scale-up retries (1 job, not 2); the
-        # limit still cuts the single task's iterator after MAX+1 rows,
-        # so probing a huge layer stays O(MAX) work.
+        # ONE bounded probe decides AND fetches: collect up to MAX+1
+        # rows — small layers keep them (the collect was needed anyway
+        # for the driver-side cover), large layers fall through to
+        # mapInPandas.  No separate polys.count() job on the query
+        # path.  Deliberately NO coalesce(1): on a Python-backed plan
+        # (createDataFrame → Scan ExistingRDD) coalescing makes one
+        # task re-evaluate every pickled parent partition through a
+        # single Python worker — measured 5-6 s for a 4-row layer vs
+        # <1 s for executeTake.  With the session's
+        # spark.sql.limit.initialNumPartitions (session.py) the first
+        # take round already spans a small layer's partitions, so this
+        # is ONE job in the common case and stays O(MAX) rows per
+        # partition (LocalLimit) for huge layers.
         rows = (
             polys.select(*cols)
-            .coalesce(1)
             .limit(DRIVER_COVER_MAX_POLYS + 1)
             .collect()
         )

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.session.timeZone", "UTC")
+        # Bounded probes (limit(n).collect()) cover all partitions of a
+        # small layer in executeTake's FIRST round instead of scaling up
+        # 1→4→16… one job per round.  Per-partition rows stay capped by
+        # LocalLimit, so a huge layer still can't flood the driver.
+        .config("spark.sql.limit.initialNumPartitions", "64")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
