@@ -43,6 +43,7 @@ from eodal_spark.operators import timeseries as TS
 from eodal_spark.operators import zonal as Z
 from eodal_spark.sources import pages as P
 from eodal_spark.sources import sensors as SN
+from eodal_spark.sources import warc as WARC
 
 # ---------------------------------------------------------------------------
 # Fixed configuration shared by the Spark queries and the DuckDB oracles
@@ -221,6 +222,37 @@ def _q_text_extraction(spark, sf_dir):
     df = P.synth_pages(spark, N_PAGES)
     return df.select(
         "url", F.sha2(P.extract_text(F.col("html")), 256).alias("text_sha")
+    )
+
+
+def _q_warc_roundtrip(spark, sf_dir):
+    """WARC ingestion end-to-end (the Common-Crawl upstream of the
+    pages table): synth pages → executor-side WARC sink (per-record
+    gzip members, CC layout) → distributed WARC scan → canonical pages
+    relation.  The gate proves BYTE-identical html through the archive
+    round-trip — md5(html) per url vs the DuckDB generator oracle —
+    which is the input_hint invariant extended to the external format.
+    """
+    import tempfile
+
+    fix_dir = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_warc_{N_PAGES}"
+    )
+    if not os.path.exists(os.path.join(fix_dir, "_SUCCESS")):
+        src = (
+            P.synth_pages(spark, N_PAGES)
+            .repartitionByRange(8, "url")
+            .sortWithinPartitions("url")
+        )
+        WARC.write_warc(src, fix_dir, gzip_records=True).collect()
+        open(os.path.join(fix_dir, "_SUCCESS"), "w").close()
+    df = WARC.pages_from_warc(spark, fix_dir)
+    return df.select(
+        "url",
+        F.unix_timestamp("warc_ts").alias("ts_sec"),
+        F.md5("html").alias("html_md5"),
+        "text",
+        "lang",
     )
 
 
@@ -1019,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # geospatial core (pages table, FIXTURES.md §1)
         "cell_encode": _q_cell_encode,
         "text_extraction": _q_text_extraction,
+        "warc_roundtrip": _q_warc_roundtrip,
         "tile_assignment": _q_tile_assignment,
         "spatial_join_centroid": _q_spatial_join_centroid,
         "spatial_join_exact": _q_spatial_join_exact,
@@ -1169,6 +1202,7 @@ def _emb_topk_planted_oracle() -> str:
 
 def oracle_sql() -> dict[str, str]:
     pages = _duck_pages()
+    _E_DUCK = P._exprs("duckdb", "range")
     polys = _polys_duck()
     cell = _duck_cell(RES)
     tile_cell = _duck_cell(TILE_RES)
@@ -1218,6 +1252,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "text_extraction": f"""
             SELECT url, sha256(text) AS text_sha FROM {pages}
+        """,
+        "warc_roundtrip": f"""
+            SELECT url, ts_sec, md5(html) AS html_md5, text, lang
+            FROM (SELECT {_E_DUCK["url"]} AS url, {_E_DUCK["ts_sec"]} AS ts_sec,
+                         {_E_DUCK["html"]} AS html, {_E_DUCK["text"]} AS text,
+                         {_E_DUCK["lang"]} AS lang
+                  FROM range({N_PAGES}))
         """,
         "tile_assignment": f"""
             SELECT url, {tile_cell} AS tile_cell, ts_sec // {BUCKET} AS ts_bucket

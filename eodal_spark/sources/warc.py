@@ -1,0 +1,321 @@
+"""WARC (ISO 28500) source & sink for Common-Crawl-style page archives.
+
+The engine's base relation is an Iceberg/parquet pages table, but the
+*upstream* of every Common-Crawl-style corpus is WARC: ~1 GB archive
+files whose records are independently-gzipped members (the CC layout).
+This module closes that loop natively:
+
+- ``read_warc``    — distributed WARC → pages DataFrame (url, warc_ts,
+  html, + provenance).  One Spark task per archive file (exactly the
+  unit of parallelism a 100 k-file / 100 TB crawl wants); record
+  parsing is sequential within a file by construction of the format —
+  ``Content-Length`` framing, no scanning — and stays in one
+  Arrow-batched ``mapInPandas`` stage (zero per-record Python⇄JVM
+  round-trips).
+- ``write_warc``   — pages DataFrame → WARC files, one file per input
+  partition, written from the executors (the driver never sees a byte).
+  Returns the write manifest (path, n_records, n_bytes) as a DataFrame
+  — the same lineage-per-partition contract as ``plans/metrics.py``.
+
+Byte fidelity is the invariant (BASELINE.json input_hint: byte-identical
+extracted text per url): ``read_warc(write_warc(df))`` reproduces
+``html`` bytes exactly — gated cross-engine by the ``warc_roundtrip``
+driver query (md5(html) vs the DuckDB generator oracle).
+
+≡ reference scope: EODAL's raster sources hand ``Band.from_rasterio`` a
+GDAL-readable scene file (`eodal/core/band.py:465-708`); the WARC
+archive is this engine's "scene file" — an external byte format parsed
+into the relational model with provenance (file, record offset) kept,
+like the reference keeps scene URIs in SceneProperties
+(`eodal/metadata/sentinel2/parsing.py`).
+
+Format notes (public spec, ISO 28500 / WARC 1.0):
+  record   = "WARC/1.0\\r\\n" named-fields CRLF CRLF block CRLF CRLF
+  block    = for WARC-Type: response — an HTTP/1.1 response message
+  CC layout: each record is its own gzip member; members concatenate
+  into one ``.warc.gz`` file seekable at member boundaries.
+"""
+
+from __future__ import annotations
+
+import gzip
+import hashlib
+import io
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_CRLF = b"\r\n"
+
+READ_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("warc_file", T.StringType(), True),
+        T.StructField("record_offset", T.LongType(), True),
+    ]
+)
+
+MANIFEST_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# record building (sink side)
+# ---------------------------------------------------------------------------
+
+def _http_block(html: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK" + _CRLF
+        + b"Content-Type: text/html; charset=utf-8" + _CRLF
+        + b"Content-Length: " + str(len(html)).encode() + _CRLF
+        + _CRLF
+        + html
+    )
+
+
+def _record(url: str, ts: datetime, html: bytes) -> bytes:
+    """One WARC/1.0 response record.  Fully deterministic: the record id
+    is derived from (url, ts) — identical input produces identical
+    bytes, which is what makes the round-trip gate byte-exact."""
+    block = _http_block(html)
+    rid = hashlib.md5(
+        url.encode("utf-8") + b"\x00" + str(int(ts.timestamp())).encode()
+    ).hexdigest()
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: response" + _CRLF
+        + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
+        + b"WARC-Date: "
+        + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF
+        + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
+        + b"Content-Type: application/http; msgtype=response" + _CRLF
+        + b"Content-Length: " + str(len(block)).encode() + _CRLF
+        + _CRLF
+    )
+    return headers + block + _CRLF + _CRLF
+
+
+def _warcinfo(n_records: int) -> bytes:
+    body = b"software: eodal_spark\r\nformat: WARC File Format 1.0\r\n"
+    headers = (
+        b"WARC/1.0" + _CRLF
+        + b"WARC-Type: warcinfo" + _CRLF
+        + b"WARC-Record-ID: <urn:md5:" + hashlib.md5(
+            str(n_records).encode()
+        ).hexdigest().encode() + b">" + _CRLF
+        + b"WARC-Date: 2019-05-01T00:00:00Z" + _CRLF
+        + b"Content-Type: application/warc-fields" + _CRLF
+        + b"Content-Length: " + str(len(body)).encode() + _CRLF
+        + _CRLF
+    )
+    return headers + body + _CRLF + _CRLF
+
+
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    gzip_records: bool = True,
+) -> DataFrame:
+    """Write (url, warc_ts, html) out as WARC, one file per partition.
+
+    Executor-side sink: each partition's task streams its rows into
+    ``part-{pid:05d}.warc[.gz]`` under ``out_dir`` and emits ONE
+    manifest row — the driver moves metadata only.  With
+    ``gzip_records`` each record is an independent gzip member (the
+    Common-Crawl layout, so downstream readers can split at member
+    boundaries).  Rows are written in partition order; sort upstream
+    (e.g. ``repartitionByRange('url')``) for deterministic files.
+
+    Returns the manifest DataFrame (path, n_records, n_bytes); calling
+    an action on it performs the write.
+    """
+    import os
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        ext = ".warc.gz" if gzip_records else ".warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        os.makedirs(out_dir, exist_ok=True)
+        n = 0
+        buf = io.BytesIO()
+
+        def emit(rec: bytes) -> None:
+            if gzip_records:
+                # mtime=0 → deterministic gzip member bytes
+                buf.write(gzip.compress(rec, mtime=0))
+            else:
+                buf.write(rec)
+
+        emit(_warcinfo(pid))
+        for pdf in batches:
+            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+                if ts.tzinfo is None:
+                    ts = ts.replace(tzinfo=timezone.utc)
+                emit(_record(str(url), ts, bytes(html)))
+                n += 1
+        data = buf.getvalue()
+        tmp = path + ".inprogress"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)  # atomic per-file commit
+        yield pd.DataFrame(
+            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+        )
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        gen, MANIFEST_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# parsing (source side)
+# ---------------------------------------------------------------------------
+
+def _split_gzip_members(data: bytes) -> Iterator[tuple[int, bytes]]:
+    """(member_start_offset, decompressed_bytes) per gzip member."""
+    import zlib
+
+    pos = 0
+    while pos < len(data):
+        d = zlib.decompressobj(wbits=31)
+        chunk = d.decompress(data[pos:])
+        if not d.eof:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        yield pos, chunk
+        consumed = len(data) - pos - len(d.unused_data)
+        pos += consumed
+
+
+def _parse_records(data: bytes, base_offset: int = 0):
+    """Sequential WARC record parse — Content-Length framing, no search.
+
+    Yields (offset, headers: dict, block: bytes).
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos:pos + 8] != b"WARC/1.0":
+            raise ValueError(
+                f"bad WARC version marker at offset {base_offset + pos}"
+            )
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(
+                f"truncated record headers at offset {base_offset + pos}"
+            )
+        headers: dict[str, str] = {}
+        for line in data[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers["content-length"])
+        block_start = hdr_end + 4
+        block = data[block_start:block_start + length]
+        if len(block) != length:
+            raise ValueError(
+                f"truncated record block at offset {base_offset + pos}"
+            )
+        yield base_offset + pos, headers, block
+        pos = block_start + length
+        if data[pos:pos + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                f"missing record trailer at offset {base_offset + pos}"
+            )
+        pos += 4
+
+
+def _http_body(block: bytes) -> bytes:
+    sep = block.find(_CRLF + _CRLF)
+    return block if sep < 0 else block[sep + 4:]
+
+
+def _parse_warc_ts(v: str) -> datetime:
+    return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ").replace(
+        tzinfo=timezone.utc
+    )
+
+
+def parse_warc_bytes(path: str, data: bytes) -> pd.DataFrame:
+    """One archive file → response-record rows (pure function of bytes)."""
+    gzipped = data[:2] == b"\x1f\x8b"
+    urls, tss, htmls, offs = [], [], [], []
+
+    def consume(offset: int, headers: dict, block: bytes) -> None:
+        if headers.get("warc-type") != "response":
+            return
+        urls.append(headers.get("warc-target-uri"))
+        tss.append(_parse_warc_ts(headers["warc-date"]))
+        htmls.append(_http_body(block))
+        offs.append(offset)
+
+    if gzipped:
+        for member_off, chunk in _split_gzip_members(data):
+            for off, headers, block in _parse_records(chunk, member_off):
+                consume(off, headers, block)
+    else:
+        for off, headers, block in _parse_records(data):
+            consume(off, headers, block)
+    return pd.DataFrame(
+        {
+            "url": pd.Series(urls, dtype=object),
+            "warc_ts": pd.Series(tss, dtype="datetime64[us, UTC]"),
+            "html": pd.Series(htmls, dtype=object),
+            "warc_file": pd.Series([path] * len(urls), dtype=object),
+            "record_offset": pd.Series(offs, dtype="int64"),
+        }
+    )
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed WARC scan → (url, warc_ts, html, warc_file,
+    record_offset).
+
+    ``binaryFile`` gives one row per archive; Spark parallelizes across
+    files — the natural unit for a crawl corpus (CC: ~100 k × ~1 GB).
+    Parsing happens where the bytes land (Arrow ``mapInPandas``); the
+    per-record gzip members of the CC layout are handled by streaming
+    zlib with member-boundary offsets kept for provenance.  For
+    archives larger than one task should hold, pre-split at gzip member
+    boundaries upstream (the layout exists precisely to allow that).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                out = parse_warc_bytes(str(path_), bytes(content))
+                if len(out):
+                    yield out
+
+    files = spark.read.format("binaryFile").load(path)
+    return files.select("path", "content").mapInPandas(gen, READ_SCHEMA)
+
+
+def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC → the engine's canonical pages relation (input_hint schema):
+    text re-derived from html bytes (the byte-identity invariant), lang
+    parsed from the page body."""
+    from eodal_spark.sources import pages as P
+
+    df = read_warc(spark, path)
+    text = P.extract_text(F.col("html"))
+    return df.select(
+        "url",
+        "warc_ts",
+        "html",
+        text.alias("text"),
+        F.regexp_extract(text, r" lang ([a-z]+) ", 1).alias("lang"),
+    )

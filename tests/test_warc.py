@@ -1,0 +1,149 @@
+"""WARC source/sink: byte-exact round-trip, CC gzip layout, provenance."""
+
+import glob
+import gzip
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from eodal_spark.sources import pages as P
+from eodal_spark.sources import warc as W
+
+
+@pytest.fixture(scope="module")
+def small_pages(spark):
+    return P.synth_pages(spark, 500, partitions=4)
+
+
+def _roundtrip(spark, small_pages, tmp_path, gzip_records):
+    out = str(tmp_path / ("gz" if gzip_records else "plain"))
+    manifest = W.write_warc(
+        small_pages, out, gzip_records=gzip_records
+    ).collect()
+    assert sum(m.n_records for m in manifest) == 500
+    assert len(manifest) == 4  # one file per partition
+    for m in manifest:
+        assert os.path.exists(m.path) and os.path.getsize(m.path) == m.n_bytes
+
+    back = W.read_warc(spark, out)
+    # byte fidelity: md5(html) multiset identical, urls identical
+    a = {
+        (r.url, r.ts, r.h)
+        for r in small_pages.select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("ts"),
+            F.md5("html").alias("h"),
+        ).collect()
+    }
+    b = {
+        (r.url, r.ts, r.h)
+        for r in back.select(
+            "url",
+            F.unix_timestamp("warc_ts").alias("ts"),
+            F.md5("html").alias("h"),
+        ).collect()
+    }
+    assert a == b
+
+
+def test_roundtrip_plain(spark, small_pages, tmp_path):
+    _roundtrip(spark, small_pages, tmp_path, gzip_records=False)
+
+
+def test_roundtrip_gzip_members(spark, small_pages, tmp_path):
+    _roundtrip(spark, small_pages, tmp_path, gzip_records=True)
+
+
+def test_gzip_layout_is_member_per_record(spark, small_pages, tmp_path):
+    """CC layout contract: every record its own gzip member, so a reader
+    can split at member boundaries."""
+    out = str(tmp_path / "members")
+    m = W.write_warc(small_pages, out, gzip_records=True).collect()
+    path = sorted(x.path for x in m)[0]
+    data = open(path, "rb").read()
+    members = list(W._split_gzip_members(data))
+    # warcinfo + n_records members
+    n = [x.n_records for x in m if x.path == path][0]
+    assert len(members) == n + 1
+    assert members[0][0] == 0
+    # each member decompresses independently to exactly one whole record
+    for off, chunk in members:
+        assert chunk.startswith(b"WARC/1.0")
+        assert chunk.endswith(b"\r\n\r\n")
+        assert gzip.decompress(data[off:]).startswith(chunk)
+
+
+def test_non_response_records_skipped(spark, small_pages, tmp_path):
+    out = str(tmp_path / "skip")
+    W.write_warc(small_pages, out, gzip_records=False).collect()
+    # every file begins with a warcinfo record that must not surface
+    back = W.read_warc(spark, out)
+    assert back.count() == 500
+    assert back.filter(F.col("url").isNull()).count() == 0
+
+
+def test_provenance_columns(spark, small_pages, tmp_path):
+    out = str(tmp_path / "prov")
+    W.write_warc(small_pages, out, gzip_records=True).collect()
+    back = W.read_warc(spark, out)
+    rows = back.select("warc_file", "record_offset").collect()
+    assert {os.path.basename(r.warc_file) for r in rows} == {
+        os.path.basename(p) for p in glob.glob(out + "/*.warc.gz")
+    }
+    # offsets are the gzip member starts: strictly increasing per file,
+    # first response record after the warcinfo member (offset > 0)
+    per_file = {}
+    for r in rows:
+        per_file.setdefault(r.warc_file, []).append(r.record_offset)
+    for offs in per_file.values():
+        assert all(o > 0 for o in offs)
+        s = sorted(offs)
+        assert len(set(s)) == len(s)
+
+
+def test_deterministic_bytes(spark, small_pages, tmp_path):
+    """Same input partitioning → identical file bytes (mtime=0 members,
+    content-derived record ids)."""
+    src = small_pages.repartitionByRange(2, "url").sortWithinPartitions("url")
+    out1, out2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    W.write_warc(src, out1).collect()
+    W.write_warc(src, out2).collect()
+    f1 = sorted(glob.glob(out1 + "/*"))
+    f2 = sorted(glob.glob(out2 + "/*"))
+    assert [os.path.basename(p) for p in f1] == [
+        os.path.basename(p) for p in f2
+    ]
+    for a, b in zip(f1, f2):
+        assert open(a, "rb").read() == open(b, "rb").read()
+
+
+def test_truncated_archive_raises(spark, small_pages, tmp_path):
+    out = str(tmp_path / "trunc")
+    m = W.write_warc(small_pages, out, gzip_records=False).collect()
+    path = m[0].path
+    data = open(path, "rb").read()
+    with pytest.raises(ValueError, match="bad WARC version|truncated|trailer"):
+        W.parse_warc_bytes(path, data[: len(data) // 2])
+
+
+def test_pages_from_warc_matches_generator(spark, small_pages, tmp_path):
+    out = str(tmp_path / "canon")
+    W.write_warc(small_pages, out).collect()
+    got = W.pages_from_warc(spark, out)
+    exp = {
+        (r.url, r.text, r.lang)
+        for r in small_pages.select("url", "text", "lang").collect()
+    }
+    assert {
+        (r.url, r.text, r.lang)
+        for r in got.select("url", "text", "lang").collect()
+    } == exp
+
+
+def test_read_is_single_arrow_stage(spark, small_pages, tmp_path):
+    out = str(tmp_path / "plan")
+    W.write_warc(small_pages, out).collect()
+    plan = W.read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan  # no per-row Python
