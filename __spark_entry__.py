@@ -616,6 +616,31 @@ def _q_bbox_cell_range(spark, sf_dir):
     ).select("url", "cell_id")
 
 
+def _q_snapshot_pruned_scan(spark, sf_dir):
+    """Manifest-level file skipping (≡ Iceberg manifests; the catalog
+    contract of SURVEY §2.1): the geocoded pages table is committed to
+    a SnapshotCatalog range-partitioned+sorted by cell_id, the manifest
+    records per-file min/max from the parquet footers, and scan()
+    selects files on the DRIVER before Spark ever lists them.  Result
+    is identical to read+filter (residual applied); file-count skipping
+    is metric-asserted in tests/test_infra.py."""
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_snapcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if not cat.snapshots("pages_geo"):
+        geo = _pages_geo(spark).select("url", "cell_id")
+        cat.write(geo, "pages_geo", sort_by=("cell_id",), n_files=16)
+    x0, x1 = 130, 180  # JOIN-res-independent: raw x range at RES
+    lo = (RES << 58) + (x0 << 29)
+    hi = (RES << 58) + (x1 << 29) + ((1 << 29) - 1)
+    return cat.scan(spark, "pages_geo", {"cell_id": (lo, hi)})
+
+
 def _q_setops_except(spark, sf_dir):
     """Set ops (≡ EPSG set difference / band pruning, SURVEY §2.7):
     urls in bbox A minus urls in bbox B (overlapping boxes)."""
@@ -1077,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": _q_orders_rollup,
         "segment_mode": _q_segment_mode,
         "bbox_cell_range": _q_bbox_cell_range,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "morton_bbox_scan": _q_morton_bbox_scan,
         "heatmap_grid": _q_heatmap_grid,
         "setops_except": _q_setops_except,
@@ -1569,6 +1595,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bbox_cell_range": _bbox_range_sql(),
+        "snapshot_pruned_scan": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE {cell} BETWEEN {(RES << 58) + (130 << 29)}
+                             AND {(RES << 58) + (180 << 29) + ((1 << 29) - 1)}
+        """,
         "morton_bbox_scan": f"""
             SELECT url, {cell} AS cell_id, lat_centi, lon_centi
             FROM {pages}

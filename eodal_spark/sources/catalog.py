@@ -26,6 +26,54 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
+    """Per-file min/max stats for the clustering columns, read from the
+    parquet FOOTERS (metadata plane — no data pages touched).
+
+    ≡ Iceberg's manifest entries: each data file carries lower/upper
+    bounds per column, written at commit time.  In a cluster the task
+    write-results carry these back to the commit coordinator; reading
+    footers at commit is the single-process equivalent (O(files) tiny
+    metadata reads, done ONCE per snapshot, amortized over every
+    subsequent pruned scan).
+    """
+    if not cols:
+        return []
+    import pyarrow.parquet as pq
+
+    def jsonable(v):
+        if isinstance(v, bytes):
+            return v.decode("utf-8", "replace")
+        if hasattr(v, "isoformat"):
+            return v.isoformat()
+        return v
+
+    out = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(data_dir, name))
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        stats: dict[str, dict] = {}
+        for c in cols:
+            if c not in idx:
+                continue
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None or not st.has_min_max:
+                    mins, maxs = [], []
+                    break
+                mins.append(st.min)
+                maxs.append(st.max)
+            stats[c] = {
+                "min": jsonable(min(mins)) if mins else None,
+                "max": jsonable(max(maxs)) if maxs else None,
+            }
+        out.append({"name": name, "stats": stats})
+    return out
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -57,17 +105,22 @@ class SnapshotCatalog:
         table: str,
         sort_by: tuple[str, ...] = (),
         meta: dict | None = None,
+        n_files: int | None = None,
     ) -> dict:
         """Append a new snapshot. Sorted write (range-partitioned by the
-        sort key) gives min/max pruning on those columns."""
+        sort key) gives min/max pruning on those columns; ``n_files``
+        pins the file count (else AQE sizes it), which also sets the
+        granularity of manifest-level pruning in :meth:`scan`."""
         man = self._load_manifest(table)
         sid = len(man["snapshots"]) + 1
         data_dir = os.path.join(self._tdir(table), f"v{sid}")
-        out = (
-            df.repartitionByRange(*sort_by).sortWithinPartitions(*sort_by)
-            if sort_by
-            else df
-        )
+        if sort_by:
+            parts = (n_files,) if n_files else ()
+            out = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        else:
+            out = df.repartition(n_files) if n_files else df
         out.write.mode("overwrite").parquet(data_dir)
         n = out.sparkSession.read.parquet(data_dir).count()
         snap = {
@@ -76,6 +129,7 @@ class SnapshotCatalog:
             "path": data_dir,
             "row_count": n,
             "sort_by": list(sort_by),
+            "files": _file_stats(data_dir, sort_by),
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -92,6 +146,72 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"no snapshots for table {table}")
         snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
         return spark.read.parquet(snap["path"])
+
+    def scan(
+        self,
+        spark: SparkSession,
+        table: str,
+        ranges: dict[str, tuple],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """Manifest-pruned scan — ≡ Iceberg's manifest-level file
+        skipping, the capability that makes a 100 TB table queryable
+        without listing/opening 100 k files.
+
+        ``ranges`` maps column → (lo, hi) inclusive.  File selection
+        happens on the DRIVER against the manifest's per-file min/max
+        stats (metadata plane, no Spark job, no file opens); Spark then
+        reads only the surviving files, and parquet row-group stats
+        prune further *within* them (the table is range-partitioned and
+        sorted by ``sort_by`` at write).  The residual predicate is
+        applied so the result is exactly ``read(...).filter(...)`` —
+        pruning is a pure optimization, never a semantics change.
+
+        Files with no recorded stats for a column are kept
+        (conservative, like Iceberg's null-stats behavior).
+        """
+        snaps = self.snapshots(table)
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        files = snap.get("files") or []
+        if files:
+            keep = []
+            for frec in files:
+                stats = frec.get("stats", {})
+                ok = True
+                for col, (lo, hi) in ranges.items():
+                    st = stats.get(col)
+                    if st is None or st["min"] is None or st["max"] is None:
+                        continue  # no stats → cannot prune this file
+                    if st["min"] > hi or st["max"] < lo:
+                        ok = False
+                        break
+                if ok:
+                    keep.append(os.path.join(snap["path"], frec["name"]))
+            if not keep:
+                from pyspark.sql import functions as F
+
+                # schema-preserving empty: the optimizer folds
+                # filter(false) to an empty LocalRelation — no scan
+                df = spark.read.parquet(snap["path"]).where(F.lit(False))
+            else:
+                df = spark.read.parquet(*keep)
+        else:  # pre-stats snapshot: fall back to a full read
+            df = spark.read.parquet(snap["path"])
+        import functools
+        import operator
+
+        from pyspark.sql import functions as F
+
+        residual = functools.reduce(
+            operator.and_,
+            [
+                (F.col(c) >= lo) & (F.col(c) <= hi)
+                for c, (lo, hi) in ranges.items()
+            ],
+        )
+        return df.filter(residual)
 
     def rollback(self, table: str, snapshot_id: int) -> None:
         man = self._load_manifest(table)

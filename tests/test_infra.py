@@ -379,3 +379,72 @@ def test_run_available_now_update_mode(spark, tmp_path):
         str(tmp_path / "drain_chk"), out, output_mode="update",
     )
     assert spark.read.parquet(out).count() == n
+
+
+def test_manifest_file_stats_recorded(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "stats_cat"))
+    df = spark.range(50_000).select(
+        (F.col("id") % 500).alias("cell_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("url"),
+    )
+    snap = cat.write(df, "t", sort_by=("cell_id",))
+    files = snap["files"]
+    assert files, "manifest must carry per-file entries"
+    # bounds cover the domain and are disjoint-ish under range partitioning
+    lo = min(f["stats"]["cell_id"]["min"] for f in files)
+    hi = max(f["stats"]["cell_id"]["max"] for f in files)
+    assert (lo, hi) == (0, 499)
+    for f in files:
+        s = f["stats"]["cell_id"]
+        assert s["min"] <= s["max"]
+    # stats survive the JSON round-trip (manifest reread from disk)
+    assert cat.snapshots("t")[-1]["files"] == files
+
+
+def test_manifest_pruned_scan_skips_files(spark, tmp_path):
+    """Iceberg-manifest analogue, measured: scan() lists only the files
+    whose min/max overlap the predicate — the FileScan's numFiles metric
+    must be below the snapshot total — and returns exactly what a full
+    read + filter returns."""
+    cat = SnapshotCatalog(str(tmp_path / "prune_cat"))
+    df = spark.range(200_000).select(
+        (F.col("id") % 1000).alias("cell_id"), F.col("id").alias("v")
+    )
+    snap = cat.write(df, "t", sort_by=("cell_id",), n_files=10)
+    n_files = len(snap["files"])
+    assert n_files > 4  # pruning needs something to prune
+
+    pruned = cat.scan(spark, "t", {"cell_id": (10, 30)})
+    expect = cat.read(spark, "t").filter("cell_id between 10 and 30")
+    assert sorted(r.v for r in pruned.collect()) == sorted(
+        r.v for r in expect.collect()
+    )
+
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    scan = leaves.apply(0)
+    read_files = scan.metrics().apply("numFiles").value()
+    assert read_files < n_files, (read_files, n_files)
+
+
+def test_manifest_scan_empty_selection_and_no_stats(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "edge_cat"))
+    df = spark.range(1_000).select((F.col("id") % 10).alias("cell_id"))
+    cat.write(df, "t", sort_by=("cell_id",))
+    # empty selection: no file overlaps → schema-stable empty result
+    out = cat.scan(spark, "t", {"cell_id": (5000, 6000)})
+    assert out.columns == ["cell_id"] and out.count() == 0
+    # unsorted write → no files entry → conservative full read, residual
+    cat.write(df, "plain")
+    out2 = cat.scan(spark, "plain", {"cell_id": (3, 4)})
+    assert out2.count() == 200
+
+
+def test_manifest_scan_string_stats(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "str_cat"))
+    df = spark.range(20_000).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id") % 100, 3, "0")).alias("key"),
+        "id",
+    )
+    cat.write(df, "t", sort_by=("key",))
+    pruned = cat.scan(spark, "t", {"key": ("k010", "k019")})
+    assert pruned.count() == 2_000
