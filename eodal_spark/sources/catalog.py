@@ -158,7 +158,13 @@ class SnapshotCatalog:
         skipping, the capability that makes a 100 TB table queryable
         without listing/opening 100 k files.
 
-        ``ranges`` maps column → (lo, hi) inclusive.  File selection
+        ``ranges`` maps column → (lo, hi) inclusive, or a LIST of such
+        ranges (OR-semantics — e.g. the OR-of-BETWEEN ranges
+        `grid.morton_ranges` plans for a bbox; a file survives if any
+        range overlaps, rows must fall in some range).  Combined with a
+        Morton-sorted write this stacks THREE pruning levels: manifest
+        file skipping here, parquet row-group stats inside the
+        surviving files, then the residual filter.  File selection
         happens on the DRIVER against the manifest's per-file min/max
         stats (metadata plane, no Spark job, no file opens); Spark then
         reads only the surviving files, and parquet row-group stats
@@ -174,17 +180,22 @@ class SnapshotCatalog:
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
         snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        norm = {
+            c: (r if isinstance(r, list) else [r]) for c, r in ranges.items()
+        }
         files = snap.get("files") or []
         if files:
             keep = []
             for frec in files:
                 stats = frec.get("stats", {})
                 ok = True
-                for col, (lo, hi) in ranges.items():
+                for col, rs in norm.items():
                     st = stats.get(col)
                     if st is None or st["min"] is None or st["max"] is None:
                         continue  # no stats → cannot prune this file
-                    if st["min"] > hi or st["max"] < lo:
+                    if not any(
+                        st["min"] <= hi and st["max"] >= lo for lo, hi in rs
+                    ):
                         ok = False
                         break
                 if ok:
@@ -207,8 +218,14 @@ class SnapshotCatalog:
         residual = functools.reduce(
             operator.and_,
             [
-                (F.col(c) >= lo) & (F.col(c) <= hi)
-                for c, (lo, hi) in ranges.items()
+                functools.reduce(
+                    operator.or_,
+                    [
+                        (F.col(c) >= lo) & (F.col(c) <= hi)
+                        for lo, hi in rs
+                    ],
+                )
+                for c, rs in norm.items()
             ],
         )
         return df.filter(residual)

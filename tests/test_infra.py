@@ -448,3 +448,43 @@ def test_manifest_scan_string_stats(spark, tmp_path):
     cat.write(df, "t", sort_by=("key",))
     pruned = cat.scan(spark, "t", {"key": ("k010", "k019")})
     assert pruned.count() == 2_000
+
+
+def test_manifest_scan_morton_or_ranges(spark, tmp_path):
+    """Three-level skipping stack: Morton-sorted snapshot + manifest
+    file pruning on the OR-of-BETWEEN ranges grid.morton_ranges plans
+    for a bbox + row-group stats inside surviving files.  Results must
+    equal the plain bbox filter on the full table."""
+    import numpy as np
+
+    from eodal_spark import grid
+    from eodal_spark.sources import pages as P
+
+    res = 8
+    geo = (
+        P.geocode(P.synth_pages(spark, 40_000), res)
+        .select("url", "cell_id", "lon_centi", "lat_centi")
+        .withColumn("morton", grid.cell_morton("cell_id"))
+    )
+    cat = SnapshotCatalog(str(tmp_path / "zcat"))
+    snap = cat.write(geo, "z", sort_by=("morton",), n_files=16)
+
+    lon = np.arange(7.0, 10.0, 0.2)
+    lat = np.arange(45.0, 49.0, 0.2)
+    gx, gy = np.meshgrid(lon, lat)
+    cells = np.unique(grid.np_cell_encode(gx.ravel(), gy.ravel(), res))
+    ranges = [(int(lo), int(hi)) for lo, hi in grid.morton_ranges(cells, max_ranges=8)]
+
+    pruned = cat.scan(spark, "z", {"morton": ranges})
+    import functools
+    import operator
+
+    pred = functools.reduce(
+        operator.or_,
+        [(F.col("morton") >= lo) & (F.col("morton") <= hi) for lo, hi in ranges],
+    )
+    expect = {r.url for r in cat.read(spark, "z").filter(pred).collect()}
+    assert {r.url for r in pruned.collect()} == expect
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    read_files = leaves.apply(0).metrics().apply("numFiles").value()
+    assert read_files < len(snap["files"]), (read_files, len(snap["files"]))
