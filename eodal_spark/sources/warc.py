@@ -127,6 +127,7 @@ def write_warc(
     df: DataFrame,
     out_dir: str,
     gzip_records: bool = True,
+    prefix: str = "",
 ) -> DataFrame:
     """Write (url, warc_ts, html) out as WARC, one file per partition.
 
@@ -138,6 +139,9 @@ def write_warc(
     boundaries).  Rows are written in partition order; sort upstream
     (e.g. ``repartitionByRange('url')``) for deterministic files.
 
+    ``prefix`` namespaces the file names so successive batches can land
+    in one directory (the shape `stream_warc` incrementally consumes).
+
     Returns the manifest DataFrame (path, n_records, n_bytes); calling
     an action on it performs the write.
     """
@@ -148,7 +152,7 @@ def write_warc(
 
         pid = TaskContext.get().partitionId()
         ext = ".warc.gz" if gzip_records else ".warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        path = os.path.join(out_dir, f"{prefix}part-{pid:05d}{ext}")
         os.makedirs(out_dir, exist_ok=True)
         n = 0
         buf = io.BytesIO()
@@ -280,6 +284,14 @@ def parse_warc_bytes(path: str, data: bytes) -> pd.DataFrame:
     )
 
 
+def _parse_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        for path_, content in zip(pdf["path"], pdf["content"]):
+            out = parse_warc_bytes(str(path_), bytes(content))
+            if len(out):
+                yield out
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """Distributed WARC scan → (url, warc_ts, html, warc_file,
     record_offset).
@@ -292,16 +304,37 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     archives larger than one task should hold, pre-split at gzip member
     boundaries upstream (the layout exists precisely to allow that).
     """
-
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for path_, content in zip(pdf["path"], pdf["content"]):
-                out = parse_warc_bytes(str(path_), bytes(content))
-                if len(out):
-                    yield out
-
     files = spark.read.format("binaryFile").load(path)
-    return files.select("path", "content").mapInPandas(gen, READ_SCHEMA)
+    return files.select("path", "content").mapInPandas(
+        _parse_files, READ_SCHEMA
+    )
+
+
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Incremental WARC ingestion: archives LANDING in a directory are
+    discovered by the file-stream source and parsed exactly once — the
+    crawl-bucket → pages-table pipeline as Structured Streaming.
+
+    The checkpoint tracks which archives were consumed (file-level,
+    exactly-once with a file sink / idempotent foreachBatch), so a
+    restart resumes from the last committed batch — the streaming twin
+    of `catalog.ResumablePipeline`.  Same single Arrow stage as
+    `read_warc`; compose with `pages_from_warc`-style projection,
+    `streaming.ingest` windows, or `run_available_now` for the drain.
+    """
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+    )
+    return files.select("path", "content").mapInPandas(
+        _parse_files, READ_SCHEMA
+    )
 
 
 def pages_from_warc(spark: SparkSession, path: str) -> DataFrame:

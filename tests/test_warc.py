@@ -147,3 +147,37 @@ def test_read_is_single_arrow_stage(spark, small_pages, tmp_path):
     plan = W.read_warc(spark, out)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("MapInPandas") == 1
     assert "BatchEvalPython" not in plan  # no per-row Python
+
+
+def test_stream_warc_incremental_exactly_once(spark, tmp_path):
+    """Archives landing in a directory are ingested incrementally:
+    drain 1 sees batch-A files, drain 2 (same checkpoint) appends only
+    the NEW batch-B files, and the final table equals the batch
+    read_warc of the whole directory — file-level exactly-once."""
+    from eodal_spark.streaming.ingest import run_available_now
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "pages_out")
+
+    a = P.synth_pages(spark, 200, partitions=2)
+    W.write_warc(a, land).collect()
+    run_available_now(W.stream_warc(spark, land), ckpt, out)
+    got1 = spark.read.parquet(out)
+    assert got1.count() == 200
+
+    b = P.synth_pages(spark, 300, partitions=2).filter(
+        ~F.col("url").isin([r.url for r in a.select("url").collect()])
+    )
+    n_b = b.count()
+    # new archives land in the SAME directory under a batch prefix
+    W.write_warc(b, land, prefix="b2-").collect()
+    run_available_now(W.stream_warc(spark, land), ckpt, out)
+
+    final = spark.read.parquet(out)
+    assert final.count() == 200 + n_b
+    batch_urls = {r.url for r in W.read_warc(spark, land).select("url").collect()}
+    assert {r.url for r in final.select("url").collect()} == batch_urls
+    # re-drain with nothing new: no duplicates (checkpointed file log)
+    run_available_now(W.stream_warc(spark, land), ckpt, out)
+    assert spark.read.parquet(out).count() == 200 + n_b
