@@ -252,6 +252,50 @@ def morton_ranges(cells: np.ndarray, max_ranges: int = 64) -> list[tuple[int, in
     return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
 
 
+def cell_disk_ranges(
+    cells, k: int, res: int, max_ranges: int = 256
+) -> list[tuple[int, int]] | None:
+    """Plan the Chebyshev-``k`` disks around driver-side ``cells`` as
+    inclusive ``cell_id`` ranges — the SCAN-predicate twin of
+    `cell_ring` (which explodes the same cells as join keys).
+
+    A disk is one contiguous y-strip per x column (x wrapped with pmod,
+    y clamped — identical membership to `cell_ring`), so each disk
+    yields ≤ 2k+1 BETWEEN ranges; overlapping/adjacent strips across
+    disks are merged.  The ring-kNN uses the result to pre-filter the
+    pages scan: on a cell-sorted table the OR-of-BETWEEN pushes to
+    parquet/Iceberg min-max stats and a ring re-join touches a sliver
+    of the corpus instead of scanning it.
+
+    Returns ``None`` when the merged list still exceeds ``max_ranges``
+    — the caller must then skip the prefilter rather than chain an
+    unbounded literal expression tree into Catalyst (same guard as the
+    mapper's footprint restriction).
+    """
+    n = 1 << res
+    base = res << _RES_SHIFT
+    strips: list[tuple[int, int]] = []
+    for c in cells:
+        c = int(c)
+        x = (c >> _X_SHIFT) & _XY_MASK
+        y = c & _XY_MASK
+        ylo, yhi = max(y - k, 0), min(y + k, n - 1)
+        for dx in range(-k, k + 1):
+            xx = (x + dx) % n
+            lo = base + (xx << _X_SHIFT) + ylo
+            strips.append((lo, base + (xx << _X_SHIFT) + yhi))
+    if not strips:
+        return []
+    strips.sort()
+    merged = [strips[0]]
+    for lo, hi in strips[1:]:
+        plo, phi = merged[-1]
+        if lo <= phi + 1:
+            merged[-1] = (plo, max(phi, hi))
+        else:
+            merged.append((lo, hi))
+    return merged if len(merged) <= max_ranges else None
+
 
 # ---------------------------------------------------------------------------
 # Arrow-vectorized variant + numpy reference (used by oracles/tests)

@@ -49,6 +49,26 @@ def _sqdist() -> F.Column:
     return (dlat * dlat + dlon * dlon).cast("long")
 
 
+def _cell_id_is_stored(df: DataFrame) -> bool:
+    """True iff ``cell_id`` is a physical column of a leaf relation
+    (parquet/Iceberg scan), not an expression computed above it.
+
+    Decides whether the ring rounds add their disk-range scan predicate:
+    on a stored column the OR-of-BETWEEN pushes to row-group stats and a
+    round reads a sliver; on a COMPUTED column (e.g. straight out of
+    `pages.geocode`) predicate pushdown would substitute the full
+    deriving expression into every comparison — measured 5-10× slower —
+    while the broadcast hash join already evaluates it exactly once per
+    row, so the prefilter is pure loss there."""
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    for i in range(leaves.length()):
+        out = leaves.apply(i).output()
+        for j in range(out.length()):
+            if out.apply(j).name() == "cell_id":
+                return True
+    return False
+
+
 def knn(
     queries: DataFrame,
     pages_geo: DataFrame,
@@ -56,6 +76,7 @@ def knn(
     k: int,
     start_radius: int = 2,
     max_rounds: int = 3,
+    scan_prune: bool | None = None,
 ) -> DataFrame:
     """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
     geocoded pages with cell_id, lat_centi, lon_centi, url.
@@ -68,9 +89,12 @@ def knn(
 
     1. round i explodes the radius ``start_radius·2^i`` Chebyshev disk
        of each unresolved query (broadcast), equi-joins on cell_id (the
-       big side never shuffles), ranks; a query is *resolved* when it
-       has k candidates whose k-th distance is provably inside the
-       searched disk (kth ≤ (r·cell_height)²);
+       big side never shuffles) — and the same disks, planned as
+       OR-of-BETWEEN cell_id ranges (`grid.cell_disk_ranges`), pre-
+       filter the pages scan, so on a cell-sorted table each round
+       reads only the row groups overlapping the disks; ranks; a query
+       is *resolved* when it has k candidates whose k-th distance is
+       provably inside the searched disk (kth ≤ (r·cell_height)²);
     2. the per-query resolution stats (≤ |queries| rows/round) come
        back to the driver to drive the escalation;
     3. queries still unresolved after ``max_rounds`` doublings fall
@@ -91,8 +115,13 @@ def knn(
     # is at least r*height away (height <= width on this grid)
     cell_h_centi = 18000.0 / (1 << res)
 
-    all_ids = {r["query_id"] for r in queries.select("query_id").collect()}
-    unresolved = sorted(all_ids)
+    if scan_prune is None:
+        scan_prune = _cell_id_is_stored(pages_geo)
+    q_cells = {
+        r["query_id"]: r["q_cell"]
+        for r in q.select("query_id", "q_cell").collect()
+    }
+    unresolved = sorted(q_cells)
     results: DataFrame | None = None
     n_cells = 1 << res
     for i in range(max_rounds):
@@ -105,7 +134,28 @@ def knn(
             "query_id", "q_lat_centi", "q_lon_centi",
             F.explode(grid.cell_ring("q_cell", radius, res)).alias("cell_id"),
         )
-        cand = pages_side.join(F.broadcast(ring), "cell_id", "inner")
+        # scan-level pruning: the SAME disk cells the ring explodes,
+        # planned as OR-of-BETWEEN cell_id ranges and pushed into the
+        # pages scan — on a cell-sorted table a ring re-join touches a
+        # sliver of the corpus (row-group min/max skipping), not a full
+        # pass.  None (too many ranges) skips the prefilter: the join
+        # alone is still correct, Catalyst just can't get a bounded
+        # literal tree.
+        ranges = (
+            grid.cell_disk_ranges(
+                [q_cells[qid] for qid in unresolved], radius, res
+            )
+            if scan_prune
+            else None
+        )
+        round_pages = pages_side
+        if ranges:
+            pred = None
+            for lo, hi in ranges:
+                p = F.col("cell_id").between(lo, hi)
+                pred = p if pred is None else (pred | p)
+            round_pages = pages_side.filter(pred)
+        cand = round_pages.join(F.broadcast(ring), "cell_id", "inner")
         topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
         )
