@@ -536,6 +536,18 @@ def _q_docs_jaccard(spark, sf_dir):
     return D.jaccard_pairs(docs, threshold_milli=500)
 
 
+def _q_docs_dup_groups(spark, sf_dir):
+    """Pairs → canonical duplicate GROUPS (transitive closure): the
+    retention step of a dedup pipeline.  Engine: exact-Jaccard pairs →
+    `dedup.connected_components` min-label propagation → every doc
+    labeled with its component's min id (singletons label themselves).
+    Oracle: the same pair SQL + a DuckDB recursive CTE computing min
+    reachable id."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = D.jaccard_pairs(docs, threshold_milli=500)
+    return D.dup_groups(docs, pairs)
+
+
 def _q_docs_token_stats(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t = F.col("text")
@@ -1125,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline (documents/embeddings)
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
+        "docs_dup_groups": _q_docs_dup_groups,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_id": _q_docs_lang_id,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1478,6 +1491,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
+        """,
+        "docs_dup_groups": f"""
+            WITH RECURSIVE sh AS {shingle_rel},
+                 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+                 pairs AS (
+                   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+                   FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+                   GROUP BY a.id, b.id
+                   HAVING count(*) * 1000 >= 500 * (
+                     (SELECT n FROM sizes WHERE id = a.id)
+                     + (SELECT n FROM sizes WHERE id = b.id) - count(*))
+                 ),
+                 edges AS (
+                   SELECT id_a AS u, id_b AS v FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs
+                 ),
+                 reach(id, r) AS (
+                   SELECT u, u FROM edges
+                   UNION
+                   SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v
+                 )
+            SELECT d.doc_id, coalesce(min(reach.r), d.doc_id) AS group_id
+            FROM documents d LEFT JOIN reach ON reach.id = d.doc_id
+            GROUP BY d.doc_id
         """,
         "docs_token_stats": f"""
             SELECT doc_id,

@@ -397,3 +397,99 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
     return cand.filter(ham <= max_hamming).select(
         "id_a", "id_b", ham.alias("hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (pairs → canonical duplicate groups)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Label every node of the near-dup pair graph with the MINIMUM id
+    reachable from it — the canonical duplicate-group id.  Returns
+    (id, comp); survivors downstream are the rows with ``id == comp``.
+
+    The last step of a web-scale dedup pipeline: LSH/verify emits
+    PAIRS, but retention decisions need GROUPS (a doc duplicated 3 ways
+    must keep exactly one copy, not one per pair).  The reference has
+    no graph step (its duplicate handling is per-scene first-wins,
+    `eodal/mapper/mapper.py:565-667`); this generalizes it to
+    transitive duplicate chains.
+
+    Algorithm: minimum-label propagation over the undirected edge set —
+    each round joins current labels across edges and takes the
+    neighborhood minimum (agg form → map-side combine; the shuffle key
+    is the node id, so a 10^9-member boilerplate component costs
+    rounds × |edges of the component| with NO single-task hotspot).
+    Rounds needed = graph diameter (near-dup components are shallow —
+    duplicate clusters, not social graphs); each round is checked via
+    one count of changed labels and the loop stops early on
+    convergence.  Raises after ``max_iters`` rather than returning a
+    silently-partial labeling.  ≡ the label-propagation formulation of
+    Kiveris et al.'s "Connected Components in MapReduce" (two-phase
+    star contractions are the O(log n)-round upgrade; the propagation
+    form is exact and simpler, and shallow graphs never see the
+    difference).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
+        .distinct()
+    )
+    # every endpoint starts labeled with itself
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        # neighbor labels: for node u, the labels of all v adjacent to u
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "v"), "v")
+            .select(F.col("u").alias("id"), "comp")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # truncate lineage each round — an iterative plan otherwise
+        # doubles in depth per iteration and analysis cost explodes
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "the pair graph has a longer chain than expected; raise max_iters"
+    )
+
+
+def dup_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, group_id) for EVERY document: members of a near-dup
+    component share its minimum doc id; singletons are their own group.
+    ``df.filter(doc_id == group_id)`` is then the retention set."""
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("group_id"),
+        )
+    )

@@ -108,3 +108,53 @@ def test_simhash_banding_guarantees_radius(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
     for k in range(1, 11):
         assert got.get((0, k)) == k, f"pair at hamming {k} missed"
+
+
+def test_connected_components_chain_and_cycle(spark):
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4, cycle 10-11-12-10, isolated edge 20-21
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    comp = {r.id: r.comp for r in D.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_merge_via_high_id_bridge(spark):
+    # two low-id stars joined only through a high-id node: the min label
+    # must cross the bridge in both directions
+    pairs = spark.createDataFrame(
+        [(1, 100), (2, 100), (1, 3), (2, 4)], ["id_a", "id_b"]
+    )
+    comp = {r.id: r.comp for r in D.connected_components(pairs).collect()}
+    assert set(comp.values()) == {1}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(pairs, max_iters=2)
+
+
+def test_dup_groups_labels_singletons(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.range(8).select(F.col("id").alias("doc_id"))
+    pairs = spark.createDataFrame([(0, 5), (5, 6)], ["id_a", "id_b"])
+    got = {r.doc_id: r.group_id for r in D.dup_groups(docs, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 0, 6: 0, 7: 7}
+
+
+def test_connected_components_agg_form_no_window(spark):
+    """Skew guard: one propagation round must be agg-shaped (map-side
+    combinable min), never a Window over the component."""
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    out = D.connected_components(pairs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
