@@ -932,15 +932,21 @@ def _q_morton_bbox_scan(spark, sf_dir):
 
     import numpy as np
 
-    geo = _pages_geo(spark)
-    path = tempfile.mkdtemp(prefix="eodal_morton_") + "/pages"
-    (
-        geo.withColumn("morton", grid.cell_morton("cell_id"))
-        .repartitionByRange(16, "morton")
-        .sortWithinPartitions("morton")
-        .write.mode("overwrite")
-        .parquet(path)
+    # cache the Morton-sorted fixture like the WARC/snapshot siblings —
+    # re-sorting the table inside every timed/gated invocation would
+    # measure fixture construction, not the pruned scan
+    path = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_morton_{N_PAGES}", "pages"
     )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (
+            _pages_geo(spark)
+            .withColumn("morton", grid.cell_morton("cell_id"))
+            .repartitionByRange(16, "morton")
+            .sortWithinPartitions("morton")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     table = spark.read.parquet(path)
     lo_lon, hi_lon, lo_lat, hi_lat = BBOX_A
     n = 1 << RES
@@ -948,10 +954,7 @@ def _q_morton_bbox_scan(spark, sf_dir):
     y = np.arange(lo_lat * n // 18000, ((hi_lat - 1) * n // 18000) + 1)
     gx, gy = np.meshgrid(x, y)
     cells = (RES << 58) + (gx.ravel().astype(np.int64) << 29) + gy.ravel()
-    pred = None
-    for lo, hi in grid.morton_ranges(cells):
-        p = (F.col("morton") >= lo) & (F.col("morton") <= hi)
-        pred = p if pred is None else (pred | p)
+    pred = grid.ranges_predicate("morton", grid.morton_ranges(cells))
     return table.filter(pred).filter(
         F.col("lon_centi").between(lo_lon, hi_lon - 1)
         & F.col("lat_centi").between(lo_lat, hi_lat - 1)

@@ -40,18 +40,53 @@ def type_rank(dt: T.DataType) -> int:
         raise ValueError(f"unknown/non-numeric data type: {dt}") from None
 
 
+# decimal digits needed to hold the full range of each integral type —
+# a LongType member of a decimal stack forces 19 integer digits, else
+# cast('decimal(p,s)') NULLs large values (silent loss, ANSI off)
+_INT_DIGITS: dict[type, int] = {
+    T.BooleanType: 1,
+    T.ByteType: 3,
+    T.ShortType: 5,
+    T.IntegerType: 10,
+    T.LongType: 19,
+}
+
+
 def highest_type(dtypes: list[T.DataType]) -> T.DataType:
     """Highest common type of a list (≡ get_highest_dtype,
-    reference utils/__init__.py:31-39)."""
+    reference utils/__init__.py:31-39) — sized so every member's full
+    value range survives the cast:
+
+    * decimal stack: scale = max member scale; integer digits = max
+      over decimal int-parts AND integral members' range digits;
+    * decimal + float/double: DoubleType (the approximate member makes
+      decimal exactness unpreservable; double at least keeps range);
+    * float32 + int32/int64: DoubleType (float32's 24-bit mantissa
+      corrupts ints > 2^24 — numpy's int32+float32→float64 rule, which
+      the reference inherits);
+    * long + double stays double — the one classic lossy edge, same as
+      numpy int64→float64.
+    """
     if not dtypes:
         raise ValueError("empty dtype list")
     best = max(dtypes, key=type_rank)
     if isinstance(best, T.DecimalType):
-        # widest decimal wins among decimals (scale then precision)
+        if any(isinstance(d, (T.FloatType, T.DoubleType)) for d in dtypes):
+            return T.DoubleType()
         decs = [d for d in dtypes if isinstance(d, T.DecimalType)]
+        ints = [d for d in dtypes if not isinstance(d, T.DecimalType)]
         scale = max(d.scale for d in decs)
-        intpart = max(d.precision - d.scale for d in decs)
+        intpart = max(
+            [d.precision - d.scale for d in decs]
+            + [_INT_DIGITS[type(d)] for d in ints]
+        )
         return T.DecimalType(min(intpart + scale, 38), scale)
+    if isinstance(best, T.FloatType) and any(
+        type_rank(d) >= _RANK[T.IntegerType]
+        for d in dtypes
+        if not isinstance(d, T.FloatType)
+    ):
+        return T.DoubleType()
     return best
 
 

@@ -252,6 +252,26 @@ def morton_ranges(cells: np.ndarray, max_ranges: int = 64) -> list[tuple[int, in
     return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
 
 
+def ranges_predicate(col, ranges: list[tuple]) -> Column:
+    """OR-of-BETWEEN Column over inclusive ``(lo, hi)`` ranges — the ONE
+    builder behind every range-plan consumer (kNN disk prefilter,
+    `catalog.scan` residual, Morton bbox queries), so their
+    pruning-never-changes-results contracts can't drift apart.
+
+    Raises on an empty list: every planner here distinguishes "no
+    ranges to apply" (skip the filter / `cell_disk_ranges` → None) from
+    "filter to nothing" — silently returning lit(False) would turn a
+    planning bug into an empty result."""
+    if not ranges:
+        raise ValueError("empty range list — caller must skip the filter")
+    c = _col(col)
+    pred = None
+    for lo, hi in ranges:
+        p = (c >= lo) & (c <= hi)
+        pred = p if pred is None else (pred | p)
+    return pred
+
+
 def cell_disk_ranges(
     cells, k: int, res: int, max_ranges: int = 256
 ) -> list[tuple[int, int]] | None:

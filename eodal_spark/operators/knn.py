@@ -150,11 +150,9 @@ def knn(
         )
         round_pages = pages_side
         if ranges:
-            pred = None
-            for lo, hi in ranges:
-                p = F.col("cell_id").between(lo, hi)
-                pred = p if pred is None else (pred | p)
-            round_pages = pages_side.filter(pred)
+            round_pages = pages_side.filter(
+                grid.ranges_predicate("cell_id", ranges)
+            )
         cand = round_pages.join(F.broadcast(ring), "cell_id", "inner")
         topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
@@ -167,8 +165,15 @@ def knn(
             r["query_id"] for r in stats if r["n"] == k and r["kth"] <= bound
         }
         if 2 * radius + 1 >= n_cells:
-            # the disk already covered every cell — nothing more to find
-            resolved = {r["query_id"] for r in stats}
+            # x wraps, so the disk spans every x column — but y CLAMPS,
+            # so full grid coverage additionally needs
+            # radius >= max(y, n-1-y) per query (an equator query covers
+            # everything at n/2; a polar one only at n-1).  Only then is
+            # there provably nothing more to find.
+            for r in stats:
+                y_q = q_cells[r["query_id"]] & ((1 << 29) - 1)
+                if radius >= max(y_q, n_cells - 1 - y_q):
+                    resolved.add(r["query_id"])
         if resolved:
             part = topk.filter(F.col("query_id").isin(list(resolved)))
             results = part if results is None else results.unionByName(part)

@@ -180,6 +180,15 @@ class SnapshotCatalog:
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
         snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        if not ranges:  # no predicate → plain snapshot read
+            return spark.read.parquet(snap["path"])
+        for c, r in ranges.items():
+            if r is None or (isinstance(r, list) and not r):
+                # e.g. grid.cell_disk_ranges' over-budget None forwarded
+                raise ValueError(
+                    f"ranges[{c!r}] is {r!r} — pass concrete (lo, hi) "
+                    "range(s), or omit the column to skip filtering on it"
+                )
         norm = {
             c: (r if isinstance(r, list) else [r]) for c, r in ranges.items()
         }
@@ -213,20 +222,11 @@ class SnapshotCatalog:
         import functools
         import operator
 
-        from pyspark.sql import functions as F
+        from eodal_spark import grid
 
         residual = functools.reduce(
             operator.and_,
-            [
-                functools.reduce(
-                    operator.or_,
-                    [
-                        (F.col(c) >= lo) & (F.col(c) <= hi)
-                        for lo, hi in rs
-                    ],
-                )
-                for c, rs in norm.items()
-            ],
+            [grid.ranges_predicate(c, rs) for c, rs in norm.items()],
         )
         return df.filter(residual)
 

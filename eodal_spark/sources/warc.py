@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import gzip
 import hashlib
-import io
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -155,30 +154,36 @@ def write_warc(
         path = os.path.join(out_dir, f"{prefix}part-{pid:05d}{ext}")
         os.makedirs(out_dir, exist_ok=True)
         n = 0
-        buf = io.BytesIO()
-
-        def emit(rec: bytes) -> None:
-            if gzip_records:
-                # mtime=0 → deterministic gzip member bytes
-                buf.write(gzip.compress(rec, mtime=0))
-            else:
-                buf.write(rec)
-
-        emit(_warcinfo(pid))
-        for pdf in batches:
-            for url, ts, html in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
-                ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
-                if ts.tzinfo is None:
-                    ts = ts.replace(tzinfo=timezone.utc)
-                emit(_record(str(url), ts, bytes(html)))
-                n += 1
-        data = buf.getvalue()
         tmp = path + ".inprogress"
+        # stream record-by-record to disk: a ~1 GB archive costs
+        # O(record) worker memory, never a whole-archive buffer
         with open(tmp, "wb") as f:
-            f.write(data)
+
+            def emit(rec: bytes) -> None:
+                if gzip_records:
+                    # mtime=0 → deterministic gzip member bytes
+                    f.write(gzip.compress(rec, mtime=0))
+                else:
+                    f.write(rec)
+
+            emit(_warcinfo(pid))
+            for pdf in batches:
+                for url, ts, html in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"]
+                ):
+                    ts = (
+                        ts.to_pydatetime()
+                        if hasattr(ts, "to_pydatetime")
+                        else ts
+                    )
+                    if ts.tzinfo is None:
+                        ts = ts.replace(tzinfo=timezone.utc)
+                    emit(_record(str(url), ts, bytes(html)))
+                    n += 1
+            n_bytes = f.tell()
         os.replace(tmp, path)  # atomic per-file commit
         yield pd.DataFrame(
-            {"path": [path], "n_records": [n], "n_bytes": [len(data)]}
+            {"path": [path], "n_records": [n], "n_bytes": [n_bytes]}
         )
 
     return df.select("url", "warc_ts", "html").mapInPandas(

@@ -191,7 +191,13 @@ def run_available_now(
     ``_SUCCESS`` marker already exists — a crash between the parquet
     write and the checkpoint commit replays the batch into the same
     directory instead of duplicating rows.  Readers see ``batch_id``
-    as a partition column (per-batch lineage, per the north rule)."""
+    as a partition column (per-batch lineage, per the north rule).
+
+    Each batch directory also records WHICH checkpoint wrote it
+    (``_CHECKPOINT``): batch ids restart at 0 when a checkpoint is
+    deleted or a second stream targets the same ``out_dir``, and the
+    bare _SUCCESS test would then silently swallow the new batches —
+    a mismatch raises instead of dropping data."""
     w = (
         stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -199,15 +205,34 @@ def run_available_now(
     if output_mode == "append":
         q = w.format("parquet").option("path", out_dir).outputMode("append").start()
     else:
+        import os
+
+        ckpt_id = os.path.abspath(checkpoint_dir)
+
         def _write_batch(bdf, batch_id: int):
             spark = bdf.sparkSession
             dest = f"{out_dir}/batch_id={batch_id}"
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            marker = os.path.join(dest, "_CHECKPOINT")
             if fs.exists(jpath):
-                return  # replayed batch (crash before checkpoint commit)
+                prev = open(marker).read() if os.path.exists(marker) else None
+                if prev == ckpt_id:
+                    return  # replayed batch (crash before checkpoint commit)
+                if prev is not None:
+                    raise ValueError(
+                        f"{dest} was written by a different checkpoint "
+                        f"({prev!r}); refusing to silently skip this "
+                        f"run's batch — use a fresh out_dir or the "
+                        f"original checkpoint"
+                    )
+                # no marker: crashed between parquet write and marker
+                # write (or a pre-marker-format dir) — the overwrite
+                # below is idempotent either way
             bdf.write.mode("overwrite").parquet(dest)
+            with open(marker, "w") as f:
+                f.write(ckpt_id)
 
         q = w.outputMode(output_mode).foreachBatch(_write_batch).start()
     q.awaitTermination()

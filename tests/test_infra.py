@@ -488,3 +488,36 @@ def test_manifest_scan_morton_or_ranges(spark, tmp_path):
     leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
     read_files = leaves.apply(0).metrics().apply("numFiles").value()
     assert read_files < len(snap["files"]), (read_files, len(snap["files"]))
+
+
+def test_update_drain_refuses_foreign_checkpoint_batches(spark, tmp_path):
+    """Exactly-once guard: batch dirs record which checkpoint wrote them;
+    a new checkpoint reusing the same out_dir must RAISE on the id
+    collision instead of silently swallowing its batches."""
+    import pytest
+
+    from eodal_spark.streaming import ingest as I
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    spark.range(5).selectExpr("id", "current_timestamp() as ts").write.mode(
+        "overwrite"
+    ).parquet(src_dir)
+    out = str(tmp_path / "out")
+
+    def drain(ckpt):
+        stream = (
+            spark.readStream.schema("id long, ts timestamp")
+            .parquet(src_dir)
+            .groupBy("id")
+            .count()
+        )
+        I.run_available_now(
+            stream, str(tmp_path / ckpt), out, output_mode="update"
+        )
+
+    drain("ck1")
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 5
+    with pytest.raises(Exception, match="different checkpoint"):
+        drain("ck2")

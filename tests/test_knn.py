@@ -237,3 +237,34 @@ def test_knn_ring_pass_prunes_cell_sorted_scan(spark, tmp_path):
     assert {(r.query_id, r.url, r.sqdist, r.rank) for r in rows} == {
         (r.query_id, r.url, r.sqdist, r.rank) for r in brute
     }
+
+
+def test_knn_full_coverage_shortcut_respects_y_clamp(spark):
+    """Regression: '2r+1 >= n' only proves full X coverage (x wraps);
+    y CLAMPS, so a polar query's disk misses high-y cells at that
+    radius.  The old shortcut resolved such queries early and silently
+    dropped a closer page outside the disk."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark import grid as GR
+
+    res = 3  # n = 8 cells per axis
+    rows = [
+        # (url, lon_centi, lat_centi)
+        (1, 17100, 10000),  # in radius-4 disk of q (y=4), far in lon
+        (2, 100, 11300),    # OUTSIDE radius-4 disk (y=5) but CLOSER
+    ]
+    pages = spark.createDataFrame(rows, ["url", "lon_centi", "lat_centi"])
+    pages = pages.withColumn(
+        "cell_id",
+        F.expr(GR.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")),
+    )
+    q = spark.createDataFrame(
+        [(1, 1000, 100)], ["query_id", "lat_centi", "lon_centi"]
+    )
+    got = K.knn(q, pages, res, k=1, start_radius=2, max_rounds=3).collect()
+    brute = K.knn_brute(q, pages, k=1).collect()
+    assert [(r.url, r.sqdist) for r in got] == [
+        (r.url, r.sqdist) for r in brute
+    ]
+    assert got[0].url == 2  # the closer out-of-disk page wins
