@@ -37,8 +37,6 @@ def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
     metadata reads, done ONCE per snapshot, amortized over every
     subsequent pruned scan).
     """
-    if not cols:
-        return []
     import pyarrow.parquet as pq
 
     def jsonable(v):
@@ -106,11 +104,25 @@ class SnapshotCatalog:
         sort_by: tuple[str, ...] = (),
         meta: dict | None = None,
         n_files: int | None = None,
+        mode: str = "overwrite",
     ) -> dict:
-        """Append a new snapshot. Sorted write (range-partitioned by the
-        sort key) gives min/max pruning on those columns; ``n_files``
-        pins the file count (else AQE sizes it), which also sets the
-        granularity of manifest-level pruning in :meth:`scan`."""
+        """Commit a new snapshot.
+
+        ``mode="overwrite"`` — the snapshot is exactly ``df``.
+        ``mode="append"``    — the snapshot is the parent's data files
+        PLUS ``df`` written as new files: the parent's bytes are never
+        rewritten or copied, only re-referenced in the manifest — the
+        Iceberg append-commit contract that makes incremental ingestion
+        of a 100 TB table affordable (commit cost is O(new data), not
+        O(table)).
+
+        Sorted write (range-partitioned by the sort key) gives min/max
+        pruning on those columns; ``n_files`` pins the NEW file count
+        (else AQE sizes it), which also sets the granularity of
+        manifest-level pruning in :meth:`scan`.
+        """
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"unknown write mode {mode!r}")
         man = self._load_manifest(table)
         sid = len(man["snapshots"]) + 1
         data_dir = os.path.join(self._tdir(table), f"v{sid}")
@@ -123,13 +135,21 @@ class SnapshotCatalog:
             out = df.repartition(n_files) if n_files else df
         out.write.mode("overwrite").parquet(data_dir)
         n = out.sparkSession.read.parquet(data_dir).count()
+        files = [
+            {**f, "dir": f"v{sid}"} for f in _file_stats(data_dir, sort_by)
+        ]
+        if mode == "append" and man["snapshots"]:
+            parent = man["snapshots"][-1]
+            files = self._snap_files(parent) + files
+            n += parent["row_count"]
         snap = {
             "snapshot_id": sid,
             "parent_id": sid - 1 if sid > 1 else None,
             "path": data_dir,
             "row_count": n,
             "sort_by": list(sort_by),
-            "files": _file_stats(data_dir, sort_by),
+            "mode": mode,
+            "files": files,
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -139,13 +159,112 @@ class SnapshotCatalog:
         os.replace(tmp, self._manifest_path(table))  # atomic commit
         return snap
 
-    def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Time-travel read — ≡ Iceberg ``VERSION AS OF``."""
+    def _snap_files(self, snap: dict) -> list[dict]:
+        """File entries of a snapshot, each tagged with its data dir
+        (entries written before the append feature lack 'dir' — they
+        belong to the snapshot's own v-dir)."""
+        d = os.path.basename(snap["path"])
+        return [
+            (f if "dir" in f else {**f, "dir": d})
+            for f in (snap.get("files") or [])
+        ]
+
+    def _file_paths(self, table: str, snap: dict) -> list[str]:
+        return [
+            os.path.join(self._tdir(table), f["dir"], f["name"])
+            for f in self._snap_files(snap)
+        ]
+
+    def _get_snap(self, table: str, snapshot_id: int | None) -> dict:
         snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
-        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
-        return spark.read.parquet(snap["path"])
+        if snapshot_id is None:
+            return snaps[-1]
+        for s in snaps:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(f"no snapshot {snapshot_id} for table {table}")
+
+    def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
+        """Time-travel read — ≡ Iceberg ``VERSION AS OF``."""
+        snap = self._get_snap(table, snapshot_id)
+        paths = self._file_paths(table, snap)
+        if paths:
+            return spark.read.parquet(*paths)
+        return spark.read.parquet(snap["path"])  # pre-stats snapshot
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        table: str,
+        from_snapshot: int,
+        to_snapshot: int | None = None,
+    ) -> DataFrame:
+        """Incremental consumption — the rows ADDED after
+        ``from_snapshot`` up to ``to_snapshot`` (default: current), read
+        from exactly the data files the later snapshot references that
+        the earlier one does not (≡ Iceberg incremental scan).  Only
+        append commits have well-defined change semantics; an overwrite
+        in the range raises, as the delta is not expressible as a file
+        difference."""
+        lo = self._get_snap(table, from_snapshot)
+        hi = self._get_snap(table, to_snapshot)
+        for s in self.snapshots(table):
+            if (
+                lo["snapshot_id"] < s["snapshot_id"] <= hi["snapshot_id"]
+                and s.get("mode", "overwrite") != "append"
+            ):
+                raise ValueError(
+                    f"snapshot {s['snapshot_id']} is an overwrite — the "
+                    "range holds no file-level delta; read it directly"
+                )
+        seen = {(f["dir"], f["name"]) for f in self._snap_files(lo)}
+        new = [
+            os.path.join(self._tdir(table), f["dir"], f["name"])
+            for f in self._snap_files(hi)
+            if (f["dir"], f["name"]) not in seen
+        ]
+        if not new:
+            from pyspark.sql import functions as F
+
+            return self.read(spark, table, hi["snapshot_id"]).where(
+                F.lit(False)
+            )
+        return spark.read.parquet(*new)
+
+    def expire_snapshots(self, table: str, keep_last: int) -> list[int]:
+        """Drop all but the last ``keep_last`` snapshots and delete the
+        data dirs no surviving snapshot references (append snapshots
+        share files with their parents — sharing is refcounted at the
+        dir level).  Returns the expired snapshot ids."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        man = self._load_manifest(table)
+        snaps = man["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        live_dirs = {f["dir"] for s in kept for f in self._snap_files(s)}
+        live_dirs |= {os.path.basename(s["path"]) for s in kept}
+        man["snapshots"] = kept
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+        dead_dirs = {
+            d
+            for s in dropped
+            for d in (
+                {f["dir"] for f in self._snap_files(s)}
+                | {os.path.basename(s["path"])}
+            )
+        } - live_dirs
+        for d in dead_dirs:
+            shutil.rmtree(
+                os.path.join(self._tdir(table), d), ignore_errors=True
+            )
+        return [s["snapshot_id"] for s in dropped]
 
     def scan(
         self,
@@ -176,12 +295,9 @@ class SnapshotCatalog:
         Files with no recorded stats for a column are kept
         (conservative, like Iceberg's null-stats behavior).
         """
-        snaps = self.snapshots(table)
-        if not snaps:
-            raise FileNotFoundError(f"no snapshots for table {table}")
-        snap = snaps[-1] if snapshot_id is None else snaps[snapshot_id - 1]
+        snap = self._get_snap(table, snapshot_id)
         if not ranges:  # no predicate → plain snapshot read
-            return spark.read.parquet(snap["path"])
+            return self.read(spark, table, snap["snapshot_id"])
         for c, r in ranges.items():
             if r is None or (isinstance(r, list) and not r):
                 # e.g. grid.cell_disk_ranges' over-budget None forwarded
@@ -192,7 +308,7 @@ class SnapshotCatalog:
         norm = {
             c: (r if isinstance(r, list) else [r]) for c, r in ranges.items()
         }
-        files = snap.get("files") or []
+        files = self._snap_files(snap)
         if files:
             keep = []
             for frec in files:
@@ -208,13 +324,17 @@ class SnapshotCatalog:
                         ok = False
                         break
                 if ok:
-                    keep.append(os.path.join(snap["path"], frec["name"]))
+                    keep.append(
+                        os.path.join(self._tdir(table), frec["dir"], frec["name"])
+                    )
             if not keep:
                 from pyspark.sql import functions as F
 
                 # schema-preserving empty: the optimizer folds
                 # filter(false) to an empty LocalRelation — no scan
-                df = spark.read.parquet(snap["path"]).where(F.lit(False))
+                df = self.read(spark, table, snap["snapshot_id"]).where(
+                    F.lit(False)
+                )
             else:
                 df = spark.read.parquet(*keep)
         else:  # pre-stats snapshot: fall back to a full read

@@ -521,3 +521,87 @@ def test_update_drain_refuses_foreign_checkpoint_batches(spark, tmp_path):
     assert n1 == 5
     with pytest.raises(Exception, match="different checkpoint"):
         drain("ck2")
+
+
+def test_append_snapshot_reuses_parent_files(spark, tmp_path):
+    """Iceberg append-commit contract: an append snapshot references the
+    parent's data files instead of rewriting them — commit cost is
+    O(new data), the parent's bytes stay untouched."""
+    import glob
+
+    cat = SnapshotCatalog(str(tmp_path / "app_cat"))
+    s1 = cat.write(
+        spark.range(1000).select((F.col("id") % 50).alias("cell_id"), "id"),
+        "t", sort_by=("cell_id",), n_files=4,
+    )
+    v1_files = sorted(glob.glob(os.path.join(s1["path"], "*.parquet")))
+    v1_mtimes = [os.path.getmtime(p) for p in v1_files]
+
+    s2 = cat.write(
+        spark.range(1000, 1500).select(
+            (F.col("id") % 50).alias("cell_id"), "id"
+        ),
+        "t", sort_by=("cell_id",), n_files=2, mode="append",
+    )
+    assert s2["row_count"] == 1500
+    assert len(s2["files"]) == 6  # 4 inherited + 2 new
+    assert {f["dir"] for f in s2["files"]} == {"v1", "v2"}
+    # parent bytes untouched
+    assert [os.path.getmtime(p) for p in v1_files] == v1_mtimes
+
+    assert cat.read(spark, "t").count() == 1500
+    assert cat.read(spark, "t", snapshot_id=1).count() == 1000
+    # manifest pruning still spans BOTH dirs
+    got = cat.scan(spark, "t", {"cell_id": (10, 12)})
+    assert got.count() == 20 * 3 + 10 * 3
+
+
+def test_read_changes_incremental(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "chg_cat"))
+    cat.write(spark.range(100).selectExpr("id"), "t", n_files=2)
+    cat.write(
+        spark.range(100, 160).selectExpr("id"), "t", n_files=2, mode="append"
+    )
+    cat.write(
+        spark.range(160, 200).selectExpr("id"), "t", n_files=1, mode="append"
+    )
+    delta = cat.read_changes(spark, "t", from_snapshot=1)
+    assert sorted(r.id for r in delta.collect()) == list(range(100, 200))
+    d2 = cat.read_changes(spark, "t", from_snapshot=2, to_snapshot=3)
+    assert sorted(r.id for r in d2.collect()) == list(range(160, 200))
+    # empty delta keeps the schema
+    d0 = cat.read_changes(spark, "t", from_snapshot=3)
+    assert d0.count() == 0 and d0.columns == ["id"]
+
+
+def test_read_changes_rejects_overwrite_in_range(spark, tmp_path):
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "ovw_cat"))
+    cat.write(spark.range(10), "t", n_files=1)
+    cat.write(spark.range(5), "t", n_files=1)  # overwrite
+    with pytest.raises(ValueError, match="overwrite"):
+        cat.read_changes(spark, "t", from_snapshot=1)
+
+
+def test_expire_snapshots_keeps_shared_files(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "exp_cat"))
+    cat.write(spark.range(100).selectExpr("id"), "t", n_files=2)
+    cat.write(
+        spark.range(100, 150).selectExpr("id"), "t", n_files=1, mode="append"
+    )
+    cat.write(spark.range(999).selectExpr("id"), "t", n_files=1)  # overwrite
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert expired == [1]
+    # v1's dir survives: snapshot 2 (kept) still references its files
+    assert cat.read(spark, "t", snapshot_id=2).count() == 150
+    assert cat.read(spark, "t").count() == 999
+    # expiring down to the overwrite-only tail deletes v1+v2
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert expired == [2]
+    assert not os.path.exists(os.path.join(str(tmp_path / "exp_cat"), "t", "v1"))
+    assert cat.read(spark, "t").count() == 999
+    import pytest
+
+    with pytest.raises(KeyError):
+        cat.read(spark, "t", snapshot_id=2)
