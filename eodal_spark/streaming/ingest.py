@@ -237,3 +237,57 @@ def run_available_now(
         q = w.outputMode(output_mode).foreachBatch(_write_batch).start()
     q.awaitTermination()
     return q
+
+
+def drain_to_catalog(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    catalog,
+    table: str,
+    sort_by: tuple[str, ...] = (),
+    n_files: int | None = None,
+):
+    """Drain a stream into APPEND SNAPSHOTS of a `SnapshotCatalog`
+    table — the full incremental-ingestion contract in one call:
+    archives/events land, each micro-batch becomes one append commit
+    (cost O(batch), parent files re-referenced), and the result is a
+    time-travelable, manifest-pruned, `read_changes`-consumable table.
+
+    Exactly-once across restarts: each commit records its
+    ``(checkpoint, batch_id)`` in the snapshot meta; a replayed batch
+    (crash between commit and checkpoint write) finds its marker and is
+    skipped, so no micro-batch ever lands twice.  ≡ the reference's
+    incremental scene insert + pickle checkpoint
+    (`eodal/core/scene.py:381-413`, mapper temp-file resume) with real
+    table semantics."""
+    import os
+
+    ckpt_id = os.path.abspath(checkpoint_dir)
+
+    def _commit(bdf, batch_id: int):
+        key = {"checkpoint": ckpt_id, "batch_id": batch_id}
+        for s in catalog.snapshots(table):
+            m = s.get("meta", {})
+            if (
+                m.get("checkpoint") == ckpt_id
+                and m.get("batch_id") == batch_id
+            ):
+                return  # replayed batch — already committed
+        catalog.write(
+            bdf,
+            table,
+            sort_by=sort_by,
+            n_files=n_files,
+            mode="append",
+            meta=key,
+        )
+
+    q = (
+        stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .foreachBatch(_commit)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -181,3 +181,49 @@ def test_stream_warc_incremental_exactly_once(spark, tmp_path):
     # re-drain with nothing new: no duplicates (checkpointed file log)
     run_available_now(W.stream_warc(spark, land), ckpt, out)
     assert spark.read.parquet(out).count() == 200 + n_b
+
+
+def test_stream_warc_to_catalog_append_snapshots(spark, tmp_path):
+    """End-to-end incremental ingestion: WARC archives land → each
+    micro-batch becomes ONE append snapshot (exactly-once across
+    re-drains) → the table is time-travelable and read_changes yields
+    exactly the newly-landed pages."""
+    from eodal_spark.sources.catalog import SnapshotCatalog
+    from eodal_spark.streaming.ingest import drain_to_catalog
+
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+
+    a = P.synth_pages(spark, 200, partitions=2)
+    W.write_warc(a, land).collect()
+    drain_to_catalog(
+        W.stream_warc(spark, land).select("url", "warc_ts", "html"),
+        ckpt, cat, "pages", n_files=2,
+    )
+    n_snaps = len(cat.snapshots("pages"))
+    assert cat.read(spark, "pages").count() == 200
+
+    # idempotent re-drain: no new snapshots, no duplicate rows
+    drain_to_catalog(
+        W.stream_warc(spark, land).select("url", "warc_ts", "html"),
+        ckpt, cat, "pages", n_files=2,
+    )
+    assert len(cat.snapshots("pages")) == n_snaps
+    assert cat.read(spark, "pages").count() == 200
+
+    # second landing appends; read_changes sees exactly the new urls
+    b = P.synth_pages(spark, 350, partitions=2).filter(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") >= 200
+    )
+    W.write_warc(b, land, prefix="b2-").collect()
+    drain_to_catalog(
+        W.stream_warc(spark, land).select("url", "warc_ts", "html"),
+        ckpt, cat, "pages", n_files=2,
+    )
+    assert cat.read(spark, "pages").count() == 350
+    delta = cat.read_changes(spark, "pages", from_snapshot=n_snaps)
+    urls = {r.url for r in delta.select("url").collect()}
+    assert urls == {r.url for r in b.select("url").collect()}
+    # time travel to the first landing still works
+    assert cat.read(spark, "pages", snapshot_id=n_snaps).count() == 200
