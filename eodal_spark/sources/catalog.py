@@ -124,7 +124,12 @@ class SnapshotCatalog:
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown write mode {mode!r}")
         man = self._load_manifest(table)
-        sid = len(man["snapshots"]) + 1
+        # max+1, NOT len+1: expire_snapshots truncates the front of the
+        # list, and len+1 would then collide with (and clobber the
+        # v-dir of) a surviving snapshot
+        sid = max(
+            (s["snapshot_id"] for s in man["snapshots"]), default=0
+        ) + 1
         data_dir = os.path.join(self._tdir(table), f"v{sid}")
         if sort_by:
             parts = (n_files,) if n_files else ()
@@ -144,7 +149,11 @@ class SnapshotCatalog:
             n += parent["row_count"]
         snap = {
             "snapshot_id": sid,
-            "parent_id": sid - 1 if sid > 1 else None,
+            "parent_id": (
+                man["snapshots"][-1]["snapshot_id"]
+                if man["snapshots"]
+                else None
+            ),
             "path": data_dir,
             "row_count": n,
             "sort_by": list(sort_by),

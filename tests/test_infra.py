@@ -605,3 +605,18 @@ def test_expire_snapshots_keeps_shared_files(spark, tmp_path):
 
     with pytest.raises(KeyError):
         cat.read(spark, "t", snapshot_id=2)
+
+
+def test_write_after_expire_does_not_collide(spark, tmp_path):
+    """Regression: snapshot ids are max+1, not len+1 — after expiry
+    truncates the front of the list, a new commit must NOT reuse (and
+    clobber the v-dir of) a surviving snapshot's id."""
+    cat = SnapshotCatalog(str(tmp_path / "sid_cat"))
+    cat.write(spark.range(10), "t", n_files=1)
+    cat.write(spark.range(20), "t", n_files=1)
+    cat.write(spark.range(30), "t", n_files=1)
+    cat.expire_snapshots("t", keep_last=1)  # only id 3 remains
+    s4 = cat.write(spark.range(40), "t", n_files=1)
+    assert s4["snapshot_id"] == 4 and s4["parent_id"] == 3
+    assert cat.read(spark, "t", snapshot_id=3).count() == 30  # unclobbered
+    assert cat.read(spark, "t").count() == 40
