@@ -653,6 +653,36 @@ def _q_snapshot_pruned_scan(spark, sf_dir):
     return cat.scan(spark, "pages_geo", {"cell_id": (lo, hi)})
 
 
+def _q_snapshot_incremental(spark, sf_dir):
+    """Incremental consumption (≡ Iceberg incremental scan / the
+    reference's scene-append resume, `eodal/core/scene.py:381-413`):
+    the pages table lands in TWO append commits; `read_changes` from
+    the first snapshot must return exactly the second batch — read from
+    the file-level delta only.  Oracle: the generator restricted to the
+    second id range."""
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    half = N_PAGES // 2
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_snapinc_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if not cat.snapshots("pages_inc"):
+        geo = _pages_geo(spark).select("url", "cell_id")
+        rowid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(
+            geo.filter(rowid < half), "pages_inc",
+            sort_by=("cell_id",), n_files=4,
+        )
+        cat.write(
+            geo.filter(rowid >= half), "pages_inc",
+            sort_by=("cell_id",), n_files=4, mode="append",
+        )
+    return cat.read_changes(spark, "pages_inc", from_snapshot=1)
+
+
 def _q_setops_except(spark, sf_dir):
     """Set ops (≡ EPSG set difference / band pruning, SURVEY §2.7):
     urls in bbox A minus urls in bbox B (overlapping boxes)."""
@@ -1118,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_mode": _q_segment_mode,
         "bbox_cell_range": _q_bbox_cell_range,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "snapshot_incremental": _q_snapshot_incremental,
         "morton_bbox_scan": _q_morton_bbox_scan,
         "heatmap_grid": _q_heatmap_grid,
         "setops_except": _q_setops_except,
@@ -1639,6 +1670,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE {cell} BETWEEN {(RES << 58) + (130 << 29)}
                              AND {(RES << 58) + (180 << 29) + ((1 << 29) - 1)}
+        """,
+        "snapshot_incremental": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                  >= {N_PAGES // 2}
         """,
         "morton_bbox_scan": f"""
             SELECT url, {cell} AS cell_id, lat_centi, lon_centi

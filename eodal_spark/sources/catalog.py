@@ -242,6 +242,28 @@ class SnapshotCatalog:
             )
         return spark.read.parquet(*new)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        n_files: int,
+    ) -> dict:
+        """Rewrite the current snapshot's data into ``n_files`` files as
+        a NEW overwrite snapshot (≡ Iceberg ``rewrite_data_files``):
+        long append chains accumulate many small files whose per-file
+        open cost eventually dominates scans; compaction restores the
+        target layout (including the sort order recorded at write time)
+        without changing a single row.  Old snapshots stay readable
+        until :meth:`expire_snapshots` reclaims them."""
+        snap = self._get_snap(table, None)
+        return self.write(
+            self.read(spark, table),
+            table,
+            sort_by=tuple(snap.get("sort_by") or ()),
+            n_files=n_files,
+            meta={"compacted_from": snap["snapshot_id"]},
+        )
+
     def expire_snapshots(self, table: str, keep_last: int) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots and delete the
         data dirs no surviving snapshot references (append snapshots

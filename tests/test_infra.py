@@ -620,3 +620,33 @@ def test_write_after_expire_does_not_collide(spark, tmp_path):
     assert s4["snapshot_id"] == 4 and s4["parent_id"] == 3
     assert cat.read(spark, "t", snapshot_id=3).count() == 30  # unclobbered
     assert cat.read(spark, "t").count() == 40
+
+
+def test_compact_preserves_rows_and_restores_layout(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "cmp_cat"))
+    cat.write(
+        spark.range(10_000).select((F.col("id") % 100).alias("cell_id"), "id"),
+        "t", sort_by=("cell_id",), n_files=4,
+    )
+    for lo in (10_000, 10_500, 11_000):
+        cat.write(
+            spark.range(lo, lo + 500).select(
+                (F.col("id") % 100).alias("cell_id"), "id"
+            ),
+            "t", sort_by=("cell_id",), n_files=2, mode="append",
+        )
+    before = cat.current_snapshot("t")
+    assert len(before["files"]) == 10  # 4 + 3*2 small files
+    s = cat.compact(spark, "t", n_files=4)
+    assert len(s["files"]) == 4
+    assert s["meta"]["compacted_from"] == before["snapshot_id"]
+    assert s["row_count"] == 11_500
+    a = sorted(r.id for r in cat.read(spark, "t").collect())
+    b = sorted(
+        r.id
+        for r in cat.read(spark, "t", snapshot_id=before["snapshot_id"]).collect()
+    )
+    assert a == b
+    # compacted layout is sorted again → manifest pruning still works
+    pruned = cat.scan(spark, "t", {"cell_id": (5, 5)})
+    assert pruned.count() == 100 + 5 + 5 + 5
