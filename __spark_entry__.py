@@ -669,13 +669,17 @@ def _q_snapshot_incremental(spark, sf_dir):
         tempfile.gettempdir(), f"eodal_spark_snapinc_{N_PAGES}"
     )
     cat = SnapshotCatalog(root)
-    if not cat.snapshots("pages_inc"):
-        geo = _pages_geo(spark).select("url", "cell_id")
-        rowid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    # per-commit guards (not one emptiness check): a crash between the
+    # two commits must RESUME at the missing one on the next run, never
+    # leave a one-snapshot fixture that fails the gate forever
+    geo = _pages_geo(spark).select("url", "cell_id")
+    rowid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    if len(cat.snapshots("pages_inc")) < 1:
         cat.write(
             geo.filter(rowid < half), "pages_inc",
             sort_by=("cell_id",), n_files=4,
         )
+    if len(cat.snapshots("pages_inc")) < 2:
         cat.write(
             geo.filter(rowid >= half), "pages_inc",
             sort_by=("cell_id",), n_files=4, mode="append",

@@ -90,6 +90,15 @@ class SnapshotCatalog:
                 return json.load(f)
         return {"snapshots": []}
 
+    def _commit_manifest(self, table: str, man: dict) -> None:
+        """THE manifest commit protocol (tmp + atomic rename) — one
+        implementation so crash behavior can never diverge between
+        write/rollback/expire."""
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path(table))
+
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]
 
@@ -120,6 +129,12 @@ class SnapshotCatalog:
         pruning on those columns; ``n_files`` pins the NEW file count
         (else AQE sizes it), which also sets the granularity of
         manifest-level pruning in :meth:`scan`.
+
+        Each snapshot records its FULL file list (cumulative under
+        appends), so reads resolve in one manifest load with no parent
+        walking; the manifest therefore grows with history and is kept
+        bounded by the same maintenance Iceberg uses — :meth:`compact`
+        collapses the list, :meth:`expire_snapshots` drops old entries.
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown write mode {mode!r}")
@@ -145,7 +160,24 @@ class SnapshotCatalog:
         ]
         if mode == "append" and man["snapshots"]:
             parent = man["snapshots"][-1]
-            files = self._snap_files(parent) + files
+            parent_files = self._snap_files(parent)
+            if not parent_files:
+                # legacy pre-stats snapshot: reconstruct its file list
+                # from the data dir rather than silently dropping the
+                # parent's rows from the child snapshot
+                pdir = os.path.basename(parent["path"])
+                parent_files = [
+                    {"name": f, "stats": {}, "dir": pdir}
+                    for f in sorted(os.listdir(parent["path"]))
+                    if f.endswith(".parquet")
+                ]
+                if not parent_files:
+                    raise ValueError(
+                        f"cannot append onto snapshot "
+                        f"{parent['snapshot_id']}: no data files found "
+                        f"under {parent['path']}"
+                    )
+            files = parent_files + files
             n += parent["row_count"]
         snap = {
             "snapshot_id": sid,
@@ -162,10 +194,7 @@ class SnapshotCatalog:
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))  # atomic commit
+        self._commit_manifest(table, man)  # atomic commit
         return snap
 
     def _snap_files(self, snap: dict) -> list[dict]:
@@ -184,8 +213,17 @@ class SnapshotCatalog:
             for f in self._snap_files(snap)
         ]
 
-    def _get_snap(self, table: str, snapshot_id: int | None) -> dict:
-        snaps = self.snapshots(table)
+    def _get_snap(
+        self,
+        table: str,
+        snapshot_id: int | None,
+        snaps: list[dict] | None = None,
+    ) -> dict:
+        """Resolve a snapshot; pass ``snaps`` to reuse one manifest load
+        across multiple lookups (one consistent view, no TOCTOU between
+        them)."""
+        if snaps is None:
+            snaps = self.snapshots(table)
         if not snaps:
             raise FileNotFoundError(f"no snapshots for table {table}")
         if snapshot_id is None:
@@ -217,9 +255,18 @@ class SnapshotCatalog:
         append commits have well-defined change semantics; an overwrite
         in the range raises, as the delta is not expressible as a file
         difference."""
-        lo = self._get_snap(table, from_snapshot)
-        hi = self._get_snap(table, to_snapshot)
-        for s in self.snapshots(table):
+        snaps = self.snapshots(table)  # ONE load → one consistent view
+        lo = self._get_snap(table, from_snapshot, snaps)
+        hi = self._get_snap(table, to_snapshot, snaps)
+        if lo["snapshot_id"] > hi["snapshot_id"]:
+            # an inverted range would also sail past the overwrite check
+            # below and return the old snapshot's whole content as a
+            # "delta"
+            raise ValueError(
+                f"from_snapshot {lo['snapshot_id']} is newer than "
+                f"to_snapshot {hi['snapshot_id']}"
+            )
+        for s in snaps:
             if (
                 lo["snapshot_id"] < s["snapshot_id"] <= hi["snapshot_id"]
                 and s.get("mode", "overwrite") != "append"
@@ -237,9 +284,8 @@ class SnapshotCatalog:
         if not new:
             from pyspark.sql import functions as F
 
-            return self.read(spark, table, hi["snapshot_id"]).where(
-                F.lit(False)
-            )
+            paths = self._file_paths(table, hi)
+            return spark.read.parquet(*paths).where(F.lit(False))
         return spark.read.parquet(*new)
 
     def compact(
@@ -279,10 +325,7 @@ class SnapshotCatalog:
         live_dirs = {f["dir"] for s in kept for f in self._snap_files(s)}
         live_dirs |= {os.path.basename(s["path"]) for s in kept}
         man["snapshots"] = kept
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))
+        self._commit_manifest(table, man)
         dead_dirs = {
             d
             for s in dropped
@@ -363,9 +406,9 @@ class SnapshotCatalog:
 
                 # schema-preserving empty: the optimizer folds
                 # filter(false) to an empty LocalRelation — no scan
-                df = self.read(spark, table, snap["snapshot_id"]).where(
-                    F.lit(False)
-                )
+                df = spark.read.parquet(
+                    *self._file_paths(table, snap)
+                ).where(F.lit(False))
             else:
                 df = spark.read.parquet(*keep)
         else:  # pre-stats snapshot: fall back to a full read
@@ -387,12 +430,7 @@ class SnapshotCatalog:
         man["snapshots"] = [
             s for s in man["snapshots"] if s["snapshot_id"] <= snapshot_id
         ]
-        # same atomic tmp+replace commit as write(): a crash mid-dump
-        # must never leave a truncated manifest that bricks the table
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))
+        self._commit_manifest(table, man)
         for s in dropped:
             shutil.rmtree(s["path"], ignore_errors=True)
 

@@ -256,7 +256,15 @@ def drain_to_catalog(
     Exactly-once across restarts: each commit records its
     ``(checkpoint, batch_id)`` in the snapshot meta; a replayed batch
     (crash between commit and checkpoint write) finds its marker and is
-    skipped, so no micro-batch ever lands twice.  ≡ the reference's
+    skipped, so no micro-batch ever lands twice.  A DIFFERENT
+    checkpoint re-emitting an already-committed batch id (deleted /
+    recreated checkpoint over the same landing dir) RAISES instead of
+    silently double-appending every row — same guard as
+    `run_available_now`'s update path.  Only the newest batch can ever
+    replay, and ``expire_snapshots(keep_last>=1)`` always retains the
+    newest snapshot, so expiry cannot reopen the replay window; it CAN
+    remove the older markers this foreign-checkpoint guard reads, so
+    point fresh checkpoints at fresh tables.  ≡ the reference's
     incremental scene insert + pickle checkpoint
     (`eodal/core/scene.py:381-413`, mapper temp-file resume) with real
     table semantics."""
@@ -265,21 +273,24 @@ def drain_to_catalog(
     ckpt_id = os.path.abspath(checkpoint_dir)
 
     def _commit(bdf, batch_id: int):
-        key = {"checkpoint": ckpt_id, "batch_id": batch_id}
         for s in catalog.snapshots(table):
             m = s.get("meta", {})
-            if (
-                m.get("checkpoint") == ckpt_id
-                and m.get("batch_id") == batch_id
-            ):
-                return  # replayed batch — already committed
+            if m.get("batch_id") == batch_id and "checkpoint" in m:
+                if m["checkpoint"] == ckpt_id:
+                    return  # replayed batch — already committed
+                raise ValueError(
+                    f"table {table!r} already holds batch {batch_id} "
+                    f"from a different checkpoint ({m['checkpoint']!r}); "
+                    "refusing to double-append — use the original "
+                    "checkpoint or a fresh table"
+                )
         catalog.write(
             bdf,
             table,
             sort_by=sort_by,
             n_files=n_files,
             mode="append",
-            meta=key,
+            meta={"checkpoint": ckpt_id, "batch_id": batch_id},
         )
 
     q = (

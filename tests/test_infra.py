@@ -650,3 +650,31 @@ def test_compact_preserves_rows_and_restores_layout(spark, tmp_path):
     # compacted layout is sorted again → manifest pruning still works
     pruned = cat.scan(spark, "t", {"cell_id": (5, 5)})
     assert pruned.count() == 100 + 5 + 5 + 5
+
+
+def test_read_changes_inverted_range_raises(spark, tmp_path):
+    import pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "inv_cat"))
+    cat.write(spark.range(10), "t", n_files=1)
+    cat.write(spark.range(5, 15), "t", n_files=1, mode="append")
+    with pytest.raises(ValueError, match="newer than"):
+        cat.read_changes(spark, "t", from_snapshot=2, to_snapshot=1)
+
+
+def test_append_onto_legacy_snapshot_reconstructs_files(spark, tmp_path):
+    """A pre-feature manifest (files: []) must not lose the parent's
+    rows when appended onto — the file list is reconstructed from the
+    data dir."""
+    import json as J
+
+    cat = SnapshotCatalog(str(tmp_path / "leg_cat"))
+    cat.write(spark.range(100), "t", n_files=2)
+    # simulate a legacy manifest: strip the files list
+    mp = os.path.join(str(tmp_path / "leg_cat"), "t", "manifest.json")
+    man = J.load(open(mp))
+    man["snapshots"][0]["files"] = []
+    J.dump(man, open(mp, "w"))
+    s2 = cat.write(spark.range(100, 150), "t", n_files=1, mode="append")
+    assert s2["row_count"] == 150
+    assert cat.read(spark, "t").count() == 150

@@ -227,3 +227,21 @@ def test_stream_warc_to_catalog_append_snapshots(spark, tmp_path):
     assert urls == {r.url for r in b.select("url").collect()}
     # time travel to the first landing still works
     assert cat.read(spark, "pages", snapshot_id=n_snaps).count() == 200
+
+
+def test_drain_to_catalog_foreign_checkpoint_raises(spark, tmp_path):
+    import pytest
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+    from eodal_spark.streaming.ingest import drain_to_catalog
+
+    land = str(tmp_path / "landing")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    W.write_warc(P.synth_pages(spark, 100, partitions=1), land).collect()
+    src = lambda: W.stream_warc(spark, land).select("url", "warc_ts", "html")  # noqa: E731
+    drain_to_catalog(src(), str(tmp_path / "ck1"), cat, "pages", n_files=1)
+    assert cat.read(spark, "pages").count() == 100
+    with pytest.raises(Exception, match="different checkpoint"):
+        drain_to_catalog(src(), str(tmp_path / "ck2"), cat, "pages", n_files=1)
+    # no silent double-append happened
+    assert cat.read(spark, "pages").count() == 100
