@@ -233,12 +233,26 @@ class SnapshotCatalog:
                 return s
         raise KeyError(f"no snapshot {snapshot_id} for table {table}")
 
+    @staticmethod
+    def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+        """Read a snapshot's file set.  When the files span multiple
+        v-dirs (append chains), footers are schema-MERGED so additive
+        column evolution works: an appended batch may carry new
+        columns, and older files surface them as NULL — Iceberg's
+        add-column semantics.  Single-dir snapshots skip the merge
+        (it costs a footer read per file)."""
+        dirs = {os.path.dirname(p) for p in paths}
+        reader = spark.read
+        if len(dirs) > 1:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
+
     def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
         """Time-travel read — ≡ Iceberg ``VERSION AS OF``."""
         snap = self._get_snap(table, snapshot_id)
         paths = self._file_paths(table, snap)
         if paths:
-            return spark.read.parquet(*paths)
+            return self._read_files(spark, paths)
         return spark.read.parquet(snap["path"])  # pre-stats snapshot
 
     def read_changes(
@@ -285,8 +299,8 @@ class SnapshotCatalog:
             from pyspark.sql import functions as F
 
             paths = self._file_paths(table, hi)
-            return spark.read.parquet(*paths).where(F.lit(False))
-        return spark.read.parquet(*new)
+            return self._read_files(spark, paths).where(F.lit(False))
+        return self._read_files(spark, new)
 
     def compact(
         self,
@@ -406,11 +420,11 @@ class SnapshotCatalog:
 
                 # schema-preserving empty: the optimizer folds
                 # filter(false) to an empty LocalRelation — no scan
-                df = spark.read.parquet(
-                    *self._file_paths(table, snap)
+                df = self._read_files(
+                    spark, self._file_paths(table, snap)
                 ).where(F.lit(False))
             else:
-                df = spark.read.parquet(*keep)
+                df = self._read_files(spark, keep)
         else:  # pre-stats snapshot: fall back to a full read
             df = spark.read.parquet(snap["path"])
         import functools

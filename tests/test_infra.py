@@ -678,3 +678,25 @@ def test_append_onto_legacy_snapshot_reconstructs_files(spark, tmp_path):
     s2 = cat.write(spark.range(100, 150), "t", n_files=1, mode="append")
     assert s2["row_count"] == 150
     assert cat.read(spark, "t").count() == 150
+
+
+def test_append_schema_evolution_merges(spark, tmp_path):
+    """Additive column evolution: an append batch may carry a NEW
+    column; snapshot reads schema-merge across dirs so old rows surface
+    it as NULL (Iceberg add-column semantics)."""
+    cat = SnapshotCatalog(str(tmp_path / "evo_cat"))
+    cat.write(spark.range(10).selectExpr("id"), "t", n_files=1)
+    cat.write(
+        spark.range(10, 15).selectExpr("id", "id * 2 AS score"),
+        "t", n_files=1, mode="append",
+    )
+    cur = cat.read(spark, "t")
+    assert set(cur.columns) == {"id", "score"}
+    assert cur.filter("score IS NULL").count() == 10
+    assert cur.filter("score IS NOT NULL").count() == 5
+    # the delta carries the new column with values
+    delta = cat.read_changes(spark, "t", from_snapshot=1)
+    assert set(delta.columns) == {"id", "score"}
+    assert delta.filter("score IS NULL").count() == 0
+    # time travel to snapshot 1 keeps the OLD schema
+    assert cat.read(spark, "t", snapshot_id=1).columns == ["id"]
