@@ -167,9 +167,11 @@ class SnapshotCatalog:
                 # parent's rows from the child snapshot
                 pdir = os.path.basename(parent["path"])
                 parent_files = [
-                    {"name": f, "stats": {}, "dir": pdir}
-                    for f in sorted(os.listdir(parent["path"]))
-                    if f.endswith(".parquet")
+                    {**f, "dir": pdir}
+                    for f in _file_stats(
+                        parent["path"],
+                        tuple(parent.get("sort_by") or ()),
+                    )
                 ]
                 if not parent_files:
                     raise ValueError(
@@ -234,16 +236,24 @@ class SnapshotCatalog:
         raise KeyError(f"no snapshot {snapshot_id} for table {table}")
 
     @staticmethod
-    def _read_files(spark: SparkSession, paths: list[str]) -> DataFrame:
+    def _read_files(
+        spark: SparkSession, paths: list[str], merge: bool | None = None
+    ) -> DataFrame:
         """Read a snapshot's file set.  When the files span multiple
         v-dirs (append chains), footers are schema-MERGED so additive
         column evolution works: an appended batch may carry new
         columns, and older files surface them as NULL — Iceberg's
         add-column semantics.  Single-dir snapshots skip the merge
-        (it costs a footer read per file)."""
-        dirs = {os.path.dirname(p) for p in paths}
+        (it costs a footer read per file).
+
+        ``merge`` overrides the inference: a PRUNED read must pass the
+        SNAPSHOT's multi-dir-ness, not the surviving subset's —
+        otherwise the result schema would depend on which files a
+        predicate happens to keep."""
+        if merge is None:
+            merge = len({os.path.dirname(p) for p in paths}) > 1
         reader = spark.read
-        if len(dirs) > 1:
+        if merge:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
@@ -299,6 +309,8 @@ class SnapshotCatalog:
             from pyspark.sql import functions as F
 
             paths = self._file_paths(table, hi)
+            if not paths:  # legacy pre-stats snapshot: dir-level read
+                return spark.read.parquet(hi["path"]).where(F.lit(False))
             return self._read_files(spark, paths).where(F.lit(False))
         return self._read_files(spark, new)
 
@@ -316,12 +328,21 @@ class SnapshotCatalog:
         without changing a single row.  Old snapshots stay readable
         until :meth:`expire_snapshots` reclaims them."""
         snap = self._get_snap(table, None)
+        # carry any ingest marker forward: the compacted snapshot
+        # represents the same committed state, and drain_to_catalog's
+        # replay/foreign-checkpoint guard reads these from the NEWEST
+        # snapshots — compaction followed by expiry must not erase the
+        # last batch's exactly-once evidence
+        meta = {"compacted_from": snap["snapshot_id"]}
+        for k in ("checkpoint", "batch_id"):
+            if k in snap.get("meta", {}):
+                meta[k] = snap["meta"][k]
         return self.write(
             self.read(spark, table),
             table,
             sort_by=tuple(snap.get("sort_by") or ()),
             n_files=n_files,
-            meta={"compacted_from": snap["snapshot_id"]},
+            meta=meta,
         )
 
     def expire_snapshots(self, table: str, keep_last: int) -> list[int]:
@@ -397,6 +418,7 @@ class SnapshotCatalog:
             c: (r if isinstance(r, list) else [r]) for c, r in ranges.items()
         }
         files = self._snap_files(snap)
+        snap_multi_dir = len({f["dir"] for f in files}) > 1
         if files:
             keep = []
             for frec in files:
@@ -421,10 +443,10 @@ class SnapshotCatalog:
                 # schema-preserving empty: the optimizer folds
                 # filter(false) to an empty LocalRelation — no scan
                 df = self._read_files(
-                    spark, self._file_paths(table, snap)
+                    spark, self._file_paths(table, snap), merge=snap_multi_dir
                 ).where(F.lit(False))
             else:
-                df = self._read_files(spark, keep)
+                df = self._read_files(spark, keep, merge=snap_multi_dir)
         else:  # pre-stats snapshot: fall back to a full read
             df = spark.read.parquet(snap["path"])
         import functools

@@ -261,9 +261,11 @@ def drain_to_catalog(
     recreated checkpoint over the same landing dir) RAISES instead of
     silently double-appending every row — same guard as
     `run_available_now`'s update path.  Only the newest batch can ever
-    replay, and ``expire_snapshots(keep_last>=1)`` always retains the
-    newest snapshot, so expiry cannot reopen the replay window; it CAN
-    remove the older markers this foreign-checkpoint guard reads, so
+    replay; ``expire_snapshots(keep_last>=1)`` always retains the
+    newest snapshot, and :meth:`SnapshotCatalog.compact` carries the
+    ingest marker forward, so routine maintenance (compact then
+    expire) preserves the last batch's exactly-once evidence.  Expiry
+    CAN remove OLDER markers this foreign-checkpoint guard reads, so
     point fresh checkpoints at fresh tables.  ≡ the reference's
     incremental scene insert + pickle checkpoint
     (`eodal/core/scene.py:381-413`, mapper temp-file resume) with real

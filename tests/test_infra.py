@@ -700,3 +700,19 @@ def test_append_schema_evolution_merges(spark, tmp_path):
     assert delta.filter("score IS NULL").count() == 0
     # time travel to snapshot 1 keeps the OLD schema
     assert cat.read(spark, "t", snapshot_id=1).columns == ["id"]
+
+
+def test_compact_carries_ingest_marker(spark, tmp_path):
+    """Maintenance must not erase exactly-once evidence: compact()
+    carries the newest snapshot's (checkpoint, batch_id) marker, so
+    compact-then-expire keeps the replay guard intact."""
+    cat = SnapshotCatalog(str(tmp_path / "mk_cat"))
+    cat.write(
+        spark.range(10), "t", n_files=1,
+        meta={"checkpoint": "/ck1", "batch_id": 7},
+    )
+    s = cat.compact(spark, "t", n_files=1)
+    assert s["meta"]["checkpoint"] == "/ck1" and s["meta"]["batch_id"] == 7
+    cat.expire_snapshots("t", keep_last=1)
+    cur = cat.current_snapshot("t")
+    assert cur["meta"]["batch_id"] == 7  # marker survived maintenance

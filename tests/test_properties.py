@@ -153,50 +153,3 @@ def test_cell_disk_ranges_enumerates_exact_disk(res, k, seed, n_cells):
     # ranges are normalized: sorted, non-overlapping, non-adjacent
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 + 1 < l2
-
-
-@settings(max_examples=25, deadline=None)
-@given(
-    n_nodes=st.integers(min_value=2, max_value=30),
-    n_edges=st.integers(min_value=0, max_value=40),
-    seed=st.integers(min_value=0, max_value=10_000),
-)
-def test_connected_components_matches_union_find(spark, n_nodes, n_edges, seed):
-    """Property: distributed min-label propagation equals a classic
-    union-find over the same random graph."""
-    from eodal_spark.operators import dedup as D
-
-    rng = np.random.RandomState(seed)
-    edges = [
-        (int(a), int(b))
-        for a, b in rng.randint(0, n_nodes, size=(n_edges, 2))
-        if a != b
-    ]
-    if not edges:
-        return
-
-    parent = list(range(n_nodes))
-
-    def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in edges:
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    expected = {}
-    for node in {v for e in edges for v in e}:
-        root = find(node)
-        expected[node] = min(
-            m for m in {v for e in edges for v in e} if find(m) == root
-        )
-
-    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {
-        r.id: r.comp
-        for r in D.connected_components(pairs, max_iters=n_nodes + 2).collect()
-    }
-    assert got == expected
