@@ -68,7 +68,7 @@ def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
                 "min": jsonable(min(mins)) if mins else None,
                 "max": jsonable(max(maxs)) if maxs else None,
             }
-        out.append({"name": name, "stats": stats})
+        out.append({"name": name, "rows": md.num_rows, "stats": stats})
     return out
 
 
@@ -154,10 +154,12 @@ class SnapshotCatalog:
         else:
             out = df.repartition(n_files) if n_files else df
         out.write.mode("overwrite").parquet(data_dir)
-        n = out.sparkSession.read.parquet(data_dir).count()
         files = [
             {**f, "dir": f"v{sid}"} for f in _file_stats(data_dir, sort_by)
         ]
+        # row count from the same footer reads that produced the stats —
+        # no second Spark job per commit
+        n = sum(f["rows"] for f in files)
         if mode == "append" and man["snapshots"]:
             parent = man["snapshots"][-1]
             parent_files = self._snap_files(parent)
@@ -313,6 +315,27 @@ class SnapshotCatalog:
                 return spark.read.parquet(hi["path"]).where(F.lit(False))
             return self._read_files(spark, paths).where(F.lit(False))
         return self._read_files(spark, new)
+
+    def file_metrics(
+        self, spark: SparkSession, table: str, snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Per-file lineage of a snapshot as a queryable relation:
+        (dir, name, rows, per-column min/max as a JSON string) — the
+        north rule's partition-level row-count/lineage surface, read
+        straight from the manifest (no data I/O)."""
+        snap = self._get_snap(table, snapshot_id)
+        rows = [
+            (
+                f["dir"],
+                f["name"],
+                int(f.get("rows", -1)),
+                json.dumps(f.get("stats", {}), sort_keys=True),
+            )
+            for f in self._snap_files(snap)
+        ]
+        return spark.createDataFrame(
+            rows, "dir string, name string, rows long, stats string"
+        )
 
     def compact(
         self,

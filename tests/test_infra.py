@@ -716,3 +716,19 @@ def test_compact_carries_ingest_marker(spark, tmp_path):
     cat.expire_snapshots("t", keep_last=1)
     cur = cat.current_snapshot("t")
     assert cur["meta"]["batch_id"] == 7  # marker survived maintenance
+
+
+def test_manifest_row_counts_and_file_metrics(spark, tmp_path):
+    """Commit cost: row_count comes from the same footer reads as the
+    stats (no second job), and per-file lineage is queryable."""
+    cat = SnapshotCatalog(str(tmp_path / "fm_cat"))
+    cat.write(spark.range(1000).selectExpr("id"), "t", n_files=4)
+    s2 = cat.write(
+        spark.range(1000, 1250).selectExpr("id"), "t", n_files=1,
+        mode="append",
+    )
+    assert s2["row_count"] == 1250
+    fm = cat.file_metrics(spark, "t")
+    assert fm.count() == 5
+    assert fm.agg(F.sum("rows")).first()[0] == 1250
+    assert {r.dir for r in fm.select("dir").distinct().collect()} == {"v1", "v2"}
