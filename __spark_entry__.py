@@ -536,6 +536,43 @@ def _q_docs_jaccard(spark, sf_dir):
     return D.jaccard_pairs(docs, threshold_milli=500)
 
 
+def _messy_url_sql(dialect: str, i: str) -> str:
+    """Deterministically-messy URL per row id (both dialects): scheme/
+    host case flips, default vs non-default ports, query params in two
+    orders, an occasional fragment — every normalization `canonical_url`
+    performs is exercised."""
+    e = P._exprs(dialect, i)
+    h = e["h"]
+    s = (lambda x: f"CAST({x} AS STRING)") if dialect == "spark" else (
+        lambda x: f"CAST({x} AS VARCHAR)"
+    )
+    host_up = f"('HTTPS://SITE' || {s(f'{h} % 1000')} || '.EXAMPLE')"
+    host_lo = f"('https://site' || {s(f'{h} % 1000')} || '.example')"
+    return (
+        f"(CASE WHEN ({i}) % 2 = 0 THEN {host_up} ELSE {host_lo} END"
+        f" || CASE ({i}) % 3 WHEN 0 THEN ':443' WHEN 1 THEN ':8443' ELSE '' END"
+        f" || '/p/' || {s(i)}"
+        f" || CASE WHEN ({i}) % 2 = 0"
+        f"      THEN '?b=' || {s(f'({i}) % 7')} || '&a=' || {s(f'({i}) % 5')}"
+        f"      ELSE '?a=' || {s(f'({i}) % 5')} || '&b=' || {s(f'({i}) % 7')} END"
+        f" || CASE WHEN ({i}) % 4 = 0 THEN '#frag' ELSE '' END)"
+    )
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization (the crawl-dedup key): messy variants —
+    upper/lower scheme+host, default :443 vs kept :8443 ports, two
+    query-param orders, fragments — must normalize to ONE canonical
+    form.  The oracle computes the EXPECTED canonical analytically from
+    the same construction, so the gate checks the spec, not the
+    implementation against itself."""
+    df = spark.range(N_PAGES)
+    mess = F.expr(_messy_url_sql("spark", "id"))
+    return df.select(
+        F.col("id").alias("rid"), P.canonical_url(mess).alias("curl")
+    )
+
+
 def _q_docs_dup_groups(spark, sf_dir):
     """Pairs → canonical duplicate GROUPS (transitive closure): the
     retention step of a dedup pipeline.  Engine: exact-Jaccard pairs →
@@ -1176,6 +1213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
         "docs_dup_groups": _q_docs_dup_groups,
+        "url_canonical": _q_url_canonical,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_id": _q_docs_lang_id,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1529,6 +1567,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
+        """,
+        "url_canonical": f"""
+            SELECT range AS rid,
+                   'https://site' || CAST({P._exprs("duckdb", "range")["h"]} % 1000 AS VARCHAR)
+                   || '.example'
+                   || CASE WHEN range % 3 = 1 THEN ':8443' ELSE '' END
+                   || '/p/' || CAST(range AS VARCHAR)
+                   || '?a=' || CAST(range % 5 AS VARCHAR)
+                   || '&b=' || CAST(range % 7 AS VARCHAR) AS curl
+            FROM range({N_PAGES})
         """,
         "docs_dup_groups": f"""
             WITH RECURSIVE sh AS {shingle_rel},

@@ -150,6 +150,45 @@ def extract_text(html: Column) -> Column:
     return F.regexp_extract(html.cast("string"), r"<p>(.*)</p>", 1)
 
 
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a URL — the dedup key a crawl pipeline groups
+    by before any content hashing (two crawls of ``HTTP://Site.EX:80/a?b=1&a=2``
+    and ``http://site.ex/a?a=2&b=1`` are the same page):
+
+    * scheme and host lowercased;
+    * default ports stripped (``:80`` for http, ``:443`` for https);
+    * query parameters sorted bytewise; empty query dropped;
+    * fragment dropped (never sent to the server).
+
+    Entirely native Column ops (regexp + array_sort + concat) —
+    whole-stage codegen, no Python — and implemented twice (here and as
+    DuckDB SQL in the ``url_canonical`` oracle) so the gate checks the
+    SPEC, not one implementation against itself.
+    """
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+    )
+    path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )
+
+
 def parse_geo(text: Column) -> tuple[Column, Column, Column, Column]:
     """text → (lat_centi, lon_centi, lat, lon). Native regexp + arithmetic.
 

@@ -94,3 +94,38 @@ def test_garbage_page_gets_sentinel_cell(spark):
     # schema stays non-nullable (plan-shape invariant, see parse_geo)
     geo = P.geocode(df, 12)
     assert not dict(zip(geo.schema.names, geo.schema))["cell_id"].nullable
+
+
+def test_canonical_url_edges(spark):
+    from pyspark.sql import functions as F
+
+    cases = [
+        # (input, expected)
+        ("HTTP://Example.COM:80/a/B?z=1&a=2#frag", "http://example.com/a/B?a=2&z=1"),
+        ("https://ex.com:443/x", "https://ex.com/x"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),
+        ("http://ex.com", "http://ex.com/"),            # empty path → /
+        ("http://ex.com/#only-frag", "http://ex.com/"),
+        ("http://ex.com/p?b=2&a=1&c=3", "http://ex.com/p?a=1&b=2&c=3"),
+        ("http://EX.com/CasePreservedPath", "http://ex.com/CasePreservedPath"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = [
+        r.c
+        for r in df.select(P.canonical_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [e for _, e in cases]
+
+
+def test_canonical_url_is_pure_codegen(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(10).select(
+        F.concat(F.lit("http://H"), F.col("id"), F.lit(".com/p?b=1&a=2")).alias("url")
+    )
+    plan = (
+        df.select(P.canonical_url(F.col("url")))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
