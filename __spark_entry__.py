@@ -573,6 +573,35 @@ def _q_url_canonical(spark, sf_dir):
     )
 
 
+def _q_docs_hash_sample(spark, sf_dir):
+    """Deterministic content-addressed sampling (training-data
+    curation): keep documents whose md5-bucket falls under the rate —
+    reproducible across engines/partitionings, monotone in the rate
+    (test-asserted).  Oracle reproduces the identical md5-prefix
+    arithmetic in DuckDB."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.hash_sample(
+        docs.select("doc_id"), "doc_id", 200, key_out="bucket"
+    )
+
+
+def _q_host_stats(spark, sf_dir):
+    """Per-host crawl statistics over canonical urls (host extraction +
+    aggregation — the politeness/curation breakdown every crawl
+    pipeline reports)."""
+    pages = P.synth_pages(spark, N_PAGES)
+    host = F.regexp_extract(P.canonical_url(F.col("url")), r"://([^/]*)", 1)
+    return (
+        pages.withColumn("host", host)
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("url").alias("first_url"),
+        )
+    )
+
+
 def _q_docs_dup_groups(spark, sf_dir):
     """Pairs → canonical duplicate GROUPS (transitive closure): the
     retention step of a dedup pipeline.  Engine: exact-Jaccard pairs →
@@ -1214,6 +1243,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard": _q_docs_jaccard,
         "docs_dup_groups": _q_docs_dup_groups,
         "url_canonical": _q_url_canonical,
+        "host_stats": _q_host_stats,
+        "docs_hash_sample": _q_docs_hash_sample,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_id": _q_docs_lang_id,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1567,6 +1598,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes na ON na.id = id_a
             JOIN sizes nb ON nb.id = id_b
             WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
+        """,
+        "docs_hash_sample": f"""
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+            FROM documents
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        """,
+        "host_stats": f"""
+            SELECT regexp_extract(url, '://([^/]*)', 1) AS host,
+                   count(*) AS n_pages,
+                   count(DISTINCT lang) AS n_langs,
+                   min(url) AS first_url
+            FROM {pages}
+            GROUP BY 1
         """,
         "url_canonical": f"""
             SELECT range AS rid,

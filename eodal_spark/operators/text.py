@@ -137,3 +137,36 @@ def enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score_milli(t).alias("quality_milli"),
         fingerprint(t).alias("fp"),
     )
+
+
+def hash_bucket_milli(key: Column) -> Column:
+    """Deterministic per-row bucket in [0, 1000): the first 8 hex chars
+    of md5(key) as an integer, mod 1000.  Cross-engine exact (md5 is
+    md5 everywhere), unlike seeded ``rand()``/``sampleBy`` whose
+    generators differ between engines and across partitionings."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000
+    )
+
+
+def hash_sample(
+    df, key_col: str, rate_milli: int, key_out: str | None = None
+):
+    """Deterministic content-addressed sampling — the training-data
+    curation primitive: keep a row iff its key hashes under the rate.
+
+    Properties a 100 TB pipeline needs and ``df.sample``/``sampleBy``
+    lack: (a) REPRODUCIBLE independent of partitioning, executor count,
+    and engine (the same url is in or out, forever — rerun-stable
+    training sets); (b) CONSISTENT across tables (sampling pages and
+    their link graph by the same url keeps them aligned); (c) MONOTONE
+    in the rate (the 1% sample is a subset of the 10% sample —
+    ``rate_milli`` 10 ⊂ 100), so curricula can grow without resampling.
+    Pure native Column ops — the filter pushes into the scan.
+    """
+    b = hash_bucket_milli(F.col(key_col))
+    out = df.filter(b < rate_milli)
+    if key_out:
+        out = out.withColumn(key_out, b)
+    return out

@@ -70,3 +70,33 @@ def test_enrich_runs_on_documents(docs):
     # lang_guess hits a real language for most docs (markers are crude)
     hit = out.filter("lang_guess != 'und'").count()
     assert hit > 0
+
+
+def test_hash_sample_monotone_and_partition_stable(spark):
+    """The 5% sample is a subset of the 20% sample, and repartitioning
+    never changes membership — the reproducibility contract seeded
+    rand() sampling cannot give."""
+    from eodal_spark.operators import text as TX
+
+    docs = spark.range(5_000).selectExpr("CAST(id AS STRING) AS key")
+    s5 = {r.key for r in TX.hash_sample(docs, "key", 50).collect()}
+    s20 = {r.key for r in TX.hash_sample(docs, "key", 200).collect()}
+    assert s5 and s5 < s20
+    # ~rate within tolerance
+    assert abs(len(s20) / 5_000 - 0.2) < 0.03
+    rep = {
+        r.key
+        for r in TX.hash_sample(docs.repartition(17), "key", 200).collect()
+    }
+    assert rep == s20
+
+
+def test_hash_sample_filter_is_native(spark):
+    from eodal_spark.operators import text as TX
+
+    docs = spark.range(100).selectExpr("CAST(id AS STRING) AS key")
+    plan = (
+        TX.hash_sample(docs, "key", 100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
