@@ -1049,11 +1049,7 @@ def _q_morton_bbox_scan(spark, sf_dir):
         )
     table = spark.read.parquet(path)
     lo_lon, hi_lon, lo_lat, hi_lat = BBOX_A
-    n = 1 << RES
-    x = np.arange(lo_lon * n // 36000, ((hi_lon - 1) * n // 36000) + 1)
-    y = np.arange(lo_lat * n // 18000, ((hi_lat - 1) * n // 18000) + 1)
-    gx, gy = np.meshgrid(x, y)
-    cells = (RES << 58) + (gx.ravel().astype(np.int64) << 29) + gy.ravel()
+    cells = grid.np_bbox_cells_centi(lo_lon, hi_lon, lo_lat, hi_lat, RES)
     pred = grid.ranges_predicate("morton", grid.morton_ranges(cells))
     return table.filter(pred).filter(
         F.col("lon_centi").between(lo_lon, hi_lon - 1)

@@ -252,6 +252,25 @@ def morton_ranges(cells: np.ndarray, max_ranges: int = 64) -> list[tuple[int, in
     return [(int(keys[s]), int(keys[e])) for s, e in zip(starts, ends)]
 
 
+def np_bbox_cells_centi(
+    lo_lon: int, hi_lon: int, lo_lat: int, hi_lat: int, res: int
+) -> np.ndarray:
+    """All res-cells covering the HALF-OPEN centi-degree bbox, via the
+    same exact integer floor division as `sql_cell_encode_centi` — THE
+    bbox→cells planner (used by the Morton bbox query and the catalog
+    bench; one implementation so scan predicates can never drift from
+    the engine's cell assignment)."""
+    n = 1 << res
+    x = np.arange(lo_lon * n // 36000, ((hi_lon - 1) * n // 36000) + 1)
+    y = np.arange(lo_lat * n // 18000, ((hi_lat - 1) * n // 18000) + 1)
+    gx, gy = np.meshgrid(x, y)
+    return (
+        (res << _RES_SHIFT)
+        + (gx.ravel().astype(np.int64) << _X_SHIFT)
+        + gy.ravel()
+    )
+
+
 def ranges_predicate(col, ranges: list[tuple]) -> Column:
     """OR-of-BETWEEN Column over inclusive ``(lo, hi)`` ranges — the ONE
     builder behind every range-plan consumer (kNN disk prefilter,

@@ -328,7 +328,9 @@ class SnapshotCatalog:
             (
                 f["dir"],
                 f["name"],
-                int(f.get("rows", -1)),
+                # NULL (not a sentinel) for pre-upgrade entries without
+                # a recorded count — sums stay honest, gaps stay visible
+                int(f["rows"]) if "rows" in f else None,
                 json.dumps(f.get("stats", {}), sort_keys=True),
             )
             for f in self._snap_files(snap)

@@ -155,9 +155,11 @@ def canonical_url(url: Column) -> Column:
     by before any content hashing (two crawls of ``HTTP://Site.EX:80/a?b=1&a=2``
     and ``http://site.ex/a?a=2&b=1`` are the same page):
 
-    * scheme and host lowercased;
+    * scheme and host lowercased; userinfo (``user:pass@``) dropped —
+      credentials are not part of the resource's identity;
     * default ports stripped (``:80`` for http, ``:443`` for https);
-    * query parameters sorted bytewise; empty query dropped;
+    * query parameters sorted bytewise; empty query dropped (a ``?``
+      appearing only inside the fragment is NOT a query);
     * fragment dropped (never sent to the server).
 
     Entirely native Column ops (regexp + array_sort + concat) —
@@ -166,7 +168,10 @@ def canonical_url(url: Column) -> Column:
     SPEC, not one implementation against itself.
     """
     scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    authority = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+    )
+    hostport = F.regexp_replace(authority, r"^.*@", "")
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":(\d+)$", 1)
     keep_port = (
@@ -175,7 +180,8 @@ def canonical_url(url: Column) -> Column:
         & ~((scheme == F.lit("https")) & (port == F.lit("443")))
     )
     path = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    # first '?' BEFORE any '#': a '?' inside the fragment is not a query
+    query = F.regexp_extract(url, r"^[^#?]*\?([^#]*)", 1)
     sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         scheme,

@@ -68,21 +68,23 @@ def knn_block(spark, cat: SnapshotCatalog, rows: int, cpus: int) -> str:
     on_s = run(True)
     off_s = run(False)
 
-    # the ring PASS in isolation — the scan the prefilter acts on
+    # the ring PASS in isolation — the scan the prefilter acts on.
+    # Query cells via the SAME exact-integer encode knn() uses (the
+    # float path can disagree at cell boundaries)
+    from pyspark.sql import functions as F
+
     cells = [
-        int(
-            grid.np_cell_encode(
-                np.array([lon / 100 - 180.0]),
-                np.array([lat / 100 - 90.0]),
-                E.RES,
-            )[0]
-        )
-        for (_, lat, lon) in E.KNN_QUERIES
+        r.c
+        for r in q.select(
+            F.expr(
+                grid.sql_cell_encode_centi(
+                    "lon_centi", "lat_centi", E.RES, "spark"
+                )
+            ).alias("c")
+        ).collect()
     ]
     dranges = grid.cell_disk_ranges(cells, 2, E.RES)
     dpred = grid.ranges_predicate("cell_id", dranges)
-
-    from pyspark.sql import functions as F
 
     def timed_scan(df) -> tuple[float, int]:
         """count + masked sum(cell_id): forces the column off disk — a bare
@@ -124,7 +126,8 @@ round costs a neighborhood read, not a corpus pass.
 
 
 def main() -> None:
-    rows = int(sys.argv[1]) if len(sys.argv) > 1 else 40_000_000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    rows = int(pos[0]) if pos else 40_000_000
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     spark = get_spark(
         "eodal_catalog_bench", master=f"local[{cpus}]",
@@ -149,21 +152,12 @@ def main() -> None:
     snap = cat.current_snapshot("pages_geo")
 
     lo_lon, hi_lon, lo_lat, hi_lat = E.BBOX_A
-    n = 1 << E.RES
-    x = np.arange(lo_lon * n // 36000, ((hi_lon - 1) * n // 36000) + 1)
-    y = np.arange(lo_lat * n // 18000, ((hi_lat - 1) * n // 18000) + 1)
-    gx, gy = np.meshgrid(x, y)
-    cells = (E.RES << 58) + (gx.ravel().astype(np.int64) << 29) + gy.ravel()
+    cells = grid.np_bbox_cells_centi(lo_lon, hi_lon, lo_lat, hi_lat, E.RES)
     ranges = grid.morton_ranges(cells)
 
-    # driver-side: how many files does the manifest keep?
-    kept = 0
-    for f in snap["files"]:
-        st = f["stats"].get("morton")
-        if st is None or any(
-            st["min"] <= hi and st["max"] >= lo for lo, hi in ranges
-        ):
-            kept += 1
+    # file counts from the ACTUAL DataFrames (inputFiles), not a
+    # re-implementation of scan's selection loop
+    kept = len(cat.scan(spark, "pages_geo", {"morton": ranges}).inputFiles())
 
     def timed(fn) -> tuple[float, int]:
         best, nrows = float("inf"), -1
