@@ -32,6 +32,7 @@ from eodal_spark import geometry, grid
 from eodal_spark.operators import asof as ASOF
 from eodal_spark.operators import dedup as D
 from eodal_spark.operators import export as EX
+from eodal_spark.operators import graph as GR
 from eodal_spark.operators import knn as K
 from eodal_spark.operators import multimodal as MM
 from eodal_spark.operators import resample as RS
@@ -571,6 +572,21 @@ def _q_url_canonical(spark, sf_dir):
     return df.select(
         F.col("id").alias("rid"), P.canonical_url(mess).alias("curl")
     )
+
+
+LINK_N = 20_000
+LINK_DEG = 3
+LINK_ITERS = 4
+
+
+def _q_link_pagerank(spark, sf_dir):
+    """Link-based document weighting (the crawl-frontier / quality
+    signal): integer-exact PageRank over the deterministic synthetic
+    webgraph.  Bit-identical across engines because every step is
+    bigint floor arithmetic — the oracle unrolls the same recurrence as
+    nested DuckDB CTEs."""
+    edges = GR.synth_links(spark, LINK_N, LINK_DEG)
+    return GR.pagerank_micro(edges, LINK_N, iters=LINK_ITERS)
 
 
 def _q_docs_hash_sample(spark, sf_dir):
@@ -1241,6 +1257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical": _q_url_canonical,
         "host_stats": _q_host_stats,
         "docs_hash_sample": _q_docs_hash_sample,
+        "link_pagerank": _q_link_pagerank,
         "docs_token_stats": _q_docs_token_stats,
         "docs_lang_id": _q_docs_lang_id,
         "docs_quality_filter": _q_docs_quality_filter,
@@ -1340,6 +1357,37 @@ def _emb_topk_planted_oracle() -> str:
           FROM (SELECT * FROM qq WHERE vec_id < 5) a, qq b
         ) WHERE rank <= 10
     """
+
+
+
+def _pagerank_oracle_sql() -> str:
+    """The integer PageRank recurrence unrolled as nested CTEs — the
+    oracle runs the SAME bigint floor arithmetic, so the gate is
+    hash-exact (no float summation anywhere)."""
+    from eodal_spark.operators.graph import MICRO, sql_links_subquery
+
+    base = (1000 - 850) * MICRO // 1000
+    ctes = [
+        f"e AS (SELECT src, dst FROM {sql_links_subquery(LINK_N, LINK_DEG, 'duckdb')})",
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY src)",
+        f"r0 AS (SELECT range AS id, CAST({MICRO} AS BIGINT) AS r FROM range({LINK_N}))",
+    ]
+    for k in range(1, LINK_ITERS + 1):
+        ctes.append(
+            f"r{k} AS ("
+            f" SELECT t.id AS id,"
+            f" {base} + (850 * COALESCE(s.s, 0)) // 1000 AS r"
+            f" FROM range({LINK_N}) t(id)"
+            f" LEFT JOIN ("
+            f"   SELECT e.dst AS id, CAST(SUM(p.r // d.deg) AS BIGINT) AS s"
+            f"   FROM e JOIN d ON d.src = e.src JOIN r{k - 1} p ON p.id = e.src"
+            f"   GROUP BY e.dst"
+            f" ) s ON s.id = t.id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, r AS rank_micro FROM r{LINK_ITERS}"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1595,6 +1643,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes nb ON nb.id = id_b
             WHERE inter * 1000 >= 500 * (na.n + nb.n - inter)
         """,
+        "link_pagerank": _pagerank_oracle_sql(),
         "docs_hash_sample": f"""
             SELECT doc_id,
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
