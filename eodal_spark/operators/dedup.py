@@ -448,19 +448,11 @@ def connected_components(
     )
     labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iters):
-        # neighbor labels: for node u, the labels of all v adjacent to u
-        nbr = (
-            edges.join(labels.withColumnRenamed("id", "v"), "v")
-            .select(F.col("u").alias("id"), "comp")
-        )
-        new_labels = (
-            labels.union(nbr)
-            .groupBy("id")
-            .agg(F.min("comp").alias("comp"))
-        )
         # truncate lineage each round — an iterative plan otherwise
         # doubles in depth per iteration and analysis cost explodes
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _min_label_round(edges, labels).localCheckpoint(
+            eager=True
+        )
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -474,6 +466,16 @@ def connected_components(
         f"connected_components did not converge in {max_iters} rounds — "
         "the pair graph has a longer chain than expected; raise max_iters"
     )
+
+
+def _min_label_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """ONE min-label propagation round, un-checkpointed — separate so
+    tests can assert it is agg-shaped (no Window) on the real plan;
+    neighbor labels: for node u, the labels of all v adjacent to u."""
+    nbr = edges.join(labels.withColumnRenamed("id", "v"), "v").select(
+        F.col("u").alias("id"), "comp"
+    )
+    return labels.union(nbr).groupBy("id").agg(F.min("comp").alias("comp"))
 
 
 def dup_groups(

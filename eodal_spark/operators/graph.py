@@ -21,8 +21,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-# one full unit of rank = 1_000_000 micro-ranks: integer headroom for
-# // out_degree and the damping multiply without overflow at any n
+# one full unit of rank = 1_000_000 micro-ranks.  Overflow bounds: the
+# damping multiply 850 * Σcontrib (Σ ≤ n·MICRO) stays inside int64 for
+# n up to ~1e10, and synth_links' src*2654435761 for n up to ~3.4e9 —
+# safe through corpus scale (10^9 docs), NOT unbounded
 MICRO = 1_000_000
 
 
@@ -84,27 +86,37 @@ def pagerank_micro(
     spark = edges.sparkSession
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
-    base = (1000 - damping_milli) * MICRO // 1000
     ranks = spark.range(n).select(
         F.col("id"), F.lit(MICRO).cast("long").alias("rank_micro")
     )
     for _ in range(iters):
-        contrib = (
-            ed.join(ranks.withColumnRenamed("id", "src"), "src")
-            # `div`, never `/`+cast: float division can land a hair
-            # under the exact quotient and truncate to the wrong floor
-            .selectExpr("dst AS id", "rank_micro div deg AS c")
-            .groupBy("id")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = (
-            spark.range(n)
-            .join(contrib, "id", "left")
-            .selectExpr(
-                "id",
-                f"{base}L + ({damping_milli}L * coalesce(s, 0L)) div 1000"
-                " AS rank_micro",
-            )
-            .localCheckpoint(eager=True)
+        ranks = _rank_round(ed, ranks, n, damping_milli).localCheckpoint(
+            eager=True
         )
     return ranks
+
+
+def _rank_round(
+    ed: DataFrame, ranks: DataFrame, n: int, damping_milli: int
+) -> DataFrame:
+    """ONE recurrence round, un-checkpointed — separate so tests can
+    assert the plan shape (the checkpointed result is just an RDD scan
+    and would hide a Window/UDF regression)."""
+    base = (1000 - damping_milli) * MICRO // 1000
+    contrib = (
+        ed.join(ranks.withColumnRenamed("id", "src"), "src")
+        # `div`, never `/`+cast: float division can land a hair
+        # under the exact quotient and truncate to the wrong floor
+        .selectExpr("dst AS id", "rank_micro div deg AS c")
+        .groupBy("id")
+        .agg(F.sum("c").alias("s"))
+    )
+    return (
+        ed.sparkSession.range(n)
+        .join(contrib, "id", "left")
+        .selectExpr(
+            "id",
+            f"{base}L + ({damping_milli}L * coalesce(s, 0L)) div 1000"
+            " AS rank_micro",
+        )
+    )

@@ -153,11 +153,19 @@ def test_dup_groups_labels_singletons(spark):
 
 def test_connected_components_agg_form_no_window(spark):
     """Skew guard: one propagation round must be agg-shaped (map-side
-    combinable min), never a Window over the component."""
+    combinable min), never a Window over the component.  Inspect the
+    ROUND pre-checkpoint — the final result's plan is an RDD scan that
+    would vacuously pass."""
     pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
-    out = D.connected_components(pairs)
+    edges = pairs.selectExpr("id_a AS u", "id_b AS v").union(
+        pairs.selectExpr("id_b AS u", "id_a AS v")
+    )
+    labels = edges.selectExpr("u AS id").distinct().selectExpr(
+        "id", "id AS comp"
+    )
+    out = D._min_label_round(edges, labels)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    assert "HashAggregate" in plan and "Window" not in plan
 
 
 import numpy as np

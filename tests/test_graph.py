@@ -45,9 +45,16 @@ def test_pagerank_partition_invariant(spark):
 
 
 def test_pagerank_iteration_is_agg_shaped(spark):
+    """Inspect ONE round pre-checkpoint (the checkpointed result is an
+    RDD scan that would hide any regression)."""
     n = 500
-    out = G.pagerank_micro(G.synth_links(spark, n, 3), n, iters=1)
+    edges = G.synth_links(spark, n, 3)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks0 = spark.range(n).select(
+        F.col("id"), F.lit(G.MICRO).cast("long").alias("rank_micro")
+    )
+    out = G._rank_round(edges.join(deg, "src"), ranks0, n, 850)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Window" not in plan
+    assert "HashAggregate" in plan and "Window" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
