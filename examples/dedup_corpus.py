@@ -26,8 +26,19 @@ pairs = dedup.minhash_dedup(docs, threshold_milli=600)
 print("near-dup pairs (jaccard >= 0.6):")
 pairs.orderBy(F.desc(F.col("inter") / F.col("uni"))).show(10)
 
-# survivor rule: drop the higher id of every verified pair
-drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-survivors = exact.join(drop, "doc_id", "left_anti")
-print("after near-dup removal:", survivors.count())
+# survivor rule: canonical GROUPS via transitive closure (a doc
+# duplicated 3 ways keeps exactly one copy, not one per pair), then
+# keep each group's min id
+groups = dedup.dup_groups(docs, pairs)
+survivors = exact.join(
+    groups.filter(F.col("doc_id") == F.col("group_id")).select("doc_id"),
+    "doc_id",
+)
+print("after near-dup group removal:", survivors.count())
+
+# deterministic 10% curation sample — stable across reruns/partitions
+from eodal_spark.operators import text as TX
+
+sample = TX.hash_sample(survivors, "doc_id", 100)
+print("10% curated sample:", sample.count())
 spark.stop()
