@@ -86,22 +86,24 @@ def knn_block(spark, cat: SnapshotCatalog, rows: int, cpus: int) -> str:
     dranges = grid.cell_disk_ranges(cells, 2, E.RES)
     dpred = grid.ranges_predicate("cell_id", dranges)
 
-    def timed_scan(df) -> tuple[float, int]:
-        """count + masked sum(cell_id): forces the column off disk — a bare
-        count() on parquet is answered from footer metadata and would
-        time nothing."""
+    def timed_scan(mk) -> tuple[float, int]:
+        """count + masked sum(cell_id): forces the column off disk (a
+        bare count() is answered from footers).  ``mk`` REBUILDS the
+        DataFrame per rep — re-collecting one object reuses
+        materialized stage results and times a ~50 ms cache hit."""
         best, nrows = float("inf"), -1
         for _ in range(REPS):
             t0 = time.time()
-            nrows = df.agg(
+            nrows = mk().agg(
                 F.count(F.lit(1)),
                 F.sum(F.col("cell_id").bitwiseAND(F.lit(1023))),
             ).collect()[0][0]
             best = min(best, time.time() - t0)
         return best, nrows
 
-    ring_s, ring_n = timed_scan(table.filter(dpred))
-    full_s, full_n = timed_scan(table)
+    fresh = lambda: cat.read(spark, "pages_cell")  # noqa: E731
+    ring_s, ring_n = timed_scan(lambda: fresh().filter(dpred))
+    full_s, full_n = timed_scan(fresh)
     return f"""
 ### Ring-kNN scan pruning ({rows:,} rows, cell-sorted, local[{cpus}])
 
