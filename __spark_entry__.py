@@ -1198,6 +1198,23 @@ def _q_emb_ann_srp(spark, sf_dir):
     return out.select("query_id", "vec_id", "sqdist", "rank")
 
 
+def _q_emb_cosine_topk(spark, sf_dir):
+    """Brute-force COSINE top-k (the brief's baseline alongside the L2
+    one): on the planted fixture the top-10 per query is exactly
+    {self} ∪ {its 9 positively-scaled copies} — cosine is
+    scale-invariant, so their similarity is maximal by construction.
+    The gate compares the SET (query_id, vec_id): rank order among the
+    ≈1.0 ties depends on float rounding and is not a cross-engine
+    contract, but set membership is (copies ≈1 vs natural ≪1)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    uni = _emb_with_planted(emb)
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = SIM.brute_force_topk_cosine(q, uni, k=10)
+    return out.select("query_id", "vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # geospatial core (pages table, FIXTURES.md §1)
@@ -1263,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_quality_filter": _q_docs_quality_filter,
         "docs_fingerprint": _q_docs_fingerprint,
         "emb_l2_topk": _q_emb_l2_topk,
+        "emb_cosine_topk": _q_emb_cosine_topk,
         "emb_near_dup": _q_emb_near_dup,
         "multimodal_bytes": _q_multimodal_bytes,
         # probabilistic operators (deterministic given seed — all gated)
@@ -1358,6 +1376,40 @@ def _emb_topk_planted_oracle() -> str:
         ) WHERE rank <= 10
     """
 
+
+
+def _emb_cosine_planted_oracle() -> str:
+    """Brute-force cosine top-10 over corpus ∪ planted scaled copies,
+    SET output (no rank — see `_q_emb_cosine_topk`)."""
+    plant = " UNION ALL ".join(
+        f"""SELECT vec_id * 100 + {TOPK_PLANT_BASE + j} AS vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST({lit} AS DOUBLE) AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id < 5"""
+        for j, lit in TOPK_PLANT_SCALES
+    )
+    dot = (
+        "list_aggregate(list_transform(generate_series(1, len(a.embedding)),"
+        " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"
+    )
+    nrm = (
+        lambda t: "sqrt(list_aggregate(list_transform("
+        f"generate_series(1, len({t}.embedding)),"
+        f" i -> CAST({t}.embedding[i] AS DOUBLE) * CAST({t}.embedding[i] AS DOUBLE)), 'sum'))"
+    )
+    return f"""
+        WITH uni AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL {plant}
+        )
+        SELECT query_id, vec_id FROM (
+          SELECT a.vec_id AS query_id, b.vec_id,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {dot} / ({nrm('a')} * {nrm('b')}) DESC,
+                            b.vec_id) AS rank
+          FROM (SELECT * FROM uni WHERE vec_id < 5) a, uni b
+        ) WHERE rank <= 10
+    """
 
 
 def _pagerank_oracle_sql() -> str:
@@ -1798,6 +1850,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "emb_ivf_topk": _emb_topk_planted_oracle(),
         "emb_ann_srp": _emb_topk_planted_oracle(),
+        "emb_cosine_topk": _emb_cosine_planted_oracle(),
         "multimodal_bytes": """
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_bytes,
