@@ -134,3 +134,48 @@ def test_canonical_url_is_pure_codegen(spark):
     )
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_canonical_url_idempotent_and_collapses_classes(spark):
+    """Battery over the messy-component cross product: canonicalization
+    must be IDEMPOTENT (canonical(canonical(u)) == canonical(u)) and
+    every variant of the same resource must collapse to ONE key."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    variants = []
+    class_of = []
+    for ci, (scheme, host) in enumerate(
+        [("http", "a.ex"), ("https", "b.ex")]
+    ):
+        for up, port, userinfo, qorder, frag in product(
+            [False, True],
+            ["", ":80", ":443", ":8080"],
+            ["", "u@", "u:p@"],
+            ["?b=2&a=1", "?a=1&b=2", ""],
+            ["", "#f", "#f?notquery"],
+        ):
+            sch = scheme.upper() if up else scheme
+            h = host.upper() if up else host
+            variants.append(
+                (f"{sch}://{userinfo}{h}{port}/p{qorder}{frag}",
+                 # resource class: scheme/host/real-port/query-set
+                 (ci, port if port not in ("", ":80", ":443")
+                  or (scheme == "http" and port == ":443")
+                  or (scheme == "https" and port == ":80")
+                  else "", qorder != ""))
+            )
+    # NOTE: :80 on https and :443 on http are NON-default → own classes
+    df = spark.createDataFrame(
+        [(u,) for u, _ in variants], ["url"]
+    ).withColumn("c1", P.canonical_url(F.col("url")))
+    df = df.withColumn("c2", P.canonical_url(F.col("c1")))
+    rows = df.collect()
+    assert all(r.c1 == r.c2 for r in rows)  # idempotent
+
+    by_class = {}
+    for (u, cls), r in zip(variants, rows):
+        by_class.setdefault(cls, set()).add(r.c1)
+    for cls, keys in by_class.items():
+        assert len(keys) == 1, (cls, keys)
