@@ -1344,17 +1344,24 @@ def _duck_simhash_sigs() -> str:
     """
 
 
-def _emb_topk_planted_oracle() -> str:
-    """Brute-force quantized top-10 over corpus ∪ planted scaled copies
-    — the exact answer both ANN variants (IVF, SRP) provably return on
-    the planted fixture (see `_emb_with_planted`)."""
-    plant = " UNION ALL ".join(
+def _plant_sql() -> str:
+    """The planted scaled-copy UNION as DuckDB SQL — the single SQL
+    twin of `_emb_with_planted` (used by every planted-fixture oracle,
+    so the cast chain can never desync between them)."""
+    return " UNION ALL ".join(
         f"""SELECT vec_id * 100 + {TOPK_PLANT_BASE + j} AS vec_id,
               list_transform(embedding,
                 x -> CAST(CAST(x AS DOUBLE) * CAST({lit} AS DOUBLE) AS FLOAT)) AS embedding
             FROM embeddings WHERE vec_id < 5"""
         for j, lit in TOPK_PLANT_SCALES
     )
+
+
+def _emb_topk_planted_oracle() -> str:
+    """Brute-force quantized top-10 over corpus ∪ planted scaled copies
+    — the exact answer both ANN variants (IVF, SRP) provably return on
+    the planted fixture (see `_emb_with_planted`)."""
+    plant = _plant_sql()
     return f"""
         WITH uni AS (
           SELECT vec_id, embedding FROM embeddings
@@ -1381,13 +1388,7 @@ def _emb_topk_planted_oracle() -> str:
 def _emb_cosine_planted_oracle() -> str:
     """Brute-force cosine top-10 over corpus ∪ planted scaled copies,
     SET output (no rank — see `_q_emb_cosine_topk`)."""
-    plant = " UNION ALL ".join(
-        f"""SELECT vec_id * 100 + {TOPK_PLANT_BASE + j} AS vec_id,
-              list_transform(embedding,
-                x -> CAST(CAST(x AS DOUBLE) * CAST({lit} AS DOUBLE) AS FLOAT)) AS embedding
-            FROM embeddings WHERE vec_id < 5"""
-        for j, lit in TOPK_PLANT_SCALES
-    )
+    plant = _plant_sql()
     dot = (
         "list_aggregate(list_transform(generate_series(1, len(a.embedding)),"
         " i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')"

@@ -18,6 +18,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
@@ -202,16 +203,9 @@ becomes the bottleneck manifest pruning removes.
             knn_block(spark, cat, rows, cpus) + "<!-- CATALOG:END -->",
         )
 
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    prev = open(md_path).read()
-    if "<!-- CATALOG:BEGIN -->" in prev:
-        head = prev.split("<!-- CATALOG:BEGIN -->", 1)[0]
-        tail = prev.split("<!-- CATALOG:END -->", 1)[1]
-        out = head + block.rstrip("\n") + tail
-    else:
-        out = prev.rstrip("\n") + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(out)
+    from _md import splice_block
+
+    splice_block(os.path.join(REPO, "BENCH", "BASELINE.md"), "CATALOG", block)
     print(
         {
             "files_total": len(snap["files"]), "files_kept": kept,

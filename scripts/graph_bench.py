@@ -15,6 +15,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from eodal_spark.operators import graph as G
 from eodal_spark.session import get_spark
@@ -38,8 +39,11 @@ def main() -> None:
     for _ in range(REPS):  # fresh plan per rep (stage-reuse pitfall)
         t0 = time.time()
         edges = G.synth_links(spark, n, OUT_DEG)
-        assert G.pagerank_micro(edges, n, iters=ITERS).count() == n
+        # NOT inside an assert: python -O would strip the whole workload
+        out_rows = G.pagerank_micro(edges, n, iters=ITERS).count()
         best = min(best, time.time() - t0)
+        if out_rows != n:
+            raise RuntimeError(f"expected {n} ranks, got {out_rows}")
     visits = n * OUT_DEG * ITERS
     rate = visits / best / 1e6
 
@@ -55,16 +59,9 @@ scale with cluster shuffle bandwidth, and the integer formulation keeps
 results bit-identical at any parallelism.
 <!-- GRAPH:END -->
 """
-    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    prev = open(md_path).read()
-    if "<!-- GRAPH:BEGIN -->" in prev:
-        head = prev.split("<!-- GRAPH:BEGIN -->", 1)[0]
-        tail = prev.split("<!-- GRAPH:END -->", 1)[1]
-        out = head + block.rstrip("\n") + tail
-    else:
-        out = prev.rstrip("\n") + "\n\n" + block
-    with open(md_path, "w") as f:
-        f.write(out)
+    from _md import splice_block
+
+    splice_block(os.path.join(REPO, "BENCH", "BASELINE.md"), "GRAPH", block)
     print({"n": n, "seconds": round(best, 1), "medge_visits_per_s": round(rate, 1)})
     spark.stop()
 

@@ -145,7 +145,6 @@ def test_canonical_url_idempotent_and_collapses_classes(spark):
     from pyspark.sql import functions as F
 
     variants = []
-    class_of = []
     for ci, (scheme, host) in enumerate(
         [("http", "a.ex"), ("https", "b.ex")]
     ):
