@@ -199,3 +199,83 @@ def apply_adapter(
         if adapter.water_class is not None:
             cols.append(water_mask(qa, adapter.water_class).alias("water_mask"))
     return df.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# .SAFE product-name utilities (reference: eodal/utils/sentinel2.py)
+# ---------------------------------------------------------------------------
+# The reference parses ESA .SAFE dataset names with Python str.split in a
+# driver loop; here each helper is a pure Catalyst Column expression so the
+# parse runs JVM-side inside whole-stage codegen over billions of product
+# URIs.  SAFE naming convention (underscore-separated fields):
+#   S2A_MSIL2A_20220101T103421_N0301_R108_T32TMT_20220101T120000.SAFE
+#    [0]   [1]       [2]        [3]   [4]   [5]          [6]
+
+
+def safe_name_from_url(url: Column | str) -> Column:
+    """Extract the ``.SAFE`` dataset name from a STAC asset href —
+    the path segment starting with ``S2`` and ending ``.SAFE``
+    (`eodal/utils/sentinel2.py:40-55` ``_url_to_safe_name``)."""
+    url = F.col(url) if isinstance(url, str) else url
+    seg = F.filter(
+        F.split(url, "/"),
+        lambda x: x.startswith("S2") & x.endswith(".SAFE"),
+    )
+    return F.element_at(seg, 1)
+
+
+def s2_processing_level(safe: Column | str) -> Column:
+    """``L1C`` / ``L2A`` from the product-type field; NULL when neither
+    marker occurs (the reference raises — relationally that is a NULL the
+    caller filters or asserts on; `sentinel2.py:58-78`)."""
+    safe = F.col(safe) if isinstance(safe, str) else safe
+    return (
+        F.when(safe.contains("MSIL1C") | safe.contains("l1c"), F.lit("L1C"))
+        .when(safe.contains("MSIL2A") | safe.contains("l2a"), F.lit("L2A"))
+    )
+
+
+def s2_acquisition_time(safe: Column | str) -> Column:
+    """Sensing start as a timestamp from field [2] (``yyyyMMdd'T'HHmmss``;
+    `sentinel2.py:81-96`)."""
+    safe = F.col(safe) if isinstance(safe, str) else safe
+    return F.to_timestamp(
+        F.element_at(F.split(safe, "_"), 3), "yyyyMMdd'T'HHmmss"
+    )
+
+
+def s2_processing_baseline(safe: Column | str) -> Column:
+    """PDGS processing-baseline int from field [3] (``N0400`` → 400;
+    `sentinel2.py:112-127`).  Feeds the baseline>=400 offset switch in the
+    Sentinel-2 adapter."""
+    safe = F.col(safe) if isinstance(safe, str) else safe
+    return (
+        F.replace(F.element_at(F.split(safe, "_"), 4), F.lit("N"), F.lit(""))
+        .cast("int")
+    )
+
+
+def s2_platform(safe: Column | str) -> Column:
+    """Platform (``S2A``/``S2B``) = field [0] (`sentinel2.py:130-145`)."""
+    safe = F.col(safe) if isinstance(safe, str) else safe
+    return F.element_at(F.split(safe, "_"), 1)
+
+
+def s2_tile(safe: Column | str) -> Column:
+    """MGRS tile id (``T32TMT``) = field [5]."""
+    safe = F.col(safe) if isinstance(safe, str) else safe
+    return F.element_at(F.split(safe, "_"), 6)
+
+
+def merge_product_uris(uri: Column | str) -> Column:
+    """Aggregate: the mapper's ``&&`` merge of differing product URIs
+    when scenes are mosaicked across data-take boundaries
+    (`eodal/mapper/mapper.py:626-628`).
+
+    The reference folds in scene order appending ``&& <uri>`` for each
+    differing value; relationally that order is nondeterministic under
+    parallel scan, so this canonicalizes to sorted-distinct joined by
+    ``&&`` — same information, engine-independent bytes.  Use inside
+    ``groupBy(...).agg(...)``."""
+    uri = F.col(uri) if isinstance(uri, str) else uri
+    return F.array_join(F.array_sort(F.collect_set(uri)), "&&")
