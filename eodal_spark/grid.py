@@ -158,22 +158,27 @@ def cell_children(cell, res: int, child_res: int) -> Column:
     )
 
 
-def cell_ring(cell, k: int, res: int) -> Column:
+def cell_ring(cell, k, res: int) -> Column:
     """All cells within Chebyshev distance ``k`` (the (2k+1)² block),
     longitude-wrapping in x, clamped in y.  The building block of the
     ring-expansion kNN (generalizes the reference's argmin nearest-cell
     snap, `eodal/core/band.py:1431-1454`, to k>1).  Returns array<long>.
-    """
+
+    ``k`` may be an int (uniform radius) or a Column (PER-ROW radius —
+    the adaptive-escalation kNN gives each unresolved query its own
+    next radius, so one ring pass serves heterogeneous disks)."""
     c = _col(cell)
     n = 1 << res
     x = cell_x_of(c)
     y = cell_y_of(c)
+    kc = k if isinstance(k, Column) else F.lit(int(k))
+    kc = kc.cast("int")
     base = F.lit(res << _RES_SHIFT)
     ids = F.flatten(
         F.transform(
-            F.sequence(F.lit(-k), F.lit(k)),
+            F.sequence(-kc, kc),
             lambda dx: F.transform(
-                F.sequence(F.lit(-k), F.lit(k)),
+                F.sequence(-kc, kc),
                 lambda dy: F.when(
                     (y + dy >= 0) & (y + dy < n),
                     base
@@ -292,11 +297,15 @@ def ranges_predicate(col, ranges: list[tuple]) -> Column:
 
 
 def cell_disk_ranges(
-    cells, k: int, res: int, max_ranges: int = 256
+    cells, k, res: int, max_ranges: int = 256
 ) -> list[tuple[int, int]] | None:
     """Plan the Chebyshev-``k`` disks around driver-side ``cells`` as
     inclusive ``cell_id`` ranges — the SCAN-predicate twin of
     `cell_ring` (which explodes the same cells as join keys).
+
+    ``k`` is an int (uniform radius) or a sequence of per-cell radii
+    (matching ``cells`` positionally — the adaptive kNN plans each
+    unresolved query's own disk).
 
     A disk is one contiguous y-strip per x column (x wrapped with pmod,
     y clamped — identical membership to `cell_ring`), so each disk
@@ -313,13 +322,15 @@ def cell_disk_ranges(
     """
     n = 1 << res
     base = res << _RES_SHIFT
+    cells = list(cells)
+    radii = [k] * len(cells) if isinstance(k, int) else list(k)
     strips: list[tuple[int, int]] = []
-    for c in cells:
-        c = int(c)
+    for c, rk in zip(cells, radii):
+        c, rk = int(c), int(rk)
         x = (c >> _X_SHIFT) & _XY_MASK
         y = c & _XY_MASK
-        ylo, yhi = max(y - k, 0), min(y + k, n - 1)
-        for dx in range(-k, k + 1):
+        ylo, yhi = max(y - rk, 0), min(y + rk, n - 1)
+        for dx in range(-rk, rk + 1):
             xx = (x + dx) % n
             lo = base + (xx << _X_SHIFT) + ylo
             strips.append((lo, base + (xx << _X_SHIFT) + yhi))

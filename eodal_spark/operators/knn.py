@@ -77,30 +77,47 @@ def knn(
     start_radius: int = 2,
     max_rounds: int = 3,
     scan_prune: bool | None = None,
+    max_ring_radius: int = 4096,
+    prune_query_cap: int = 4096,
 ) -> DataFrame:
     """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
     geocoded pages with cell_id, lat_centi, lon_centi, url.
     Returns (query_id, url, sqdist, rank), rank 1..k.
 
-    Ring escalation — at most ``max_rounds`` ring passes plus one
-    bounded brute fallback; every pass re-joins ONLY the still-
-    unresolved queries, so a sparse-region query never drags resolved
-    ones back over the pages side:
+    Adaptive ring escalation, fully relational bookkeeping:
 
-    1. round i explodes the radius ``start_radius·2^i`` Chebyshev disk
-       of each unresolved query (broadcast), equi-joins on cell_id (the
-       big side never shuffles) — and the same disks, planned as
-       OR-of-BETWEEN cell_id ranges (`grid.cell_disk_ranges`), pre-
-       filter the pages scan, so on a cell-sorted table each round
-       reads only the row groups overlapping the disks; ranks; a query
-       is *resolved* when it has k candidates whose k-th distance is
-       provably inside the searched disk (kth ≤ (r·cell_height)²);
-    2. the per-query resolution stats (≤ |queries| rows/round) come
-       back to the driver to drive the escalation;
-    3. queries still unresolved after ``max_rounds`` doublings fall
-       back to ONE brute-force broadcast scan — correct for any
-       density including empty regions, and at 10^12 rows only the
-       (rare) truly-isolated queries ever pay for it.
+    1. round 0 explodes the radius-``start_radius`` Chebyshev disk of
+       every query (broadcast), equi-joins on cell_id (the big side
+       never shuffles); on a STORED cell_id column the same disks,
+       planned as OR-of-BETWEEN ranges (`grid.cell_disk_ranges`), also
+       pre-filter the scan so a round reads only overlapping row
+       groups.  A query *resolves* when it has k candidates whose k-th
+       distance is provably inside the searched disk — STRICTLY
+       (kth < (r·cell_height)²: a boundary tie could rank an excluded
+       just-outside point into the true top-k, so ties escalate) — or
+       when its disk provably covers the whole grid (x wraps at 2r+1 ≥
+       n; y clamps, needing r ≥ max(y, n-1-y)).
+    2. each later round gives every unresolved query its OWN radius
+       (`grid.cell_ring` takes a per-row Column): a query that already
+       saw k candidates gets the GUARANTEED-finishing radius
+       ``floor(sqrt(kth)/cell_h)+2`` (its true k-th neighbour is within
+       the observed kth, so that disk provably contains and bounds it);
+       a query with < k candidates jumps ×4.  Radii are capped at the
+       query's full-coverage radius.
+    3. unresolved queries live in a small DataFrame; rounds re-join
+       ONLY them via broadcast semi/anti joins — no ``isin`` literal
+       trees, so 10⁵-10⁶ query points don't blow up Catalyst analysis.
+       The driver sees one aggregated (unresolved, overflow) count pair
+       per round; disk-range planning collects at most
+       ``prune_query_cap``+1 cells (above the cap the prefilter is
+       skipped — the join alone is still exact).
+    4. queries whose next radius would exceed ``max_ring_radius``, or
+       that remain unresolved after ``max_rounds`` passes, fall back to
+       ONE bounded brute-force broadcast scan — correct for any
+       density; at 10^12 rows only truly-isolated queries pay for it.
+       When the scan CANNOT be pruned (computed cell_id: every ring
+       pass re-materializes the corpus, so patience buys nothing) the
+       ladder is shortened to ≤ 2 passes before that fallback.
     """
     q = queries.select(
         "query_id",
@@ -114,45 +131,53 @@ def knn(
     # cell height in centi-degrees: any point outside the radius-r disk
     # is at least r*height away (height <= width on this grid)
     cell_h_centi = 18000.0 / (1 << res)
+    n_cells = 1 << res
 
     if scan_prune is None:
         scan_prune = _cell_id_is_stored(pages_geo)
-    q_cells = {
-        r["query_id"]: r["q_cell"]
-        for r in q.select("query_id", "q_cell").collect()
-    }
-    unresolved = sorted(q_cells)
+    # unprunable scans pay a full corpus materialization per pass —
+    # shorten the ladder so stragglers reach the (equally full-pass,
+    # but final) brute fallback sooner
+    rounds_budget = max_rounds if scan_prune else min(max_rounds, 2)
+
+    q_y = grid.cell_y_of(F.col("q_cell"))
+    # radius at which the disk provably covers the whole grid
+    coverage_r = F.greatest(q_y, F.lit(n_cells - 1) - q_y, F.lit(n_cells // 2))
+    unres = q.select(
+        "*",
+        F.lit(start_radius).cast("int").alias("radius"),
+        coverage_r.cast("int").alias("cov_r"),
+    )
+    q_cols = ["query_id", "q_lat_centi", "q_lon_centi", "q_cell"]
+
     results: DataFrame | None = None
-    n_cells = 1 << res
-    for i in range(max_rounds):
-        if not unresolved:
-            break
-        radius = start_radius << i
-        bound = (radius * cell_h_centi) ** 2
-        rest_q = q.filter(F.col("query_id").isin(unresolved))
-        ring = rest_q.select(
-            "query_id", "q_lat_centi", "q_lon_centi",
-            F.explode(grid.cell_ring("q_cell", radius, res)).alias("cell_id"),
-        )
-        # scan-level pruning: the SAME disk cells the ring explodes,
-        # planned as OR-of-BETWEEN cell_id ranges and pushed into the
-        # pages scan — on a cell-sorted table a ring re-join touches a
-        # sliver of the corpus (row-group min/max skipping), not a full
-        # pass.  None (too many ranges) skips the prefilter: the join
-        # alone is still correct, Catalyst just can't get a bounded
-        # literal tree.
-        ranges = (
-            grid.cell_disk_ranges(
-                [q_cells[qid] for qid in unresolved], radius, res
-            )
-            if scan_prune
-            else None
-        )
+    brute_q: DataFrame | None = None
+    have_overflow = False
+    for i in range(rounds_budget):
+        # bounded driver-side probe for scan-range planning (never more
+        # than prune_query_cap+1 rows; above the cap → no prefilter)
+        ranges = None
+        if scan_prune:
+            probe = unres.select("q_cell", "radius").limit(
+                prune_query_cap + 1
+            ).collect()
+            if len(probe) <= prune_query_cap:
+                ranges = grid.cell_disk_ranges(
+                    [r["q_cell"] for r in probe],
+                    [r["radius"] for r in probe],
+                    res,
+                )
         round_pages = pages_side
         if ranges:
             round_pages = pages_side.filter(
                 grid.ranges_predicate("cell_id", ranges)
             )
+        ring = unres.select(
+            "query_id", "q_lat_centi", "q_lon_centi",
+            F.explode(
+                grid.cell_ring("q_cell", F.col("radius"), res)
+            ).alias("cell_id"),
+        )
         cand = round_pages.join(F.broadcast(ring), "cell_id", "inner")
         topk = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
@@ -160,30 +185,72 @@ def knn(
         topk = topk.cache()  # tiny: ≤ |unresolved|·k rows, reused below
         stats = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
-        ).collect()
-        resolved = {
-            r["query_id"] for r in stats if r["n"] == k and r["kth"] <= bound
-        }
-        if 2 * radius + 1 >= n_cells:
-            # x wraps, so the disk spans every x column — but y CLAMPS,
-            # so full grid coverage additionally needs
-            # radius >= max(y, n-1-y) per query (an equator query covers
-            # everything at n/2; a polar one only at n-1).  Only then is
-            # there provably nothing more to find.
-            for r in stats:
-                y_q = q_cells[r["query_id"]] & ((1 << 29) - 1)
-                if radius >= max(y_q, n_cells - 1 - y_q):
-                    resolved.add(r["query_id"])
-        if resolved:
-            part = topk.filter(F.col("query_id").isin(list(resolved)))
-            results = part if results is None else results.unionByName(part)
-        unresolved = sorted(set(unresolved) - resolved)
-
-    if unresolved:
-        rest = q.filter(F.col("query_id").isin(unresolved)).select(
-            "query_id", "q_lat_centi", "q_lon_centi"
         )
-        cand = pages_side.crossJoin(F.broadcast(rest))
+        st = unres.join(F.broadcast(stats), "query_id", "left").select(
+            "*",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_found"),
+        )
+        bound = (F.col("radius").cast("double") * cell_h_centi) ** 2
+        resolved_c = (
+            ((F.col("n_found") == k) & (F.col("kth") < bound))
+            | (F.col("radius") >= F.col("cov_r"))
+        )
+        # guaranteed-finishing radius when k candidates exist (kth is an
+        # upper bound on the true k-th distance; +2 absorbs sqrt ULP) —
+        # ×4 jump otherwise; always capped at full coverage
+        next_r = F.least(
+            F.when(
+                F.col("n_found") == k,
+                F.floor(F.sqrt(F.col("kth").cast("double")) / cell_h_centi)
+                .cast("int") + 2,
+            ).otherwise(F.col("radius") * 4),
+            F.col("cov_r"),
+        )
+        st = st.select(
+            *q_cols, "cov_r", "radius",
+            resolved_c.alias("resolved"),
+            next_r.alias("next_r"),
+        ).cache()
+        counts = st.agg(
+            F.sum(
+                (~F.col("resolved") & (F.col("next_r") <= max_ring_radius))
+                .cast("long")
+            ).alias("u"),
+            F.sum(
+                (~F.col("resolved") & (F.col("next_r") > max_ring_radius))
+                .cast("long")
+            ).alias("o"),
+        ).collect()[0]
+        part = topk.join(
+            F.broadcast(st.filter("resolved").select("query_id")),
+            "query_id", "left_semi",
+        )
+        results = part if results is None else results.unionByName(part)
+        over = st.filter(
+            ~F.col("resolved") & (F.col("next_r") > max_ring_radius)
+        ).select(*q_cols)
+        brute_q = over if brute_q is None else brute_q.unionByName(over)
+        have_overflow = have_overflow or bool(counts["o"])
+        unres = st.filter(
+            ~F.col("resolved") & (F.col("next_r") <= max_ring_radius)
+        ).select(
+            *q_cols, "cov_r", F.col("next_r").alias("radius")
+        )
+        if not counts["u"]:
+            unres = None
+            break
+
+    rest = None
+    if unres is not None:  # budget exhausted with live unresolved queries
+        rest = unres.select(*q_cols)
+        if have_overflow:
+            rest = rest.unionByName(brute_q)
+    elif have_overflow:
+        rest = brute_q
+    if rest is not None:
+        cand = pages_side.crossJoin(
+            F.broadcast(rest.select("query_id", "q_lat_centi", "q_lon_centi"))
+        )
         brute = _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
             "query_id", "url", "sqdist", "rank"
         )

@@ -268,3 +268,37 @@ def test_knn_full_coverage_shortcut_respects_y_clamp(spark):
         (r.url, r.sqdist) for r in brute
     ]
     assert got[0].url == 2  # the closer out-of-disk page wins
+
+
+def test_knn_large_query_set_has_bounded_plan(spark):
+    """50 k query points: bookkeeping must stay RELATIONAL (broadcast
+    semi/anti joins), never `isin(<50k literals>)` — the plan string
+    stays bounded and analysis doesn't blow up (the r2 mapper OR-
+    footprint disease).  Dense grid → everything resolves in round 1."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark import grid as GR
+
+    res = 4
+    n = 1 << res
+    # one page at every cell center: each query's own cell is occupied,
+    # so k=1 provably resolves at the start radius for all 50k queries
+    pages = spark.range(n * n).select(
+        F.col("id").alias("url"),
+        ((F.col("id") % n) * 2250 + 1125).alias("lon_centi"),
+        ((F.col("id") / n).cast("long") * 1125 + 562).alias("lat_centi"),
+    )
+    pages = pages.withColumn(
+        "cell_id",
+        F.expr(GR.sql_cell_encode_centi("lon_centi", "lat_centi", res, "spark")),
+    )
+    q = spark.range(50_000).select(
+        F.col("id").alias("query_id"),
+        ((F.col("id") * 37) % 18000).alias("lat_centi"),
+        ((F.col("id") * 73) % 36000).alias("lon_centi"),
+    )
+    out = K.knn(q, pages, res, k=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(plan) < 200_000, f"plan string {len(plan)} chars — literal blowup?"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert out.count() == 50_000
