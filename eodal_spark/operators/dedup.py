@@ -234,10 +234,44 @@ def minhash_lsh_candidates(
     )
 
 
+def _shingle_hash_set(t: str, w: int) -> np.ndarray:
+    """Sorted distinct 64-bit polynomial hashes of the character
+    ``w``-shingles of ``t`` (the whole string when shorter than ``w`` —
+    same membership rule as the set-based verifier it replaced).
+
+    Characters are the UTF-32 code points, so windows match Python
+    string slicing exactly; hashing is the module's rolling polynomial
+    (prefix products + inverse-power prefix sums, `_mix64` avalanche) —
+    one numpy pass per text, no per-shingle Python."""
+    t = t or ""
+    cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+    n = len(cps)
+    if n == 0:
+        return _mix64(np.zeros(1, dtype=np.uint64))
+    if n < w:
+        starts = np.array([0], dtype=np.int64)
+        ends = np.array([n], dtype=np.int64)
+    else:
+        starts = np.arange(0, n - w + 1, dtype=np.int64)
+        ends = starts + w
+    with np.errstate(over="ignore"):
+        pw = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n - 1, _POLY_BASE, dtype=np.uint64)))
+        )
+        ivp = np.concatenate(
+            ([np.uint64(1)], np.cumprod(np.full(n - 1, _POLY_INV, dtype=np.uint64)))
+        )
+        s = np.concatenate(([np.uint64(0)], np.cumsum(cps * ivp)))
+        return np.unique(_mix64(pw[ends - 1] * (s[ends] - s[starts])))
+
+
 def _pair_jaccard_udf(w: int):
-    """Arrow-batched exact shingle-Jaccard for candidate *pairs* —
-    set ops in Python per pair, but only over LSH candidates (a
-    vanishing fraction of all pairs), never the full corpus."""
+    """Arrow-batched exact shingle-Jaccard for candidate *pairs* — only
+    over LSH candidates (a vanishing fraction of all pairs), never the
+    full corpus.  Each distinct text in the batch is shingle-hashed
+    ONCE into a sorted uint64 array (`_shingle_hash_set`); per pair the
+    intersection is a sorted-array ``searchsorted`` membership count —
+    no per-pair Python set arithmetic anywhere."""
 
     @F.pandas_udf(
         T.StructType(
@@ -248,23 +282,22 @@ def _pair_jaccard_udf(w: int):
         )
     )
     def jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
-        inters, unis = [], []
-        cache: dict[int, set] = {}
-
-        def sh(t: str) -> set:
-            key = id(t)
-            if key not in cache:
-                t = t or ""
-                cache[key] = (
-                    {t} if len(t) < w else {t[i : i + w] for i in range(len(t) - w + 1)}
-                )
-            return cache[key]
-
-        for a, b in zip(ta, tb):
-            sa, sb = sh(a), sh(b)
-            i = len(sa & sb)
-            inters.append(i)
-            unis.append(len(sa) + len(sb) - i)
+        texts = pd.concat([ta, tb], ignore_index=True).fillna("")
+        codes, uniq = pd.factorize(texts)
+        hsets = [_shingle_hash_set(t, w) for t in uniq]
+        m = len(ta)
+        ia, ib = codes[:m], codes[m:]
+        inters = np.empty(m, dtype=np.int64)
+        unis = np.empty(m, dtype=np.int64)
+        for j in range(m):
+            ha, hb = hsets[ia[j]], hsets[ib[j]]
+            if ha.size > hb.size:  # probe the smaller into the larger
+                ha, hb = hb, ha
+            idx = np.searchsorted(hb, ha)
+            idx[idx == hb.size] = 0  # any in-range slot; equality check decides
+            i = int((hb[idx] == ha).sum())
+            inters[j] = i
+            unis[j] = hsets[ia[j]].size + hsets[ib[j]].size - i
         return pd.DataFrame({"inter": inters, "uni": unis})
 
     return jac
