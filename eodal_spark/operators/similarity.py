@@ -7,8 +7,10 @@ projections (the embedding analogue of the grid's cell bucketing).
 Numeric policy: distances for oracle-gated queries use **decimal
 arithmetic** (cast each component to decimal(12,9), exact sums) so
 rankings are bit-identical to the DuckDB oracle; the cosine variant
-(float, transcendental-free but order-sensitive) is provided for
-completeness without an oracle gate.
+(float, transcendental-free but order-sensitive among ~1.0 ties) is
+gated on planted-SET membership — scale-invariance makes the top-k
+*set* exact while rank order among ties is float-dependent
+(`emb_cosine_topk`).
 """
 
 from __future__ import annotations

@@ -153,7 +153,18 @@ class SnapshotCatalog:
             )
         else:
             out = df.repartition(n_files) if n_files else df
-        out.write.mode("overwrite").parquet(data_dir)
+        # Spark's default INT96 timestamps carry NO parquet min/max
+        # stats — a timestamp sort column would silently lose both
+        # manifest pruning and row-group skipping.  Catalog data files
+        # are written as TIMESTAMP_MICROS (the Iceberg spec type).
+        spark = df.sparkSession
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(ts_conf)
+        try:
+            spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+            out.write.mode("overwrite").parquet(data_dir)
+        finally:
+            spark.conf.set(ts_conf, prev_ts)
         files = [
             {**f, "dir": f"v{sid}"} for f in _file_stats(data_dir, sort_by)
         ]
@@ -439,8 +450,23 @@ class SnapshotCatalog:
                     f"ranges[{c!r}] is {r!r} — pass concrete (lo, hi) "
                     "range(s), or omit the column to skip filtering on it"
                 )
+        def _bound(v):
+            # the SAME coercion the manifest writer applies to stats
+            # (bytes → str, datetime/date → isoformat) — an int/datetime
+            # user range must compare against JSON-ified stats
+            # consistently, not raise TypeError mid-prune
+            if isinstance(v, bytes):
+                return v.decode("utf-8", "replace")
+            if hasattr(v, "isoformat"):
+                return v.isoformat()
+            return v
+
         norm = {
-            c: (r if isinstance(r, list) else [r]) for c, r in ranges.items()
+            c: [
+                (_bound(lo), _bound(hi))
+                for lo, hi in (r if isinstance(r, list) else [r])
+            ]
+            for c, r in ranges.items()
         }
         files = self._snap_files(snap)
         snap_multi_dir = len({f["dir"] for f in files}) > 1
@@ -453,6 +479,20 @@ class SnapshotCatalog:
                     st = stats.get(col)
                     if st is None or st["min"] is None or st["max"] is None:
                         continue  # no stats → cannot prune this file
+                    stat_is_str = isinstance(st["min"], str)
+                    if any(
+                        isinstance(lo, str) != stat_is_str
+                        or isinstance(hi, str) != stat_is_str
+                        for lo, hi in rs
+                    ):
+                        raise TypeError(
+                            f"ranges[{col!r}] bounds are "
+                            f"{type(rs[0][0]).__name__} but the manifest "
+                            f"stats for {col!r} are "
+                            f"{type(st['min']).__name__} — pass bounds of "
+                            "the stored column's type (timestamps as "
+                            "datetime/isoformat strings)"
+                        )
                     if not any(
                         st["min"] <= hi and st["max"] >= lo for lo, hi in rs
                     ):

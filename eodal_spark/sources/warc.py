@@ -89,15 +89,22 @@ def _record(url: str, ts: datetime, html: bytes) -> bytes:
     is derived from (url, ts) — identical input produces identical
     bytes, which is what makes the round-trip gate byte-exact."""
     block = _http_block(html)
+    # sub-second timestamps round-trip (WARC 1.1 allows fractional
+    # seconds); whole-second records keep the 1.0 form byte-for-byte
+    if ts.microsecond:
+        ts_key = f"{int(ts.timestamp())}.{ts.microsecond:06d}"
+        date_s = ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    else:
+        ts_key = str(int(ts.timestamp()))
+        date_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
     rid = hashlib.md5(
-        url.encode("utf-8") + b"\x00" + str(int(ts.timestamp())).encode()
+        url.encode("utf-8") + b"\x00" + ts_key.encode()
     ).hexdigest()
     headers = (
         b"WARC/1.0" + _CRLF
         + b"WARC-Type: response" + _CRLF
         + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
-        + b"WARC-Date: "
-        + ts.strftime("%Y-%m-%dT%H:%M:%SZ").encode() + _CRLF
+        + b"WARC-Date: " + date_s.encode() + _CRLF
         + b"WARC-Target-URI: " + url.encode("utf-8") + _CRLF
         + b"Content-Type: application/http; msgtype=response" + _CRLF
         + b"Content-Length: " + str(len(block)).encode() + _CRLF
@@ -253,9 +260,8 @@ def _http_body(block: bytes) -> bytes:
 
 
 def _parse_warc_ts(v: str) -> datetime:
-    return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ").replace(
-        tzinfo=timezone.utc
-    )
+    fmt = "%Y-%m-%dT%H:%M:%S.%fZ" if "." in v else "%Y-%m-%dT%H:%M:%SZ"
+    return datetime.strptime(v, fmt).replace(tzinfo=timezone.utc)
 
 
 def parse_warc_bytes(path: str, data: bytes) -> pd.DataFrame:

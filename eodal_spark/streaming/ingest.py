@@ -215,9 +215,21 @@ def run_available_now(
             jvm = spark._jvm
             jpath = jvm.org.apache.hadoop.fs.Path(f"{dest}/_SUCCESS")
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-            marker = os.path.join(dest, "_CHECKPOINT")
+            # the marker goes through the SAME FileSystem handle as the
+            # _SUCCESS probe — out_dir may be HDFS/S3, where local
+            # open()/os.path would silently miss it and disable the
+            # foreign-checkpoint guard
+            jmarker = jvm.org.apache.hadoop.fs.Path(f"{dest}/_CHECKPOINT")
             if fs.exists(jpath):
-                prev = open(marker).read() if os.path.exists(marker) else None
+                prev = None
+                if fs.exists(jmarker):
+                    stream = fs.open(jmarker)
+                    try:
+                        prev = jvm.org.apache.commons.io.IOUtils.toString(
+                            stream, "UTF-8"
+                        )
+                    finally:
+                        stream.close()
                 if prev == ckpt_id:
                     return  # replayed batch (crash before checkpoint commit)
                 if prev is not None:
@@ -231,8 +243,11 @@ def run_available_now(
                 # write (or a pre-marker-format dir) — the overwrite
                 # below is idempotent either way
             bdf.write.mode("overwrite").parquet(dest)
-            with open(marker, "w") as f:
-                f.write(ckpt_id)
+            out = fs.create(jmarker, True)
+            try:
+                out.write(bytearray(ckpt_id.encode("utf-8")))
+            finally:
+                out.close()
 
         q = w.outputMode(output_mode).foreachBatch(_write_batch).start()
     q.awaitTermination()

@@ -732,3 +732,37 @@ def test_manifest_row_counts_and_file_metrics(spark, tmp_path):
     assert fm.count() == 5
     assert fm.agg(F.sum("rows")).first()[0] == 1250
     assert {r.dir for r in fm.select("dir").distinct().collect()} == {"v1", "v2"}
+
+
+def test_manifest_scan_timestamp_ranges(spark, tmp_path):
+    """Timestamp sort columns are JSON-ified to ISO strings in the
+    manifest; a datetime (or ISO-string) user range must prune
+    consistently through the same coercion — and a numeric range
+    against timestamp stats must raise, not prune garbage."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    cat = SnapshotCatalog(str(tmp_path / "ts_cat"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("v"),
+        F.timestamp_seconds(F.lit(1_583_000_000) + F.col("id") * 60).alias("ts"),
+    )
+    snap = cat.write(df, "t", sort_by=("ts",), n_files=8)
+    assert len(snap["files"]) > 4
+
+    lo = dt.datetime(2020, 3, 1, 0, 0, 0)
+    hi = dt.datetime(2020, 3, 1, 6, 0, 0)
+    pruned = cat.scan(spark, "t", {"ts": (lo, hi)})
+    expect = cat.read(spark, "t").filter(
+        (F.col("ts") >= F.lit(lo)) & (F.col("ts") <= F.lit(hi))
+    )
+    assert sorted(r.v for r in pruned.collect()) == sorted(
+        r.v for r in expect.collect()
+    )
+    leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
+    read_files = leaves.apply(0).metrics().apply("numFiles").value()
+    assert read_files < len(snap["files"])
+
+    with _pytest.raises(TypeError, match="manifest"):
+        cat.scan(spark, "t", {"ts": (0, 10)}).collect()

@@ -245,3 +245,32 @@ def test_drain_to_catalog_foreign_checkpoint_raises(spark, tmp_path):
         drain_to_catalog(src(), str(tmp_path / "ck2"), cat, "pages", n_files=1)
     # no silent double-append happened
     assert cat.read(spark, "pages").count() == 100
+
+
+def test_subsecond_timestamps_roundtrip_exact(spark, tmp_path):
+    """WARC-Date carries fractional seconds (WARC 1.1) when warc_ts has
+    microseconds, so read(write(df)) is VALUE-exact on warc_ts — not
+    just whole-second-exact."""
+    import datetime as dt
+
+    rows = [
+        ("https://a.example/x", dt.datetime(2020, 3, 1, 12, 0, 0, 123456), b"<p>a</p>"),
+        ("https://b.example/y", dt.datetime(2020, 3, 1, 12, 0, 1), b"<p>b</p>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "subsec")
+    W.write_warc(df.coalesce(1), out).collect()
+    back = W.read_warc(spark, out)
+    got = {
+        (r.url, r.us)
+        for r in back.select(
+            "url", F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("us")
+        ).collect()
+    }
+    want = {
+        (r.url, r.us)
+        for r in df.select(
+            "url", F.unix_micros(F.col("warc_ts").cast("timestamp")).alias("us")
+        ).collect()
+    }
+    assert got == want
