@@ -274,3 +274,55 @@ def test_subsecond_timestamps_roundtrip_exact(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_stream_warc_geocode_to_catalog_pipeline(spark, tmp_path):
+    """The full crawl-ingest pipeline composed end-to-end:
+    ``stream_warc → geocode → append snapshots → read_changes`` — the
+    north-rule ingestion path (archives land, pages are cell-assigned
+    in-stream, each micro-batch is one exactly-once append commit, and
+    downstream consumers read file-level deltas)."""
+    from eodal_spark.sources.catalog import SnapshotCatalog
+    from eodal_spark.streaming.ingest import drain_to_catalog
+
+    res = 8
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    cat = SnapshotCatalog(str(tmp_path / "cat"))
+    cols = ["url", "warc_ts", "cell_id", "lat_centi", "lon_centi"]
+
+    a = P.synth_pages(spark, 300, partitions=2)
+    W.write_warc(a, land).collect()
+    drain_to_catalog(
+        P.geocode(W.stream_warc(spark, land), res).select(*cols),
+        ckpt, cat, "pages_geo", sort_by=("cell_id",), n_files=2,
+    )
+    n_snaps = len(cat.snapshots("pages_geo"))
+    got = cat.read(spark, "pages_geo")
+    # in-stream geocode ≡ batch geocode, row for row
+    want = P.geocode(W.read_warc(spark, land), res).select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # idempotent re-drain: no new snapshots, no duplicate rows
+    drain_to_catalog(
+        P.geocode(W.stream_warc(spark, land), res).select(*cols),
+        ckpt, cat, "pages_geo", sort_by=("cell_id",), n_files=2,
+    )
+    assert len(cat.snapshots("pages_geo")) == n_snaps
+    assert cat.read(spark, "pages_geo").count() == 300
+
+    # second landing: incremental drain → read_changes yields exactly
+    # the new, already-geocoded rows
+    b = P.synth_pages(spark, 380, partitions=2).filter(
+        F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long") >= 300
+    )
+    W.write_warc(b, land, prefix="b2-").collect()
+    drain_to_catalog(
+        P.geocode(W.stream_warc(spark, land), res).select(*cols),
+        ckpt, cat, "pages_geo", sort_by=("cell_id",), n_files=2,
+    )
+    delta = cat.read_changes(spark, "pages_geo", from_snapshot=n_snaps)
+    assert {r.url for r in delta.select("url").collect()} == {
+        r.url for r in b.select("url").collect()
+    }
+    assert delta.filter(F.col("cell_id").isNull()).count() == 0
