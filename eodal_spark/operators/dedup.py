@@ -441,6 +441,7 @@ def connected_components(
     max_iters: int = 20,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    method: str = "propagation",
 ) -> DataFrame:
     """Label every node of the near-dup pair graph with the MINIMUM id
     reachable from it — the canonical duplicate-group id.  Returns
@@ -467,7 +468,15 @@ def connected_components(
     star contractions are the O(log n)-round upgrade; the propagation
     form is exact and simpler, and shallow graphs never see the
     difference).
+
+    ``method="star"`` switches to the two-phase large-star/small-star
+    contraction (`_connected_components_star`) — O(log n) rounds on
+    high-diameter graphs where propagation needs O(diameter).
     """
+    if method == "star":
+        return _connected_components_star(pairs, max_iters, id_a, id_b)
+    if method != "propagation":
+        raise ValueError(f"unknown method {method!r}")
     edges = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .union(pairs.select(F.col(id_b).alias("u"), F.col(id_a).alias("v")))
@@ -498,6 +507,86 @@ def connected_components(
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
         "the pair graph has a longer chain than expected; raise max_iters"
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star operation (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", alg. 1): every node u links each STRICTLY
+    LARGER neighbor to the minimum of its closed neighborhood.  Input/
+    output edges are canonically oriented (u > v); agg-shaped (groupBy
+    min + equi-join), no windows, no driver state."""
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least("mv", "u").alias("m"))
+    )
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star operation: orient edges larger→smaller; every
+    node links its smaller neighbors (and itself) to their minimum."""
+    directed = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = directed.groupBy("u").agg(F.min("v").alias("m"))
+    joined = directed.join(mins, "u")
+    return (
+        joined.filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select("u", F.col("m").alias("v")))
+        .distinct()
+    )
+
+
+def _connected_components_star(
+    pairs: DataFrame, max_iters: int, id_a: str, id_b: str
+) -> DataFrame:
+    """Two-phase star contraction: alternate large-star / small-star
+    until the edge set is a fixed point — at which point the edges ARE
+    disjoint stars centered on each component's minimum id.  Converges
+    in O(log n) alternations on ANY graph (vs O(diameter) for label
+    propagation), so a 10⁴-node path needs ~log rounds, not 10⁴.
+    Same output contract as `connected_components`: (id, comp)."""
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        ss = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        converged = (
+            ss.count() == edges.count() and ss.exceptAll(edges).isEmpty()
+        )
+        edges = ss
+        if converged:
+            leaves = edges.select(
+                F.col("u").alias("id"), F.col("v").alias("comp")
+            )
+            roots = (
+                edges.select(F.col("v").alias("id"))
+                .distinct()
+                .withColumn("comp", F.col("id"))
+            )
+            # a star fixed point has one root per leaf; the min-agg is a
+            # cheap invariant guard, not a correctness crutch
+            return leaves.union(roots).groupBy("id").agg(
+                F.min("comp").alias("comp")
+            )
+    raise RuntimeError(
+        f"star contraction did not converge in {max_iters} rounds — "
+        "raise max_iters"
     )
 
 

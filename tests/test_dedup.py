@@ -216,3 +216,51 @@ def test_connected_components_matches_union_find(spark, n_nodes, n_edges, seed):
         for r in D.connected_components(pairs, max_iters=n_nodes + 2).collect()
     }
     assert got == expected
+
+
+def test_star_contraction_path_graph_logarithmic_rounds(spark):
+    """A 10⁴-node path has diameter 10⁴: min-label propagation would
+    need 10⁴ rounds, the two-phase large-star/small-star contraction
+    must finish in O(log n) — max_iters=25 ≫ log₂(10⁴)≈13.3 but ≪ the
+    diameter, so success here IS the round bound."""
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    out = D.connected_components(pairs, max_iters=25, method="star")
+    rows = out.collect()
+    assert len(rows) == n
+    assert all(r.comp == 0 for r in rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    n_nodes=st.integers(min_value=2, max_value=30),
+    n_edges=st.integers(min_value=1, max_value=40),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_star_contraction_matches_propagation(spark, n_nodes, n_edges, seed):
+    """Property: the star-contraction labeling equals min-label
+    propagation on the same random graph."""
+    rng = np.random.RandomState(seed)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.randint(0, n_nodes, size=(n_edges, 2))
+        if a != b
+    ]
+    if not edges:
+        return
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    prop = {
+        r.id: r.comp
+        for r in D.connected_components(pairs, max_iters=n_nodes + 2).collect()
+    }
+    star = {
+        r.id: r.comp
+        for r in D.connected_components(
+            pairs, max_iters=n_nodes + 2, method="star"
+        ).collect()
+    }
+    assert star == prop
