@@ -117,7 +117,12 @@ def knn(
        density; at 10^12 rows only truly-isolated queries pay for it.
        When the scan CANNOT be pruned (computed cell_id: every ring
        pass re-materializes the corpus, so patience buys nothing) the
-       ladder is shortened to ≤ 2 passes before that fallback.
+       ladder is shortened to ≤ 2 passes, and a ZERO-evidence query
+       (no candidates anywhere in its searched disk) goes straight to
+       the brute pass — a blind ×4 ring there costs a full corpus
+       materialization for a guess, while brute is definitive for all
+       such queries at once.  With pruning, rounds are sliver reads
+       and the geometric ladder applies to zero-evidence queries too.
     """
     q = queries.select(
         "query_id",
@@ -207,18 +212,25 @@ def knn(
             F.col("cov_r"),
         )
         st = st.select(
-            *q_cols, "cov_r", "radius",
+            *q_cols, "cov_r", "radius", "n_found",
             resolved_c.alias("resolved"),
             next_r.alias("next_r"),
         ).cache()
+        # routing: oversized disks brute; on an UNPRUNABLE scan a
+        # zero-evidence query (no candidates anywhere in its disk) also
+        # brutes — every further ring round would be a full corpus
+        # materialization on a blind guess, while the single brute pass
+        # is definitive for all such queries at once.  With pruning the
+        # ladder is cheap (sliver reads) and patience pays.
+        to_brute = (F.col("next_r") > max_ring_radius) | (
+            F.lit(not scan_prune) & (F.col("n_found") == 0)
+        )
         counts = st.agg(
             F.sum(
-                (~F.col("resolved") & (F.col("next_r") <= max_ring_radius))
-                .cast("long")
+                (~F.col("resolved") & ~to_brute).cast("long")
             ).alias("u"),
             F.sum(
-                (~F.col("resolved") & (F.col("next_r") > max_ring_radius))
-                .cast("long")
+                (~F.col("resolved") & to_brute).cast("long")
             ).alias("o"),
         ).collect()[0]
         part = topk.join(
@@ -226,14 +238,10 @@ def knn(
             "query_id", "left_semi",
         )
         results = part if results is None else results.unionByName(part)
-        over = st.filter(
-            ~F.col("resolved") & (F.col("next_r") > max_ring_radius)
-        ).select(*q_cols)
+        over = st.filter(~F.col("resolved") & to_brute).select(*q_cols)
         brute_q = over if brute_q is None else brute_q.unionByName(over)
         have_overflow = have_overflow or bool(counts["o"])
-        unres = st.filter(
-            ~F.col("resolved") & (F.col("next_r") <= max_ring_radius)
-        ).select(
+        unres = st.filter(~F.col("resolved") & ~to_brute).select(
             *q_cols, "cov_r", F.col("next_r").alias("radius")
         )
         if not counts["u"]:

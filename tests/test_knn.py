@@ -82,23 +82,30 @@ def test_knn_matches_duckdb_oracle(spark, queries):
     assert (got["sqdist"].to_numpy() == expect["sqdist"].to_numpy()).all()
 
 
-def test_knn_escalation_resolves_sparse_without_brute(spark):
-    """A query one ring-doubling away from its neighbours must resolve
-    in an ESCALATED ring pass — never via the brute-force fallback (the
-    plan must stay CartesianProduct-free), matching brute row-for-row."""
+def test_knn_escalation_resolves_sparse_without_brute(spark, tmp_path):
+    """A query one ring-jump away from its neighbours must resolve in
+    an ESCALATED ring pass — never via the brute-force fallback (the
+    plan must stay CartesianProduct-free), matching brute row-for-row.
+    The corpus is a STORED table: with a prunable scan, ring rounds are
+    sliver reads and the geometric ladder applies even to queries whose
+    first disk was empty (an unprunable scan sends those straight to
+    brute — see knn's cost policy)."""
     from eodal_spark import grid as GR
     from pyspark.sql import functions as F
 
     # res 8: cell height 70.3, width 140.6 centi-deg.  Neighbours sit
     # 500 centi-deg east: outside the radius-2 disk (round 1 empty),
-    # inside the radius-4 disk but past its provable bound (281.25²),
-    # provably resolved by the radius-8 disk (bound 562.5² > 500²+14²).
+    # inside the radius-8 disk and within its provable bound
+    # (562.5² > 500²+14²), so the ×4 escalation resolves it.
     rows = [(100 + i, 18000 + 500, 9000 + 7 * i) for i in range(4)]
     pages = spark.createDataFrame(rows, ["url", "lon_centi", "lat_centi"])
     pages = pages.withColumn(
         "cell_id",
         F.expr(GR.sql_cell_encode_centi("lon_centi", "lat_centi", RES, "spark")),
     )
+    path = str(tmp_path / "sparse_pages")
+    pages.write.parquet(path)
+    pages = spark.read.parquet(path)
     q = spark.createDataFrame([(1, 9000, 18000)], ["query_id", "lat_centi", "lon_centi"])
     out = K.knn(q, pages, RES, k=3, start_radius=2, max_rounds=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
