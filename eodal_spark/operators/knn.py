@@ -167,10 +167,16 @@ def knn(
                 prune_query_cap + 1
             ).collect()
             if len(probe) <= prune_query_cap:
+                # max_ranges=64: a BETWEEN tree beyond that costs more
+                # in Catalyst analysis per round than the row groups it
+                # skips are worth (measured +0.9 s/round at radius 32);
+                # an over-budget disk just reads the sorted table —
+                # cheap, RLE-compressed, and still joined exactly
                 ranges = grid.cell_disk_ranges(
                     [r["q_cell"] for r in probe],
                     [r["radius"] for r in probe],
                     res,
+                    max_ranges=64,
                 )
         round_pages = pages_side
         if ranges:
