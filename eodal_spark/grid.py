@@ -324,9 +324,17 @@ def cell_disk_ranges(
     base = res << _RES_SHIFT
     cells = list(cells)
     radii = [k] * len(cells) if isinstance(k, int) else list(k)
+    # build budget: don't enumerate tens of millions of strips only for
+    # the max_ranges check to throw them away — bail early (returning
+    # None skips the prefilter, never changes results).  Strips CAN
+    # merge across x columns (full-height y spans near the poles), so
+    # the budget is a generous multiple, not max_ranges itself.
+    build_budget = max(max_ranges * 64, 16384)
     strips: list[tuple[int, int]] = []
     for c, rk in zip(cells, radii):
         c, rk = int(c), int(rk)
+        if len(strips) + 2 * rk + 1 > build_budget:
+            return None
         x = (c >> _X_SHIFT) & _XY_MASK
         y = c & _XY_MASK
         ylo, yhi = max(y - rk, 0), min(y + rk, n - 1)

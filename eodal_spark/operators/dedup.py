@@ -579,9 +579,17 @@ def _connected_components_star(
                 .distinct()
                 .withColumn("comp", F.col("id"))
             )
+            # nodes appearing ONLY in self-pairs were dropped by the
+            # u != v filter; propagation labels them with themselves —
+            # keep the two methods' (id, comp) contracts identical
+            self_only = (
+                pairs.filter(F.col(id_a) == F.col(id_b))
+                .select(F.col(id_a).alias("id"))
+                .withColumn("comp", F.col("id"))
+            )
             # a star fixed point has one root per leaf; the min-agg is a
             # cheap invariant guard, not a correctness crutch
-            return leaves.union(roots).groupBy("id").agg(
+            return leaves.union(roots).union(self_only).groupBy("id").agg(
                 F.min("comp").alias("comp")
             )
     raise RuntimeError(

@@ -77,7 +77,7 @@ def knn(
     start_radius: int = 2,
     max_rounds: int = 3,
     scan_prune: bool | None = None,
-    max_ring_radius: int = 4096,
+    max_ring_radius: int = 256,
     prune_query_cap: int = 4096,
 ) -> DataFrame:
     """``queries``: (query_id, lat_centi, lon_centi). ``pages_geo``:
@@ -115,6 +115,9 @@ def knn(
        that remain unresolved after ``max_rounds`` passes, fall back to
        ONE bounded brute-force broadcast scan — correct for any
        density; at 10^12 rows only truly-isolated queries pay for it.
+       The default cap (256 → a (2r+1)² ≈ 263k-cell disk) bounds the
+       broadcast ring explosion per query: past that, materializing
+       multi-million-cell join keys costs more than the brute pass.
        When the scan CANNOT be pruned (computed cell_id: every ring
        pass re-materializes the corpus, so patience buys nothing) the
        ladder is shortened to ≤ 2 passes, and a ZERO-evidence query

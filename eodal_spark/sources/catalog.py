@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -70,6 +71,16 @@ def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
             }
         out.append({"name": name, "rows": md.num_rows, "stats": stats})
     return out
+
+
+_ISO_TS = re.compile(r"^\d{4}-\d{2}-\d{2}T")
+
+
+def _iso_t(v: str) -> str:
+    """'YYYY-MM-DD HH:MM:SS' → isoformat 'T' separator (stats form)."""
+    if len(v) > 10 and v[10] == " ":
+        return v[:10] + "T" + v[11:]
+    return v
 
 
 class SnapshotCatalog:
@@ -480,6 +491,18 @@ class SnapshotCatalog:
                     if st is None or st["min"] is None or st["max"] is None:
                         continue  # no stats → cannot prune this file
                     stat_is_str = isinstance(st["min"], str)
+                    if stat_is_str and _ISO_TS.match(st["min"]):
+                        # stats are 'T'-separated isoformat; a Spark-
+                        # style 'YYYY-MM-DD HH:MM:SS' bound would sort
+                        # BEFORE every 'T' form lexicographically and
+                        # silently prune wrong files — normalize it
+                        rs = [
+                            (
+                                _iso_t(lo) if isinstance(lo, str) else lo,
+                                _iso_t(hi) if isinstance(hi, str) else hi,
+                            )
+                            for lo, hi in rs
+                        ]
                     if any(
                         isinstance(lo, str) != stat_is_str
                         or isinstance(hi, str) != stat_is_str

@@ -221,7 +221,9 @@ def safe_name_from_url(url: Column | str) -> Column:
         F.split(url, "/"),
         lambda x: x.startswith("S2") & x.endswith(".SAFE"),
     )
-    return F.element_at(seg, 1)
+    # F.get (not element_at): NULL on a miss — element_at on an empty
+    # array THROWS under Spark 4's default ANSI mode
+    return F.get(seg, 0)
 
 
 def s2_processing_level(safe: Column | str) -> Column:
@@ -239,8 +241,8 @@ def s2_acquisition_time(safe: Column | str) -> Column:
     """Sensing start as a timestamp from field [2] (``yyyyMMdd'T'HHmmss``;
     `sentinel2.py:81-96`)."""
     safe = F.col(safe) if isinstance(safe, str) else safe
-    return F.to_timestamp(
-        F.element_at(F.split(safe, "_"), 3), "yyyyMMdd'T'HHmmss"
+    return F.try_to_timestamp(
+        F.get(F.split(safe, "_"), 2), F.lit("yyyyMMdd'T'HHmmss")
     )
 
 
@@ -250,21 +252,21 @@ def s2_processing_baseline(safe: Column | str) -> Column:
     Sentinel-2 adapter."""
     safe = F.col(safe) if isinstance(safe, str) else safe
     return (
-        F.replace(F.element_at(F.split(safe, "_"), 4), F.lit("N"), F.lit(""))
-        .cast("int")
+        F.replace(F.get(F.split(safe, "_"), 3), F.lit("N"), F.lit(""))
+        .try_cast("int")
     )
 
 
 def s2_platform(safe: Column | str) -> Column:
     """Platform (``S2A``/``S2B``) = field [0] (`sentinel2.py:130-145`)."""
     safe = F.col(safe) if isinstance(safe, str) else safe
-    return F.element_at(F.split(safe, "_"), 1)
+    return F.get(F.split(safe, "_"), 0)
 
 
 def s2_tile(safe: Column | str) -> Column:
     """MGRS tile id (``T32TMT``) = field [5]."""
     safe = F.col(safe) if isinstance(safe, str) else safe
-    return F.element_at(F.split(safe, "_"), 6)
+    return F.get(F.split(safe, "_"), 5)
 
 
 def merge_product_uris(uri: Column | str) -> Column:

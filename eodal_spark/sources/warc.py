@@ -89,19 +89,23 @@ def _record(url: str, ts: datetime, html: bytes) -> bytes:
     is derived from (url, ts) — identical input produces identical
     bytes, which is what makes the round-trip gate byte-exact."""
     block = _http_block(html)
-    # sub-second timestamps round-trip (WARC 1.1 allows fractional
-    # seconds); whole-second records keep the 1.0 form byte-for-byte
+    # sub-second timestamps round-trip; fractional WARC-Date is a WARC
+    # 1.1 feature, so such records are STAMPED WARC/1.1 (a fractional
+    # date inside a 1.0 record would be spec-invalid to external
+    # validators) — whole-second records keep the 1.0 form byte-for-byte
     if ts.microsecond:
         ts_key = f"{int(ts.timestamp())}.{ts.microsecond:06d}"
         date_s = ts.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+        version = b"WARC/1.1"
     else:
         ts_key = str(int(ts.timestamp()))
         date_s = ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+        version = b"WARC/1.0"
     rid = hashlib.md5(
         url.encode("utf-8") + b"\x00" + ts_key.encode()
     ).hexdigest()
     headers = (
-        b"WARC/1.0" + _CRLF
+        version + _CRLF
         + b"WARC-Type: response" + _CRLF
         + b"WARC-Record-ID: <urn:md5:" + rid.encode() + b">" + _CRLF
         + b"WARC-Date: " + date_s.encode() + _CRLF
@@ -240,7 +244,7 @@ def _parse_records(data: bytes, base_offset: int = 0):
     pos = 0
     n = len(data)
     while pos < n:
-        if data[pos:pos + 8] != b"WARC/1.0":
+        if data[pos:pos + 8] not in (b"WARC/1.0", b"WARC/1.1"):
             raise ValueError(
                 f"bad WARC version marker at offset {base_offset + pos}"
             )

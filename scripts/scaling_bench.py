@@ -85,16 +85,24 @@ def main() -> None:
         f"{round(r['rows_per_sec'] / c):,} | {scan_best[c]:,.0f} |"
         for c, r in results.items()
     )
-    # preserve the skew section (scripts/skew_bench.py owns it)
+    # preserve EVERY marker-owned section (skew_bench, catalog_bench,
+    # graph_bench, ingest_bench each own one) — this script owns only
+    # the headline/scaling prose above them
+    import re as _re
+
     md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
     skew_section = ""
     if os.path.exists(md_path):
         prev = open(md_path).read()
-        if "<!-- SKEW:BEGIN -->" in prev and "<!-- SKEW:END -->" in prev:
-            skew_section = (
-                "\n\n<!-- SKEW:BEGIN -->"
-                + prev.split("<!-- SKEW:BEGIN -->", 1)[1].split("<!-- SKEW:END -->", 1)[0]
-                + "<!-- SKEW:END -->\n"
+        blocks = _re.findall(
+            r"<!-- ([A-Z]+):BEGIN -->.*?<!-- \1:END -->", prev, _re.DOTALL
+        )
+        for tag in blocks:
+            body = prev.split(f"<!-- {tag}:BEGIN -->", 1)[1].split(
+                f"<!-- {tag}:END -->", 1
+            )[0]
+            skew_section += (
+                f"\n\n<!-- {tag}:BEGIN -->{body}<!-- {tag}:END -->\n"
             )
     with open(md_path, "w") as f:
         f.write(

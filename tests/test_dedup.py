@@ -264,3 +264,21 @@ def test_star_contraction_matches_propagation(spark, n_nodes, n_edges, seed):
         ).collect()
     }
     assert star == prop
+
+
+def test_star_contraction_keeps_self_pair_nodes(spark):
+    """A node appearing only in self-pairs must be labeled with itself
+    by BOTH methods (the star path filters u != v edges, so these nodes
+    need explicit reinstatement)."""
+    pairs = spark.createDataFrame([(5, 5), (1, 2)], ["id_a", "id_b"])
+    prop = {
+        (r.id, r.comp)
+        for r in D.connected_components(pairs, max_iters=5).collect()
+    }
+    star = {
+        (r.id, r.comp)
+        for r in D.connected_components(
+            pairs, max_iters=5, method="star"
+        ).collect()
+    }
+    assert star == prop == {(5, 5), (1, 1), (2, 1)}

@@ -766,3 +766,25 @@ def test_manifest_scan_timestamp_ranges(spark, tmp_path):
 
     with _pytest.raises(TypeError, match="manifest"):
         cat.scan(spark, "t", {"ts": (0, 10)}).collect()
+
+
+def test_manifest_scan_space_separated_timestamp_strings(spark, tmp_path):
+    """'YYYY-MM-DD HH:MM:SS' string bounds sort BEFORE every isoformat
+    'T' stat lexicographically — scan must normalize them or it silently
+    prunes every file."""
+    cat = SnapshotCatalog(str(tmp_path / "ts_str_cat"))
+    df = spark.range(5_000).select(
+        F.col("id").alias("v"),
+        F.timestamp_seconds(F.lit(1_583_000_000) + F.col("id") * 60).alias("ts"),
+    )
+    cat.write(df, "t", sort_by=("ts",), n_files=4)
+    got = cat.scan(
+        spark, "t", {"ts": ("2020-03-01 00:00:00", "2020-03-01 06:00:00")}
+    )
+    expect = cat.read(spark, "t").filter(
+        "ts between '2020-03-01 00:00:00' and '2020-03-01 06:00:00'"
+    )
+    assert sorted(r.v for r in got.collect()) == sorted(
+        r.v for r in expect.collect()
+    )
+    assert got.count() > 0

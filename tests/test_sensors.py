@@ -89,3 +89,35 @@ def test_s2_scl_class_mask(spark):
         df2, "sentinel2", bands=("red",), baseline_col="baseline", keep=("id",)
     )
     assert "cloud_mask" not in out2.columns
+
+
+def test_safe_name_helpers_null_safe_under_ansi(spark):
+    """Malformed hrefs / short SAFE names must yield NULL, not throw —
+    element_at on an empty array and strict casts THROW under Spark 4's
+    default ANSI mode, so the helpers use get/try_* forms."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark.sources import sensors as SN
+
+    df = spark.createDataFrame(
+        [
+            ("https://x.example/no/safe/here.jp2",),
+            ("https://a/S2X_weird.SAFE/b.jp2",),  # too few fields
+            ("https://a/S2A_MSIL2A_20220101T103421_N0400_R108_T32TMT_"
+             "20230101T000000.SAFE/b.jp2",),
+        ],
+        ["url"],
+    )
+    sn = SN.safe_name_from_url("url")
+    rows = df.select(
+        sn.alias("s"),
+        SN.s2_platform(sn).alias("p"),
+        SN.s2_processing_level(sn).alias("l"),
+        SN.s2_acquisition_time(sn).alias("t"),
+        SN.s2_processing_baseline(sn).alias("b"),
+        SN.s2_tile(sn).alias("tile"),
+    ).collect()
+    assert rows[0].s is None and rows[0].b is None and rows[0].t is None
+    assert rows[1].s == "S2X_weird.SAFE" and rows[1].l is None
+    assert rows[1].tile is None and rows[1].b is None
+    assert rows[2].p == "S2A" and rows[2].b == 400 and rows[2].tile == "T32TMT"
