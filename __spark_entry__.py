@@ -735,6 +735,41 @@ def _q_snapshot_pruned_scan(spark, sf_dir):
     return cat.scan(spark, "pages_geo", {"cell_id": (lo, hi)})
 
 
+def _q_snapshot_deletes(spark, sf_dir):
+    """Equality deletes, merge-on-read (≡ Iceberg v2 delete files —
+    the corpus-curation primitive: purge urls without rewriting data).
+    Pages land sorted; page-ids ≡ 0,1,2 (mod 10) are DELETED by url;
+    ids ≡ 0 (mod 10) are RE-INGESTED by a later append and must
+    REAPPEAR (sequence semantics: a delete applies only to files
+    committed at or before it).  Final relation = ids not ≡ 1,2."""
+    import shutil
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_delcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if len(cat.snapshots("pages_del")) < 3:  # partial build → rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SnapshotCatalog(root)
+        geo = _pages_geo(spark).select("url", "cell_id")
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(geo, "pages_del", sort_by=("cell_id",), n_files=8)
+        cat.delete_keys(
+            spark, "pages_del", geo.filter(pid % 10 < 3).select("url")
+        )
+        cat.write(
+            geo.filter(pid % 10 == 0),
+            "pages_del",
+            sort_by=("cell_id",),
+            n_files=2,
+            mode="append",
+        )
+    return cat.read(spark, "pages_del").select("url", "cell_id")
+
+
 def _q_snapshot_incremental(spark, sf_dir):
     """Incremental consumption (≡ Iceberg incremental scan / the
     reference's scene-append resume, `eodal/core/scene.py:381-413`):
@@ -1321,6 +1356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": _q_multimodal_bytes,
         # -- new in round 4 -------------------------------------------------
         "product_uri_battery": _q_product_uri_battery,
+        "snapshot_deletes": _q_snapshot_deletes,
         # -- flagship r3-green, kept in the 50-row window -------------------
         "cell_encode": _q_cell_encode,
         "text_extraction": _q_text_extraction,
@@ -1353,12 +1389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_upsample_bilinear": _q_cell_upsample_bilinear,
         "filter_grammar": _q_filter_grammar,
         "sensor_s2_scale": _q_sensor_s2_scale,
-        "indices_battery": _q_indices_battery,
         # ------------------------------------------------------------------
         # r3-green entries below are OUTSIDE the driver's 50-row window this
         # round (stale by exactly one round; rotate back in round 5).  All
         # remain gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
         "bounds": _q_bounds,
         "part_antijoin": _q_part_antijoin,
@@ -1960,6 +1996,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   >= {N_PAGES // 2}
+        """,
+        # equality deletes: ids 0,1,2 (mod 10) deleted by url, ids 0
+        # (mod 10) re-appended later — sequence semantics resurrect
+        # them, so the final relation is ids not congruent to 1 or 2
+        "snapshot_deletes": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                  % 10 NOT IN (1, 2)
         """,
         "morton_bbox_scan": f"""
             SELECT url, {cell} AS cell_id, lat_centi, lon_centi

@@ -205,6 +205,11 @@ class SnapshotCatalog:
                     )
             files = parent_files + files
             n += parent["row_count"]
+        delete_files = (
+            list(man["snapshots"][-1].get("delete_files") or [])
+            if mode == "append" and man["snapshots"]
+            else []
+        )
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -217,6 +222,7 @@ class SnapshotCatalog:
             "sort_by": list(sort_by),
             "mode": mode,
             "files": files,
+            "delete_files": delete_files,
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -281,12 +287,152 @@ class SnapshotCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
+    def delete_keys(
+        self,
+        spark: SparkSession,
+        table: str,
+        keys: DataFrame,
+        n_files: int = 1,
+    ) -> dict:
+        """Commit an EQUALITY-DELETE snapshot (≡ Iceberg v2 equality
+        deletes, merge-on-read): rows whose ``keys.columns`` tuple
+        matches any key row disappear from subsequent reads WITHOUT
+        rewriting a byte of data — the curation/GDPR primitive a
+        training corpus needs ("purge these urls") at 100 TB, where an
+        overwrite commit would cost a full-table rewrite.
+
+        Sequence semantics match Iceberg: a delete applies only to data
+        files committed AT OR BEFORE it — a key re-ingested by a LATER
+        append reappears (re-crawled url after a purge).  Commit cost is
+        O(|keys|); the read path anti-joins the keys (broadcast when
+        small).  :meth:`compact` applies deletes physically and drops
+        the delete files; :meth:`read_changes` across a delete raises
+        (no file-level delta exists).  ``row_count`` on delete/append
+        snapshots is the pre-delete upper bound (exact counts need a
+        scan — same contract as Iceberg).
+        """
+        man = self._load_manifest(table)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        parent = man["snapshots"][-1]
+        key_cols = list(keys.columns)
+        for d in parent.get("delete_files") or []:
+            if list(d["key_cols"]) != key_cols:
+                raise ValueError(
+                    f"table {table!r} already has equality deletes on "
+                    f"{d['key_cols']} — mixed delete keys are not "
+                    "supported; compact() first"
+                )
+        sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
+        ddir = os.path.join(self._tdir(table), f"v{sid}")
+        keys.select(*key_cols).distinct().repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(ddir)
+        new_dels = [
+            {
+                "dir": f"v{sid}",
+                "name": f["name"],
+                "rows": f["rows"],
+                "key_cols": key_cols,
+                "sid": sid,
+            }
+            for f in _file_stats(ddir, tuple(key_cols))
+        ]
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "path": ddir,
+            "row_count": parent["row_count"],
+            "sort_by": list(parent.get("sort_by") or ()),
+            "mode": "delete",
+            "files": self._snap_files(parent),
+            "delete_files": (
+                list(parent.get("delete_files") or []) + new_dels
+            ),
+            "meta": {},
+        }
+        man["snapshots"].append(snap)
+        self._commit_manifest(table, man)
+        return snap
+
+    @staticmethod
+    def _dir_sid(d: str) -> int:
+        """Commit sequence of a data dir ('v12' → 12); legacy dirs
+        without the v-prefix sort oldest (every delete applies —
+        conservative and correct for pre-delete-era files)."""
+        return int(d[1:]) if d.startswith("v") and d[1:].isdigit() else 0
+
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        table: str,
+        snap: dict,
+        files: list[dict],
+        merge: bool,
+    ) -> DataFrame:
+        """Read ``files`` applying the snapshot's equality-delete files
+        with Iceberg sequence semantics: a delete at commit D removes
+        matching rows only from data files committed at sid ≤ D.  Data
+        files are segmented at the delete commit boundaries; each
+        segment anti-joins the union of the deletes that apply to it
+        (broadcast when the key count is small)."""
+        from pyspark.sql import functions as F
+
+        dels = snap.get("delete_files") or []
+        tdir = self._tdir(table)
+        paths = [os.path.join(tdir, f["dir"], f["name"]) for f in files]
+        if not dels or not files:
+            return self._read_files(spark, paths, merge=merge)
+        key_cols = list(dels[0]["key_cols"])
+        del_sids = sorted({d["sid"] for d in dels})
+
+        def keys_from(min_sid: int) -> DataFrame | None:
+            ps = [
+                os.path.join(tdir, d["dir"], d["name"])
+                for d in dels
+                if d["sid"] >= min_sid
+            ]
+            if not ps:
+                return None
+            k = spark.read.parquet(*ps).select(*key_cols).distinct()
+            n = sum(d["rows"] for d in dels if d["sid"] >= min_sid)
+            return F.broadcast(k) if n <= 1_000_000 else k
+
+        # segment boundaries: files with sid in (prev_del, del] share
+        # the same applicable-delete suffix {del, ...}
+        out: DataFrame | None = None
+        bounds = [0] + del_sids
+        for i in range(1, len(bounds) + 1):
+            lo = bounds[i - 1]
+            hi = bounds[i] if i < len(bounds) else None
+            seg = [
+                os.path.join(tdir, f["dir"], f["name"])
+                for f in files
+                if self._dir_sid(f["dir"]) > lo
+                and (hi is None or self._dir_sid(f["dir"]) <= hi)
+            ] + ([p for f, p in zip(files, paths)
+                  if self._dir_sid(f["dir"]) == 0] if lo == 0 else [])
+            if not seg:
+                continue
+            df = self._read_files(spark, sorted(set(seg)), merge=merge)
+            if hi is not None:
+                keys = keys_from(hi)
+                if keys is not None:
+                    df = df.join(keys, key_cols, "left_anti")
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+        assert out is not None
+        return out
+
     def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Time-travel read — ≡ Iceberg ``VERSION AS OF``."""
+        """Time-travel read — ≡ Iceberg ``VERSION AS OF`` (equality
+        deletes applied merge-on-read, see :meth:`delete_keys`)."""
         snap = self._get_snap(table, snapshot_id)
-        paths = self._file_paths(table, snap)
-        if paths:
-            return self._read_files(spark, paths)
+        files = self._snap_files(snap)
+        if files:
+            merge = len({f["dir"] for f in files}) > 1
+            return self._read_with_deletes(spark, table, snap, files, merge)
         return spark.read.parquet(snap["path"])  # pre-stats snapshot
 
     def read_changes(
@@ -320,8 +466,9 @@ class SnapshotCatalog:
                 and s.get("mode", "overwrite") != "append"
             ):
                 raise ValueError(
-                    f"snapshot {s['snapshot_id']} is an overwrite — the "
-                    "range holds no file-level delta; read it directly"
+                    f"snapshot {s['snapshot_id']} is a "
+                    f"{s.get('mode', 'overwrite')} commit — the range "
+                    "holds no file-level delta; read it directly"
                 )
         seen = {(f["dir"], f["name"]) for f in self._snap_files(lo)}
         new = [
@@ -381,9 +528,14 @@ class SnapshotCatalog:
         # snapshots — compaction followed by expiry must not erase the
         # last batch's exactly-once evidence
         meta = {"compacted_from": snap["snapshot_id"]}
-        for k in ("checkpoint", "batch_id"):
-            if k in snap.get("meta", {}):
-                meta[k] = snap["meta"][k]
+        # walk back past marker-less commits (e.g. a delete snapshot on
+        # top of the last ingest batch) to the newest ingest marker
+        for s in reversed(self.snapshots(table)):
+            if "checkpoint" in s.get("meta", {}):
+                for k in ("checkpoint", "batch_id"):
+                    if k in s["meta"]:
+                        meta[k] = s["meta"][k]
+                break
         return self.write(
             self.read(spark, table),
             table,
@@ -405,6 +557,9 @@ class SnapshotCatalog:
             return []
         kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
         live_dirs = {f["dir"] for s in kept for f in self._snap_files(s)}
+        live_dirs |= {
+            d["dir"] for s in kept for d in (s.get("delete_files") or [])
+        }
         live_dirs |= {os.path.basename(s["path"]) for s in kept}
         man["snapshots"] = kept
         self._commit_manifest(table, man)
@@ -413,6 +568,7 @@ class SnapshotCatalog:
             for s in dropped
             for d in (
                 {f["dir"] for f in self._snap_files(s)}
+                | {df["dir"] for df in (s.get("delete_files") or [])}
                 | {os.path.basename(s["path"])}
             )
         } - live_dirs
@@ -522,9 +678,7 @@ class SnapshotCatalog:
                         ok = False
                         break
                 if ok:
-                    keep.append(
-                        os.path.join(self._tdir(table), frec["dir"], frec["name"])
-                    )
+                    keep.append(frec)
             if not keep:
                 from pyspark.sql import functions as F
 
@@ -534,7 +688,11 @@ class SnapshotCatalog:
                     spark, self._file_paths(table, snap), merge=snap_multi_dir
                 ).where(F.lit(False))
             else:
-                df = self._read_files(spark, keep, merge=snap_multi_dir)
+                # delete-aware: equality deletes apply to the surviving
+                # files with the same sequence semantics as read()
+                df = self._read_with_deletes(
+                    spark, table, snap, keep, merge=snap_multi_dir
+                )
         else:  # pre-stats snapshot: fall back to a full read
             df = spark.read.parquet(snap["path"])
         import functools

@@ -788,3 +788,75 @@ def test_manifest_scan_space_separated_timestamp_strings(spark, tmp_path):
         r.v for r in expect.collect()
     )
     assert got.count() > 0
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """Iceberg-v2-style equality deletes: a delete commit removes
+    matching rows from reads WITHOUT rewriting data files; time travel
+    to the parent still sees them; a key re-ingested by a LATER append
+    reappears (sequence semantics); compact applies deletes physically;
+    pruned scans honor deletes too."""
+    cat = SnapshotCatalog(str(tmp_path / "del_cat"))
+    df = spark.range(1_000).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 2).alias("v")
+    )
+    s1 = cat.write(df, "t", sort_by=("cell_id",), n_files=4)
+
+    # delete 100 keys — data files untouched, rows gone from read()
+    kill = spark.range(100).select(F.col("id").alias("cell_id"))
+    s2 = cat.delete_keys(spark, "t", kill)
+    assert s2["mode"] == "delete"
+    assert [f["name"] for f in s2["files"]] == [
+        f["name"] for f in cat.snapshots("t")[0]["files"]
+    ]
+    assert cat.read(spark, "t").count() == 900
+    assert cat.read(spark, "t").filter("cell_id < 100").count() == 0
+    # time travel BEFORE the delete still sees everything
+    assert cat.read(spark, "t", snapshot_id=s1["snapshot_id"]).count() == 1_000
+
+    # sequence semantics: re-append 50 of the deleted keys — they
+    # REAPPEAR (the delete applies only to files committed before it)
+    back = spark.range(50).select(
+        F.col("id").alias("cell_id"), F.lit(-1).cast("long").alias("v")
+    )
+    cat.write(back, "t", sort_by=("cell_id",), n_files=1, mode="append")
+    now = cat.read(spark, "t")
+    assert now.count() == 950
+    assert now.filter("cell_id < 50").count() == 50
+    assert now.filter("v = -1").count() == 50
+    assert now.filter("cell_id >= 50 and cell_id < 100").count() == 0
+
+    # pruned scan applies the same deletes
+    got = cat.scan(spark, "t", {"cell_id": (0, 120)})
+    assert got.count() == 50 + 21  # 0..49 re-added, 100..120 original
+    assert got.filter("v = -1").count() == 50
+
+    # read_changes across a delete raises — no file-level delta exists
+    with pytest.raises(ValueError, match="delete"):
+        cat.read_changes(spark, "t", from_snapshot=s1["snapshot_id"])
+
+    # compact materializes the deletes and drops the delete files
+    s4 = cat.compact(spark, "t", n_files=2)
+    assert not s4.get("delete_files")
+    assert cat.read(spark, "t").count() == 950
+    # expiry reclaims the delete dir once nothing references it
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.read(spark, "t").count() == 950
+
+
+def test_equality_deletes_stack_and_guard(spark, tmp_path):
+    """Two stacked delete commits compose; mismatched key columns on an
+    existing delete chain raise."""
+    cat = SnapshotCatalog(str(tmp_path / "del_cat2"))
+    df = spark.range(100).select(
+        F.col("id").alias("cell_id"), (F.col("id") % 7).alias("v")
+    )
+    cat.write(df, "t", n_files=2)
+    cat.delete_keys(spark, "t", spark.range(10).select(F.col("id").alias("cell_id")))
+    cat.delete_keys(
+        spark, "t",
+        spark.range(10, 20).select(F.col("id").alias("cell_id")),
+    )
+    assert cat.read(spark, "t").count() == 80
+    with pytest.raises(ValueError, match="mixed delete keys"):
+        cat.delete_keys(spark, "t", spark.range(3).select(F.col("id").alias("v")))
