@@ -23,6 +23,7 @@ import json
 import os
 import re
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -217,6 +218,7 @@ class SnapshotCatalog:
                 if man["snapshots"]
                 else None
             ),
+            "committed_at": time.time(),
             "path": data_dir,
             "row_count": n,
             "sort_by": list(sort_by),
@@ -341,6 +343,7 @@ class SnapshotCatalog:
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
+            "committed_at": time.time(),
             "path": ddir,
             "row_count": parent["row_count"],
             "sort_by": list(parent.get("sort_by") or ()),
@@ -425,9 +428,37 @@ class SnapshotCatalog:
         assert out is not None
         return out
 
-    def read(self, spark: SparkSession, table: str, snapshot_id: int | None = None) -> DataFrame:
-        """Time-travel read — ≡ Iceberg ``VERSION AS OF`` (equality
-        deletes applied merge-on-read, see :meth:`delete_keys`)."""
+    def snapshot_as_of(self, table: str, ts) -> dict:
+        """Newest snapshot committed at or before ``ts`` (epoch seconds
+        or datetime) — ≡ Iceberg ``TIMESTAMP AS OF`` resolution.
+        Snapshots predating the ``committed_at`` field sort oldest."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        eligible = [
+            s
+            for s in self.snapshots(table)
+            if s.get("committed_at", 0.0) <= ts
+        ]
+        if not eligible:
+            raise KeyError(
+                f"no snapshot of {table!r} committed at or before {ts}"
+            )
+        return eligible[-1]
+
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: int | None = None,
+        as_of=None,
+    ) -> DataFrame:
+        """Time-travel read — ≡ Iceberg ``VERSION AS OF`` by snapshot
+        id, or ``TIMESTAMP AS OF`` via ``as_of`` (equality deletes
+        applied merge-on-read, see :meth:`delete_keys`)."""
+        if as_of is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR as_of, not both")
+            snapshot_id = self.snapshot_as_of(table, as_of)["snapshot_id"]
         snap = self._get_snap(table, snapshot_id)
         files = self._snap_files(snap)
         if files:

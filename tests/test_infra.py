@@ -860,3 +860,26 @@ def test_equality_deletes_stack_and_guard(spark, tmp_path):
     assert cat.read(spark, "t").count() == 80
     with pytest.raises(ValueError, match="mixed delete keys"):
         cat.delete_keys(spark, "t", spark.range(3).select(F.col("id").alias("v")))
+
+
+def test_timestamp_as_of_time_travel(spark, tmp_path):
+    """TIMESTAMP AS OF: reads resolve to the newest snapshot committed
+    at or before the given instant; pre-field legacy snapshots sort
+    oldest; a timestamp before every commit raises."""
+    import time as _time
+
+    cat = SnapshotCatalog(str(tmp_path / "asof_cat"))
+    df1 = spark.range(10).select(F.col("id").alias("v"))
+    s1 = cat.write(df1, "t", n_files=1)
+    _time.sleep(0.05)
+    mid = _time.time()
+    _time.sleep(0.05)
+    cat.write(spark.range(25).select(F.col("id").alias("v")), "t", n_files=1)
+
+    assert cat.read(spark, "t", as_of=mid).count() == 10
+    assert cat.read(spark, "t", as_of=_time.time()).count() == 25
+    assert cat.snapshot_as_of("t", mid)["snapshot_id"] == s1["snapshot_id"]
+    with pytest.raises(KeyError, match="at or before"):
+        cat.snapshot_as_of("t", s1["committed_at"] - 10)
+    with pytest.raises(ValueError, match="not both"):
+        cat.read(spark, "t", snapshot_id=1, as_of=mid)
