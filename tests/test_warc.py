@@ -326,3 +326,31 @@ def test_stream_warc_geocode_to_catalog_pipeline(spark, tmp_path):
         r.url for r in b.select("url").collect()
     }
     assert delta.filter(F.col("cell_id").isNull()).count() == 0
+
+
+def test_streaming_spatial_join_matches_batch(spark, tmp_path):
+    """Stateless operators compose onto the stream unchanged: the full
+    geocode → broadcast polygon spatial-join pipeline applied to
+    `stream_warc` micro-batches must equal the batch path row-for-row
+    (the north rule's join outputs, streaming edition)."""
+    import __spark_entry__ as E
+    from eodal_spark import geometry
+    from eodal_spark.operators import spatial_join as SJ
+    from eodal_spark.streaming.ingest import run_available_now
+
+    res = 8
+    land = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "joined")
+    W.write_warc(P.synth_pages(spark, 2_000, partitions=2), land).collect()
+    polys = geometry.polygons_df(spark, E.PAGE_POLYS)
+
+    def pipeline(df):
+        return SJ.spatial_join(
+            P.geocode(df, res), polys, res, rule="exact"
+        ).select("url", "poly_id")
+
+    run_available_now(pipeline(W.stream_warc(spark, land)), ckpt, out)
+    got = sorted(map(tuple, spark.read.parquet(out).select("url", "poly_id").collect()))
+    want = sorted(map(tuple, pipeline(W.read_warc(spark, land)).collect()))
+    assert got == want and len(got) > 0
