@@ -883,3 +883,25 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
         cat.snapshot_as_of("t", s1["committed_at"] - 10)
     with pytest.raises(ValueError, match="not both"):
         cat.read(spark, "t", snapshot_id=1, as_of=mid)
+
+
+def test_equality_delete_read_plan_is_broadcast_anti_join(spark, tmp_path):
+    """Merge-on-read must cost one BROADCAST anti-join per delete
+    segment: the data side is never exchanged, and small key sets never
+    become a shuffle join."""
+    cat = SnapshotCatalog(str(tmp_path / "del_plan_cat"))
+    df = spark.range(20_000).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 3).alias("v")
+    )
+    cat.write(df, "t", sort_by=("cell_id",), n_files=4)
+    cat.delete_keys(
+        spark, "t", spark.range(500).select(F.col("id").alias("cell_id"))
+    )
+    out = cat.read(spark, "t")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # exactly ONE hash exchange — the 500-row key set's distinct — and
+    # it sits under the BroadcastExchange; the streamed data side goes
+    # FileScan → join with no shuffle
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert out.count() == 19_500
