@@ -317,6 +317,25 @@ class SnapshotCatalog:
         if not man["snapshots"]:
             raise FileNotFoundError(f"no snapshots for table {table}")
         parent = man["snapshots"][-1]
+        parent_files = self._snap_files(parent)
+        if not parent_files:
+            # legacy pre-stats parent: reconstruct its file list (same
+            # as write(mode="append")) — an empty files list would make
+            # read() fall through to the delete-KEYS dir and return the
+            # keys as table data
+            pdir = os.path.basename(parent["path"])
+            parent_files = [
+                {**f, "dir": pdir}
+                for f in _file_stats(
+                    parent["path"], tuple(parent.get("sort_by") or ())
+                )
+            ]
+            if not parent_files:
+                raise ValueError(
+                    f"cannot delete from snapshot "
+                    f"{parent['snapshot_id']}: no data files found "
+                    f"under {parent['path']}"
+                )
         key_cols = list(keys.columns)
         for d in parent.get("delete_files") or []:
             if list(d["key_cols"]) != key_cols:
@@ -325,6 +344,20 @@ class SnapshotCatalog:
                     f"{d['key_cols']} — mixed delete keys are not "
                     "supported; compact() first"
                 )
+        # a mistyped key column would commit fine and then break every
+        # read until rollback — validate against the data schema now
+        import pyarrow.parquet as pq
+
+        probe = os.path.join(
+            self._tdir(table), parent_files[0]["dir"], parent_files[0]["name"]
+        )
+        data_cols = set(pq.read_schema(probe).names)
+        missing = [c for c in key_cols if c not in data_cols]
+        if missing:
+            raise ValueError(
+                f"delete key column(s) {missing} not in table "
+                f"{table!r}'s data schema {sorted(data_cols)}"
+            )
         sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
         ddir = os.path.join(self._tdir(table), f"v{sid}")
         keys.select(*key_cols).distinct().repartition(n_files).write.mode(
@@ -348,7 +381,7 @@ class SnapshotCatalog:
             "row_count": parent["row_count"],
             "sort_by": list(parent.get("sort_by") or ()),
             "mode": "delete",
-            "files": self._snap_files(parent),
+            "files": parent_files,
             "delete_files": (
                 list(parent.get("delete_files") or []) + new_dels
             ),
@@ -389,15 +422,32 @@ class SnapshotCatalog:
         key_cols = list(dels[0]["key_cols"])
         del_sids = sorted({d["sid"] for d in dels})
 
-        def keys_from(min_sid: int) -> DataFrame | None:
-            ps = [
+        # one tagged base relation over ALL delete files — each segment
+        # filters its applicable suffix from it, so stacked deletes
+        # don't re-scan older delete files once per segment (cached when
+        # more than one segment will consume it)
+        by_sid: dict[int, list[str]] = {}
+        for d in dels:
+            by_sid.setdefault(d["sid"], []).append(
                 os.path.join(tdir, d["dir"], d["name"])
-                for d in dels
-                if d["sid"] >= min_sid
-            ]
-            if not ps:
+            )
+        base_keys: DataFrame | None = None
+        for sid, ps in by_sid.items():
+            part = spark.read.parquet(*ps).select(*key_cols).withColumn(
+                "_del_sid", F.lit(sid)
+            )
+            base_keys = part if base_keys is None else base_keys.unionByName(part)
+        if len(del_sids) > 1:
+            base_keys = base_keys.cache()
+
+        def keys_from(min_sid: int) -> DataFrame | None:
+            if min_sid > del_sids[-1]:
                 return None
-            k = spark.read.parquet(*ps).select(*key_cols).distinct()
+            k = (
+                base_keys.filter(F.col("_del_sid") >= min_sid)
+                .select(*key_cols)
+                .distinct()
+            )
             n = sum(d["rows"] for d in dels if d["sid"] >= min_sid)
             return F.broadcast(k) if n <= 1_000_000 else k
 
@@ -458,8 +508,12 @@ class SnapshotCatalog:
         if as_of is not None:
             if snapshot_id is not None:
                 raise ValueError("pass snapshot_id OR as_of, not both")
-            snapshot_id = self.snapshot_as_of(table, as_of)["snapshot_id"]
-        snap = self._get_snap(table, snapshot_id)
+            # use the resolved dict directly — re-resolving its id via a
+            # second manifest load would be a TOCTOU against concurrent
+            # expiry/rollback
+            snap = self.snapshot_as_of(table, as_of)
+        else:
+            snap = self._get_snap(table, snapshot_id)
         files = self._snap_files(snap)
         if files:
             merge = len({f["dir"] for f in files}) > 1
@@ -559,13 +613,22 @@ class SnapshotCatalog:
         # snapshots — compaction followed by expiry must not erase the
         # last batch's exactly-once evidence
         meta = {"compacted_from": snap["snapshot_id"]}
-        # walk back past marker-less commits (e.g. a delete snapshot on
-        # top of the last ingest batch) to the newest ingest marker
+        # walk back past marker-less delete/compaction commits (e.g. a
+        # GDPR purge on top of the last ingest batch) to the newest
+        # ingest marker — but STOP at a plain overwrite: it reset the
+        # table's lineage, so an older marker no longer describes this
+        # data and resurrecting it would corrupt the exactly-once guard
         for s in reversed(self.snapshots(table)):
             if "checkpoint" in s.get("meta", {}):
                 for k in ("checkpoint", "batch_id"):
                     if k in s["meta"]:
                         meta[k] = s["meta"][k]
+                break
+            lineage_reset = (
+                s.get("mode", "overwrite") == "overwrite"
+                and "compacted_from" not in s.get("meta", {})
+            )
+            if lineage_reset:
                 break
         return self.write(
             self.read(spark, table),

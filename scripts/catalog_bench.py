@@ -131,9 +131,10 @@ round costs a neighborhood read, not a corpus pass.
 def deletes_block(spark, cat: SnapshotCatalog, rows: int, cpus: int) -> str:
     """Equality-delete economics at bench scale: commit cost is
     O(|keys|), merge-on-read overhead is one broadcast anti-join, and
-    compaction (the full-rewrite alternative) is O(table) — measured on
-    a COPY of the Morton-sorted snapshot's manifest state (a fresh
-    table re-referencing the same data via one append is cheap)."""
+    compaction (the full-rewrite alternative) is O(table).  A fresh
+    throwaway table is materialized from the shared snapshot (one full
+    sorted write, timed as the rewrite yardstick) so delete commits
+    never mutate the table the other bench blocks read."""
     import shutil
 
     from pyspark.sql import functions as F
@@ -181,7 +182,7 @@ def deletes_block(spark, cat: SnapshotCatalog, rows: int, cpus: int) -> str:
     return f"""
 ### Equality deletes at bench scale ({rows:,} rows, local[{cpus}])
 
-Purge of {n_kill:,} urls (1%) from the cell-sorted table:
+Purge of {n_kill:,} urls (1%) from the Morton-sorted table:
 
 | operation | wall (s) | note |
 |---|---|---|
