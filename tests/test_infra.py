@@ -905,3 +905,53 @@ def test_equality_delete_read_plan_is_broadcast_anti_join(spark, tmp_path):
     # FileScan → join with no shuffle
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert out.count() == 19_500
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "delete"]),
+            st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=8),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    seed=st.integers(min_value=0, max_value=999),
+)
+def test_delete_sequence_semantics_match_model(spark, tmp_path_factory, ops, seed):
+    """Property: any interleaving of append/delete commits produces the
+    same visible multiset as a row-level Python model applying Iceberg
+    sequence rules (a delete hides only rows committed at or before
+    it)."""
+    cat = SnapshotCatalog(
+        str(tmp_path_factory.mktemp(f"prop_del_{seed}") / "cat")
+    )
+    # initial table: keys 0..30, one row each, batch tag 0
+    model = {(k, 0) for k in range(31)}
+    df0 = spark.range(31).select(
+        F.col("id").alias("k"), F.lit(0).alias("batch")
+    )
+    cat.write(df0, "t", n_files=2)
+    batch = 0
+    for op, keys in ops:
+        keys = sorted(keys)
+        if op == "append":
+            batch += 1
+            b = batch
+            cat.write(
+                spark.createDataFrame([(k, b) for k in keys], "k long, batch int"),
+                "t", n_files=1, mode="append",
+            )
+            model |= {(k, b) for k in keys}
+        else:
+            cat.delete_keys(
+                spark, "t", spark.createDataFrame([(k,) for k in keys], "k long")
+            )
+            model = {(k, b) for (k, b) in model if k not in keys}
+    got = {(r.k, r.batch) for r in cat.read(spark, "t").collect()}
+    assert got == model
