@@ -601,6 +601,27 @@ def _q_docs_hash_sample(spark, sf_dir):
     )
 
 
+def _q_docs_curation_pipeline(spark, sf_dir):
+    """The END-TO-END curation pass a training-data pipeline runs, as
+    ONE composed relational plan: quality gate ∧ language gate ∧
+    exact-dedup survivorship ∧ deterministic hash sampling — each stage
+    is an independently-gated operator; this query gates their
+    COMPOSITION (filter ordering, semi-join survivorship, sample
+    stability under the combined plan)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        TX.quality_score_milli(t).alias("quality_milli"),
+        TX.lang_id(t).alias("lang_guess"),
+    ).filter((F.col("quality_milli") >= 700) & (F.col("lang_guess") == "en"))
+    survivors = D.exact_dedup(docs).select("doc_id")
+    kept = scored.join(survivors, "doc_id", "left_semi")
+    return TX.hash_sample(kept, "doc_id", 500, key_out="bucket").select(
+        "doc_id", "quality_milli", "bucket"
+    )
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host crawl statistics over canonical urls (host extraction +
     aggregation — the politeness/curation breakdown every crawl
@@ -1413,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
+        "docs_curation_pipeline": _q_docs_curation_pipeline,
     }
 
 
@@ -1901,6 +1923,23 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'it' END AS lang_guess
               FROM documents
             ) WHERE quality_milli >= 700 AND lang_guess = 'en'
+        """,
+        "docs_curation_pipeline": f"""
+            SELECT doc_id, quality_milli,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
+            FROM (
+              SELECT doc_id, {quality} AS quality_milli,
+                     CASE WHEN greatest({lang_score['de']}, {lang_score['en']},
+                                        {lang_score['fr']}, {lang_score['it']}) = 0 THEN 'und'
+                          WHEN {lang_score['de']} >= greatest({lang_score['en']}, {lang_score['fr']}, {lang_score['it']}) THEN 'de'
+                          WHEN {lang_score['en']} >= greatest({lang_score['fr']}, {lang_score['it']}) THEN 'en'
+                          WHEN {lang_score['fr']} >= {lang_score['it']} THEN 'fr'
+                          ELSE 'it' END AS lang_guess
+              FROM documents
+            )
+            WHERE quality_milli >= 700 AND lang_guess = 'en'
+              AND doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+              AND CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 500
         """,
         "docs_fingerprint": """
             SELECT doc_id,
