@@ -51,6 +51,7 @@ def spatial_join(
     page_cols: tuple[str, ...] = ("url",),
     poly_cols: tuple[str, ...] = ("poly_id",),
     page_res: int | None = None,
+    broadcast_layer: bool | None = None,
 ) -> DataFrame:
     """Join geocoded pages (must carry ``cell_id``, ``lon``, ``lat``)
     to the polygon layer. Returns page_cols + poly_cols (+ cell_id).
@@ -58,8 +59,23 @@ def spatial_join(
     ``res`` is the covering/join resolution; when the pages carry a
     finer ``cell_id`` (``page_res`` > res), the join key is derived via
     `grid.cell_parent` — a pure bit shift, so the scan stays pruned on
-    the stored cell column."""
+    the stored cell column.
+
+    ``broadcast_layer``: small layers (the normal case — AOIs, admin
+    boundaries) broadcast their cover/rings so the pages side never
+    shuffles.  A HUGE layer (10⁸ parcel polygons) cannot broadcast:
+    pass False (or let the bounded auto-probe decide) and the join
+    becomes a shuffle join co-partitioned on the cell key — the
+    correct big×big plan; bucket both sides on ``cell_id``
+    (`catalog.write_bucketed`) to make repeats exchange-free."""
     from eodal_spark import grid
+
+    if broadcast_layer is None:
+        probe = polys.select("poly_id").limit(
+            geometry.DRIVER_COVER_MAX_POLYS + 1
+        ).collect()
+        broadcast_layer = len(probe) <= geometry.DRIVER_COVER_MAX_POLYS
+    bc = F.broadcast if broadcast_layer else (lambda d: d)
 
     if page_res is not None and page_res != res:
         pages_geo = pages_geo.withColumn(
@@ -85,12 +101,12 @@ def spatial_join(
         if not attr_cols:
             return joined
         attrs = polys.select("poly_id", *attr_cols)
-        return joined.join(F.broadcast(attrs), "poly_id", "left")
+        return joined.join(bc(attrs), "poly_id", "left")
 
     if rule == "centroid":
         cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
         cover = cover.select("poly_id", F.col("cell_id").alias("_join_cell"))
-        joined = _attach_attrs(pages_geo.join(F.broadcast(cover), "_join_cell", how))
+        joined = _attach_attrs(pages_geo.join(bc(cover), "_join_cell", how))
         return joined.select(
             F.col("_join_cell").alias("join_cell"), *page_cols, *poly_cols
         )
@@ -115,9 +131,9 @@ def spatial_join(
     # the whole refine stage is whole-stage codegen, zero Python.
     cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
     cover = cover.withColumnRenamed("cell_id", "_join_cell")
-    cand = pages_geo.join(F.broadcast(cover), "_join_cell", "inner")
+    cand = pages_geo.join(bc(cover), "_join_cell", "inner")
     ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")
-    cand = cand.join(F.broadcast(ring), "poly_id")
+    cand = cand.join(bc(ring), "poly_id")
 
     lon, lat = F.col("lon"), F.col("lat")
     keep = (

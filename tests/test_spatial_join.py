@@ -129,3 +129,33 @@ def test_spatial_join_carries_polygon_attributes(spark, pages_small):
     import pytest as _pt
     with _pt.raises(NotImplementedError, match="inner"):
         SJ.spatial_join(geo, polys, E.JOIN_RES, rule="exact", how="left")
+
+
+def test_big_layer_shuffle_join_matches_broadcast(spark, pages_geo):
+    """broadcast_layer=False (the 10⁸-parcel big×big path) must produce
+    identical rows to the broadcast plan, via a shuffle join — no
+    broadcast of the cover anywhere in the plan."""
+    import __spark_entry__ as E
+
+    polys = geometry.polygons_df(spark, E.PAGE_POLYS)
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    try:
+        for rule in ("centroid", "exact"):
+            small = SJ.spatial_join(pages_geo, polys, RES, rule=rule)
+            a = sorted(map(tuple, small.select("url", "poly_id").collect()))
+            # simulate a layer too big to auto-broadcast: with the hint
+            # suppressed AND the size threshold off, Catalyst must plan
+            # a shuffle join — the big×big path
+            spark.conf.set(thr, "-1")
+            big = SJ.spatial_join(
+                pages_geo, polys, RES, rule=rule, broadcast_layer=False
+            )
+            plan = big._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastHashJoin" not in plan, rule
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, rule
+            b = sorted(map(tuple, big.select("url", "poly_id").collect()))
+            spark.conf.set(thr, prev)
+            assert a == b and len(a) > 0, rule
+    finally:
+        spark.conf.set(thr, prev)
