@@ -354,3 +354,48 @@ def test_streaming_spatial_join_matches_batch(spark, tmp_path):
     got = sorted(map(tuple, spark.read.parquet(out).select("url", "poly_id").collect()))
     want = sorted(map(tuple, pipeline(W.read_warc(spark, land)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_warc_roundtrip_fuzz_adversarial_bodies(spark):
+    """Content-Length framing must survive adversarial record bodies —
+    html containing CRLFCRLF, fake 'WARC/1.0' headers, gzip magic,
+    NULs — and unicode urls; value-exact on (url, ts, html bytes)."""
+    import datetime as dt
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    adversarial = [
+        b"\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\n",
+        b"\x1f\x8b\x08fake-gzip",
+        b"Content-Length: 9999\r\n\r\n" + b"\x00" * 64,
+        b"",
+    ]
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        body=st.one_of(st.sampled_from(adversarial), st.binary(max_size=300)),
+        path=st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            min_size=0, max_size=20,
+        ),
+        sec=st.integers(min_value=0, max_value=2_000_000_000),
+        us=st.integers(min_value=0, max_value=999_999),
+    )
+    def check(body, path, sec, us):
+        from urllib.parse import quote
+
+        url = "https://fuzz.example/p/" + quote(path, safe="")
+        ts = dt.datetime.fromtimestamp(sec, dt.timezone.utc).replace(
+            tzinfo=None, microsecond=us
+        )
+        rec = W._record(url, ts, body)
+        pdf = W.parse_warc_bytes("f", rec)
+        assert len(pdf) == 1
+        assert pdf["url"][0] == url
+        assert bytes(pdf["html"][0]) == body
+        got_ts = pdf["warc_ts"][0].to_pydatetime().replace(tzinfo=None)
+        want = dt.datetime.utcfromtimestamp(sec).replace(microsecond=us)
+        assert got_ts == want
+
+    check()
