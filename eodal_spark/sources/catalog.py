@@ -74,6 +74,11 @@ def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
     return out
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed to the table since this commit's
+    manifest was loaded — re-read and rebuild the commit."""
+
+
 _ISO_TS = re.compile(r"^\d{4}-\d{2}-\d{2}T")
 
 
@@ -103,13 +108,55 @@ class SnapshotCatalog:
         return {"snapshots": []}
 
     def _commit_manifest(self, table: str, man: dict) -> None:
-        """THE manifest commit protocol (tmp + atomic rename) — one
-        implementation so crash behavior can never diverge between
-        write/rollback/expire."""
-        tmp = self._manifest_path(table) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=1)
-        os.replace(tmp, self._manifest_path(table))
+        """THE manifest commit protocol — one implementation so crash
+        behavior can never diverge between write/rollback/expire.
+
+        Optimistic concurrency (≡ Iceberg's metastore CAS): the
+        manifest carries a ``version``; a commit takes a short
+        exclusive lock (O_EXCL lockfile, stale after 60 s), verifies
+        the on-disk version still equals the one this commit was
+        BUILT against, bumps it, and atomically renames.  A concurrent
+        writer that lost the race gets `ConcurrentCommitError` and must
+        re-read + rebuild — never a silent lost update."""
+        path = self._manifest_path(table)
+        lock = path + ".lock"
+        deadline = time.time() + 10.0
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:  # stale-lock recovery (crashed writer)
+                    if time.time() - os.path.getmtime(lock) > 60.0:
+                        os.unlink(lock)
+                        continue
+                except OSError:
+                    continue
+                if time.time() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire commit lock {lock}"
+                    )
+                time.sleep(0.05)
+        try:
+            on_disk = self._load_manifest(table)
+            if on_disk.get("version", 0) != man.get("version", 0):
+                raise ConcurrentCommitError(
+                    f"manifest for {table!r} moved from version "
+                    f"{man.get('version', 0)} to "
+                    f"{on_disk.get('version', 0)} since this commit was "
+                    "built — re-read and retry"
+                )
+            man["version"] = man.get("version", 0) + 1
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(man, f, indent=1)
+            os.replace(tmp, path)
+        finally:
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]

@@ -955,3 +955,31 @@ def test_delete_sequence_semantics_match_model(spark, tmp_path_factory, ops, see
             model = {(k, b) for (k, b) in model if k not in keys}
     got = {(r.k, r.batch) for r in cat.read(spark, "t").collect()}
     assert got == model
+
+
+def test_manifest_optimistic_concurrency(spark, tmp_path):
+    """Two writers building commits against the same manifest version:
+    the second must get ConcurrentCommitError, never a silent lost
+    update — and a clean retry (re-read) succeeds."""
+    from eodal_spark.sources.catalog import ConcurrentCommitError
+
+    cat = SnapshotCatalog(str(tmp_path / "occ_cat"))
+    cat.write(spark.range(10), "t", n_files=1)
+
+    # simulate an interleaved writer: both loads see version v, writer A
+    # commits first, writer B's stale-version commit must be rejected
+    man_a = cat._load_manifest("t")
+    man_b = cat._load_manifest("t")
+    man_a["snapshots"][-1]["meta"]["who"] = "a"
+    cat._commit_manifest("t", man_a)
+    man_b["snapshots"][-1]["meta"]["who"] = "b"
+    with pytest.raises(ConcurrentCommitError, match="re-read and retry"):
+        cat._commit_manifest("t", man_b)
+    assert cat.current_snapshot("t")["meta"]["who"] == "a"
+    # retry after re-read succeeds
+    man_b2 = cat._load_manifest("t")
+    man_b2["snapshots"][-1]["meta"]["who"] = "b"
+    cat._commit_manifest("t", man_b2)
+    assert cat.current_snapshot("t")["meta"]["who"] == "b"
+    # versions increase monotonically
+    assert cat._load_manifest("t")["version"] == 3
