@@ -52,6 +52,7 @@ def spatial_join(
     poly_cols: tuple[str, ...] = ("poly_id",),
     page_res: int | None = None,
     broadcast_layer: bool | None = None,
+    precomputed_cover: DataFrame | None = None,
 ) -> DataFrame:
     """Join geocoded pages (must carry ``cell_id``, ``lon``, ``lat``)
     to the polygon layer. Returns page_cols + poly_cols (+ cell_id).
@@ -67,7 +68,14 @@ def spatial_join(
     pass False (or let the bounded auto-probe decide) and the join
     becomes a shuffle join co-partitioned on the cell key — the
     correct big×big plan; bucket both sides on ``cell_id``
-    (`catalog.write_bucketed`) to make repeats exchange-free."""
+    (`catalog.write_bucketed`) to make repeats exchange-free.
+
+    ``precomputed_cover``: reuse a materialized `polygon_cover_cells`
+    relation (columns (poly_id, cell_id[, full]) at this ``res``/
+    ``rule``) instead of recomputing it per query — write it bucketed
+    on ``cell_id`` alongside bucketed pages and repeated big×big joins
+    run with ZERO exchanges (bucket alignment survives the internal
+    rename; plan-asserted in tests)."""
     from eodal_spark import grid
 
     if broadcast_layer is None:
@@ -104,7 +112,11 @@ def spatial_join(
         return joined.join(bc(attrs), "poly_id", "left")
 
     if rule == "centroid":
-        cover = geometry.polygon_cover_cells(polys, res, mode="centroid")
+        cover = (
+            precomputed_cover
+            if precomputed_cover is not None
+            else geometry.polygon_cover_cells(polys, res, mode="centroid")
+        )
         cover = cover.select("poly_id", F.col("cell_id").alias("_join_cell"))
         joined = _attach_attrs(pages_geo.join(bc(cover), "_join_cell", how))
         return joined.select(
@@ -129,7 +141,11 @@ def spatial_join(
     # min-cross expression; concave / holed / multi-part geometries use
     # even-odd parity over all rings.  Every branch is native Catalyst →
     # the whole refine stage is whole-stage codegen, zero Python.
-    cover = geometry.polygon_cover_cells(polys, res, mode="bbox")
+    cover = (
+        precomputed_cover
+        if precomputed_cover is not None
+        else geometry.polygon_cover_cells(polys, res, mode="bbox")
+    )
     cover = cover.withColumnRenamed("cell_id", "_join_cell")
     cand = pages_geo.join(bc(cover), "_join_cell", "inner")
     ring = polys.select("poly_id", "xs", "ys", "rings_x", "rings_y", "is_convex")

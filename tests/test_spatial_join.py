@@ -159,3 +159,42 @@ def test_big_layer_shuffle_join_matches_broadcast(spark, pages_geo):
             assert a == b and len(a) > 0, rule
     finally:
         spark.conf.set(thr, prev)
+
+
+def test_bucketed_cover_spatial_join_zero_exchange(spark, tmp_path):
+    """Repeated big×big joins: pages AND a materialized centroid cover
+    bucketed on the cell key → spatial_join(precomputed_cover=...,
+    broadcast_layer=False) plans with ZERO exchanges (bucket alignment
+    survives the internal rename), and rows equal the broadcast path."""
+    import __spark_entry__ as E
+    from eodal_spark.sources.catalog import write_bucketed
+
+    polys = geometry.polygons_df(spark, E.PAGE_POLYS)
+    geo = P.geocode(P.synth_pages(spark, 5_000), RES).select("url", "cell_id")
+    cover = geometry.polygon_cover_cells(polys, RES, mode="centroid").select(
+        "poly_id", "cell_id"
+    )
+    write_bucketed(geo, "pages_sb", "cell_id", 8, sort_col="cell_id")
+    write_bucketed(cover, "cover_sb", "cell_id", 8)
+    thr = "spark.sql.autoBroadcastJoinThreshold"
+    prev = spark.conf.get(thr)
+    spark.conf.set(thr, "-1")
+    try:
+        j = SJ.spatial_join(
+            spark.table("pages_sb"), polys, RES,
+            broadcast_layer=False,
+            precomputed_cover=spark.table("cover_sb"),
+        )
+        got = sorted(map(tuple, j.select("url", "poly_id").collect()))
+        plan = j._jdf.queryExecution().executedPlan().toString().split(
+            "== Initial Plan =="
+        )[0]
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set(thr, prev)
+        spark.sql("DROP TABLE IF EXISTS pages_sb")
+        spark.sql("DROP TABLE IF EXISTS cover_sb")
+    want = sorted(map(tuple, SJ.spatial_join(
+        geo, polys, RES
+    ).select("url", "poly_id").collect()))
+    assert got == want and len(got) > 0
