@@ -89,6 +89,17 @@ def _iso_t(v: str) -> str:
     return v
 
 
+def _stat_bound(v):
+    """User range bound → the manifest-stats value space (the SAME
+    coercion the manifest writer applies: bytes → str, datetime/date →
+    isoformat)."""
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    return v
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -253,11 +264,13 @@ class SnapshotCatalog:
                     )
             files = parent_files + files
             n += parent["row_count"]
-        delete_files = (
-            list(man["snapshots"][-1].get("delete_files") or [])
+        carry = (
+            man["snapshots"][-1]
             if mode == "append" and man["snapshots"]
-            else []
+            else {}
         )
+        delete_files = list(carry.get("delete_files") or [])
+        delete_ranges = list(carry.get("delete_ranges") or [])
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -272,6 +285,7 @@ class SnapshotCatalog:
             "mode": mode,
             "files": files,
             "delete_files": delete_files,
+            "delete_ranges": delete_ranges,
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -432,7 +446,84 @@ class SnapshotCatalog:
             "delete_files": (
                 list(parent.get("delete_files") or []) + new_dels
             ),
+            "delete_ranges": list(parent.get("delete_ranges") or []),
             "meta": {},
+        }
+        man["snapshots"].append(snap)
+        self._commit_manifest(table, man)
+        return snap
+
+    def delete_range(
+        self,
+        table: str,
+        col: str,
+        ranges,
+    ) -> dict:
+        """Commit a METADATA range delete (≡ Iceberg's metadata delete /
+        partition-level drop): rows with ``col`` in any inclusive
+        ``(lo, hi)`` range disappear from subsequent reads — the
+        region/time purge primitive ("drop everything in this bbox /
+        before this date").  Commit cost is O(manifest): NO data is
+        read or written; data files whose manifest stats lie entirely
+        inside a deleted range are dropped from the snapshot outright,
+        partially-covered files get a residual NOT-in-ranges filter at
+        read.  Same sequence semantics as :meth:`delete_keys` (later
+        appends into the range reappear); :meth:`compact` applies
+        physically."""
+        ranges = ranges if isinstance(ranges, list) else [ranges]
+        if not ranges:
+            raise ValueError("empty range list")
+        ranges = [(lo, hi) for lo, hi in ranges]
+        man = self._load_manifest(table)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        parent = man["snapshots"][-1]
+        parent_files = self._snap_files(parent)
+        if not parent_files:
+            raise ValueError(
+                f"cannot delete from pre-stats snapshot "
+                f"{parent['snapshot_id']} — compact() first"
+            )
+        sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
+
+        def fully_deleted(f: dict) -> bool:
+            st = (f.get("stats") or {}).get(col)
+            if not st or st["min"] is None or st["max"] is None:
+                return False
+            try:
+                return any(
+                    _stat_bound(lo) <= st["min"] and st["max"] <= _stat_bound(hi)
+                    for lo, hi in ranges
+                )
+            except TypeError:
+                # incomparable bound/stat types: keep the file — the
+                # read-time residual filter still removes its rows
+                return False
+
+        kept, dropped_rows = [], 0
+        for f in parent_files:
+            if fully_deleted(f):
+                dropped_rows += int(f.get("rows") or 0)
+            else:
+                kept.append(f)
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "committed_at": time.time(),
+            # metadata-only commit: the v-dir is named but NEVER created
+            # (rollback/expire rmtree it harmlessly; pointing at the
+            # table dir instead would let rollback delete the table)
+            "path": os.path.join(self._tdir(table), f"v{sid}"),
+            "row_count": parent["row_count"] - dropped_rows,
+            "sort_by": list(parent.get("sort_by") or ()),
+            "mode": "delete",
+            "files": kept,
+            "delete_files": list(parent.get("delete_files") or []),
+            "delete_ranges": (
+                list(parent.get("delete_ranges") or [])
+                + [{"col": col, "ranges": ranges, "sid": sid}]
+            ),
+            "meta": {"dropped_files": len(parent_files) - len(kept)},
         }
         man["snapshots"].append(snap)
         self._commit_manifest(table, man)
@@ -454,20 +545,40 @@ class SnapshotCatalog:
         merge: bool,
     ) -> DataFrame:
         """Read ``files`` applying the snapshot's equality-delete files
-        with Iceberg sequence semantics: a delete at commit D removes
-        matching rows only from data files committed at sid ≤ D.  Data
-        files are segmented at the delete commit boundaries; each
-        segment anti-joins the union of the deletes that apply to it
-        (broadcast when the key count is small)."""
+        AND metadata range deletes with Iceberg sequence semantics: a
+        delete at commit D removes matching rows only from data files
+        committed at sid ≤ D.  Data files are segmented at the delete
+        commit boundaries; each segment anti-joins the union of the
+        key deletes that apply to it (broadcast when the key count is
+        small) and filters NOT-in-ranges for the applicable range
+        deletes."""
         from pyspark.sql import functions as F
 
+        from eodal_spark import grid
+
         dels = snap.get("delete_files") or []
+        rdels = snap.get("delete_ranges") or []
         tdir = self._tdir(table)
         paths = [os.path.join(tdir, f["dir"], f["name"]) for f in files]
-        if not dels or not files:
+        if (not dels and not rdels) or not files:
             return self._read_files(spark, paths, merge=merge)
-        key_cols = list(dels[0]["key_cols"])
-        del_sids = sorted({d["sid"] for d in dels})
+        key_cols = list(dels[0]["key_cols"]) if dels else []
+        del_sids = sorted(
+            {d["sid"] for d in dels} | {r["sid"] for r in rdels}
+        )
+
+        def range_pred_from(min_sid: int):
+            conds = [
+                ~grid.ranges_predicate(
+                    r["col"], [tuple(x) for x in r["ranges"]]
+                )
+                for r in rdels
+                if r["sid"] >= min_sid
+            ]
+            out = None
+            for c in conds:
+                out = c if out is None else (out & c)
+            return out
 
         # one tagged base relation over ALL delete files — each segment
         # filters its applicable suffix from it, so stacked deletes
@@ -484,11 +595,11 @@ class SnapshotCatalog:
                 "_del_sid", F.lit(sid)
             )
             base_keys = part if base_keys is None else base_keys.unionByName(part)
-        if len(del_sids) > 1:
+        if base_keys is not None and len(by_sid) > 1:
             base_keys = base_keys.cache()
 
         def keys_from(min_sid: int) -> DataFrame | None:
-            if min_sid > del_sids[-1]:
+            if base_keys is None:
                 return None
             k = (
                 base_keys.filter(F.col("_del_sid") >= min_sid)
@@ -519,6 +630,9 @@ class SnapshotCatalog:
                 keys = keys_from(hi)
                 if keys is not None:
                     df = df.join(keys, key_cols, "left_anti")
+                rp = range_pred_from(hi)
+                if rp is not None:
+                    df = df.filter(rp)
             out = df if out is None else out.unionByName(
                 df, allowMissingColumns=True
             )

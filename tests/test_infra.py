@@ -983,3 +983,63 @@ def test_manifest_optimistic_concurrency(spark, tmp_path):
     assert cat.current_snapshot("t")["meta"]["who"] == "b"
     # versions increase monotonically
     assert cat._load_manifest("t")["version"] == 3
+
+
+def test_metadata_range_delete(spark, tmp_path):
+    """delete_range: O(manifest) commit — fully-covered data files are
+    DROPPED from the snapshot (no data read/written), partially-covered
+    files get a residual filter; sequence semantics let a later append
+    into the range reappear; composes with key deletes; compact applies
+    physically."""
+    cat = SnapshotCatalog(str(tmp_path / "rdel_cat"))
+    df = spark.range(10_000).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 7).alias("v")
+    )
+    s1 = cat.write(df, "t", sort_by=("cell_id",), n_files=10)
+    n_files = len(s1["files"])
+
+    s2 = cat.delete_range("t", "cell_id", (0, 2999))
+    assert s2["meta"]["dropped_files"] >= 2  # whole files gone from manifest
+    assert len(s2["files"]) < n_files
+    assert cat.read(spark, "t").count() == 7_000
+    assert cat.read(spark, "t").filter("cell_id < 3000").count() == 0
+    # time travel before the purge is intact
+    assert cat.read(spark, "t", snapshot_id=s1["snapshot_id"]).count() == 10_000
+
+    # a later append INTO the purged range survives (sequence semantics)
+    cat.write(
+        spark.range(10).select(
+            F.col("id").alias("cell_id"), F.lit(-1).cast("long").alias("v")
+        ),
+        "t", n_files=1, mode="append",
+    )
+    assert cat.read(spark, "t").filter("v = -1").count() == 10
+    assert cat.read(spark, "t").count() == 7_010
+
+    # composes with a key delete on top
+    cat.delete_keys(
+        spark, "t", spark.range(5_000, 5_100).select(F.col("id").alias("cell_id"))
+    )
+    assert cat.read(spark, "t").count() == 7_010 - 100
+
+    # pruned scan honors both delete kinds
+    got = cat.scan(spark, "t", {"cell_id": (0, 5_049)})
+    assert got.count() == 10 + (5_050 - 3_000) - 50
+
+    s5 = cat.compact(spark, "t", n_files=4)
+    assert not s5.get("delete_files") and not s5.get("delete_ranges")
+    assert cat.read(spark, "t").count() == 6_910
+
+
+def test_range_delete_rollback_is_safe(spark, tmp_path):
+    """Rolling back past a metadata range delete must not touch data
+    dirs (the delete commit owns no directory)."""
+    cat = SnapshotCatalog(str(tmp_path / "rdel_rb"))
+    s1 = cat.write(
+        spark.range(100).select(F.col("id").alias("cell_id")),
+        "t", sort_by=("cell_id",), n_files=2,
+    )
+    cat.delete_range("t", "cell_id", (0, 49))
+    assert cat.read(spark, "t").count() == 50
+    cat.rollback("t", s1["snapshot_id"])
+    assert cat.read(spark, "t").count() == 100
