@@ -791,6 +791,44 @@ def _q_snapshot_deletes(spark, sf_dir):
     return cat.read(spark, "pages_del").select("url", "cell_id")
 
 
+def _q_snapshot_range_delete(spark, sf_dir):
+    """Metadata range delete (≡ Iceberg metadata/partition drop): an
+    O(manifest) purge of a cell band — fully-covered files leave the
+    snapshot, partial files get a residual filter — then a later
+    append INTO the band whose rows must reappear (sequence
+    semantics).  Final relation = pages outside x∈[130,180] at RES,
+    plus re-ingested pages with id ≡ 0 (mod 7) inside it."""
+    import shutil
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_rdelcat_{N_PAGES}"
+    )
+    lo = (RES << 58) + (130 << 29)
+    hi = (RES << 58) + (180 << 29) + ((1 << 29) - 1)
+    cat = SnapshotCatalog(root)
+    if len(cat.snapshots("pages_rdel")) < 3:
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SnapshotCatalog(root)
+        geo = _pages_geo(spark).select("url", "cell_id")
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(geo, "pages_rdel", sort_by=("cell_id",), n_files=8)
+        cat.delete_range("pages_rdel", "cell_id", (lo, hi))
+        cat.write(
+            geo.filter(
+                (pid % 7 == 0)
+                & F.col("cell_id").between(lo, hi)
+            ),
+            "pages_rdel",
+            sort_by=("cell_id",),
+            n_files=1,
+            mode="append",
+        )
+    return cat.read(spark, "pages_rdel").select("url", "cell_id")
+
+
 def _q_snapshot_incremental(spark, sf_dir):
     """Incremental consumption (≡ Iceberg incremental scan / the
     reference's scene-append resume, `eodal/core/scene.py:381-413`):
@@ -1435,6 +1473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
+        "snapshot_range_delete": _q_snapshot_range_delete,
     }
 
 
@@ -2035,6 +2074,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   >= {N_PAGES // 2}
+        """,
+        # metadata range delete of the x∈[130,180] cell band; pages
+        # with id ≡ 0 (mod 7) inside the band re-appended afterwards
+        "snapshot_range_delete": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE {cell} NOT BETWEEN {(RES << 58) + (130 << 29)}
+                               AND {(RES << 58) + (180 << 29) + ((1 << 29) - 1)}
+               OR CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) % 7 = 0
         """,
         # equality deletes: ids 0,1,2 (mod 10) deleted by url, ids 0
         # (mod 10) re-appended later — sequence semantics resurrect
