@@ -41,6 +41,12 @@ from pyspark.sql import functions as F
 
 from eodal_spark import geometry
 
+# layers above this poly count fall back to the shuffle join: at a
+# typical few hundred cover cells / ring vertices per polygon the
+# exploded broadcast would cross the ~1 GB class where broadcast
+# builds hurt more than a co-partitioned shuffle
+BROADCAST_LAYER_MAX_POLYS = 1_000_000
+
 
 def spatial_join(
     pages_geo: DataFrame,
@@ -79,10 +85,13 @@ def spatial_join(
     from eodal_spark import grid
 
     if broadcast_layer is None:
-        probe = polys.select("poly_id").limit(
-            geometry.DRIVER_COVER_MAX_POLYS + 1
-        ).collect()
-        broadcast_layer = len(probe) <= geometry.DRIVER_COVER_MAX_POLYS
+        # broadcastability is about COVER SIZE, not where the cover is
+        # computed (DRIVER_COVER_MAX_POLYS governs the latter): a layer
+        # of 100k small polygons still broadcasts fine.  The probe is a
+        # bounded limit+count (no row transfer) against a cap sized so
+        # the exploded cover stays well under executor broadcast budgets.
+        n = polys.select("poly_id").limit(BROADCAST_LAYER_MAX_POLYS + 1).count()
+        broadcast_layer = n <= BROADCAST_LAYER_MAX_POLYS
     bc = F.broadcast if broadcast_layer else (lambda d: d)
 
     if page_res is not None and page_res != res:

@@ -123,33 +123,31 @@ class SnapshotCatalog:
         behavior can never diverge between write/rollback/expire.
 
         Optimistic concurrency (≡ Iceberg's metastore CAS): the
-        manifest carries a ``version``; a commit takes a short
-        exclusive lock (O_EXCL lockfile, stale after 60 s), verifies
-        the on-disk version still equals the one this commit was
-        BUILT against, bumps it, and atomically renames.  A concurrent
+        manifest carries a ``version``; a commit holds an exclusive
+        ``flock`` on a persistent lockfile (kernel-released on process
+        death — no stale-lock breaking, no unlink races), verifies the
+        on-disk version still equals the one this commit was BUILT
+        against, bumps it, and atomically renames.  A concurrent
         writer that lost the race gets `ConcurrentCommitError` and must
-        re-read + rebuild — never a silent lost update."""
+        re-read + rebuild — never a silent lost update.  Local-FS
+        scope: multi-HOST coordination needs a metastore/CAS service,
+        the same caveat as Iceberg's HadoopCatalog."""
+        import fcntl
+
         path = self._manifest_path(table)
-        lock = path + ".lock"
+        fd = os.open(path + ".lock", os.O_CREAT | os.O_RDWR)
         deadline = time.time() + 10.0
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                try:  # stale-lock recovery (crashed writer)
-                    if time.time() - os.path.getmtime(lock) > 60.0:
-                        os.unlink(lock)
-                        continue
-                except OSError:
-                    continue
-                if time.time() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire commit lock {lock}"
-                    )
-                time.sleep(0.05)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() > deadline:
+                        raise TimeoutError(
+                            f"could not acquire commit lock for {table!r}"
+                        )
+                    time.sleep(0.05)
             on_disk = self._load_manifest(table)
             if on_disk.get("version", 0) != man.get("version", 0):
                 raise ConcurrentCommitError(
@@ -164,10 +162,7 @@ class SnapshotCatalog:
                 json.dump(man, f, indent=1)
             os.replace(tmp, path)
         finally:
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            os.close(fd)  # releases the flock
 
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]
@@ -215,7 +210,17 @@ class SnapshotCatalog:
         sid = max(
             (s["snapshot_id"] for s in man["snapshots"]), default=0
         ) + 1
-        data_dir = os.path.join(self._tdir(table), f"v{sid}")
+        # unique dir per COMMIT ATTEMPT: two racing writers both compute
+        # sid N, but only the manifest CAS decides the winner — a shared
+        # v{N} dir would let the loser clobber the winner's committed
+        # data files before its own commit is rejected.  _dir_sid parses
+        # the leading digits, so sequence semantics are unaffected; the
+        # loser's orphan dir is removed on ConcurrentCommitError.
+        import uuid
+
+        data_dir = os.path.join(
+            self._tdir(table), f"v{sid}-{uuid.uuid4().hex[:8]}"
+        )
         if sort_by:
             parts = (n_files,) if n_files else ()
             out = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
@@ -235,8 +240,9 @@ class SnapshotCatalog:
             out.write.mode("overwrite").parquet(data_dir)
         finally:
             spark.conf.set(ts_conf, prev_ts)
+        dname = os.path.basename(data_dir)
         files = [
-            {**f, "dir": f"v{sid}"} for f in _file_stats(data_dir, sort_by)
+            {**f, "dir": dname} for f in _file_stats(data_dir, sort_by)
         ]
         # row count from the same footer reads that produced the stats —
         # no second Spark job per commit
@@ -289,7 +295,11 @@ class SnapshotCatalog:
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
-        self._commit_manifest(table, man)  # atomic commit
+        try:
+            self._commit_manifest(table, man)  # atomic commit
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)  # orphan loser dir
+            raise
         return snap
 
     def _snap_files(self, snap: dict) -> list[dict]:
@@ -419,14 +429,18 @@ class SnapshotCatalog:
                 f"delete key column(s) {missing} not in table "
                 f"{table!r}'s data schema {sorted(data_cols)}"
             )
+        import uuid
+
         sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
-        ddir = os.path.join(self._tdir(table), f"v{sid}")
+        ddir = os.path.join(
+            self._tdir(table), f"v{sid}-{uuid.uuid4().hex[:8]}"
+        )
         keys.select(*key_cols).distinct().repartition(n_files).write.mode(
             "overwrite"
         ).parquet(ddir)
         new_dels = [
             {
-                "dir": f"v{sid}",
+                "dir": os.path.basename(ddir),
                 "name": f["name"],
                 "rows": f["rows"],
                 "key_cols": key_cols,
@@ -450,7 +464,11 @@ class SnapshotCatalog:
             "meta": {},
         }
         man["snapshots"].append(snap)
-        self._commit_manifest(table, man)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            shutil.rmtree(ddir, ignore_errors=True)
+            raise
         return snap
 
     def delete_range(
@@ -473,7 +491,22 @@ class SnapshotCatalog:
         ranges = ranges if isinstance(ranges, list) else [ranges]
         if not ranges:
             raise ValueError("empty range list")
-        ranges = [(lo, hi) for lo, hi in ranges]
+        # coerce bounds into the manifest value space up front: the
+        # stored ranges must be JSON-serializable (datetime/bytes
+        # bounds otherwise crash the commit) and compare consistently
+        # with the stats AND the read-time residual (Spark casts ISO
+        # strings back to timestamps)
+        ranges = [(_stat_bound(lo), _stat_bound(hi)) for lo, hi in ranges]
+        for lo, hi in ranges:
+            try:
+                inverted = lo > hi
+            except TypeError:
+                inverted = False
+            if inverted:
+                raise ValueError(
+                    f"inverted range ({lo!r}, {hi!r}) — a silent no-op "
+                    "purge; pass (lo, hi) with lo <= hi"
+                )
         man = self._load_manifest(table)
         if not man["snapshots"]:
             raise FileNotFoundError(f"no snapshots for table {table}")
@@ -513,7 +546,7 @@ class SnapshotCatalog:
             # metadata-only commit: the v-dir is named but NEVER created
             # (rollback/expire rmtree it harmlessly; pointing at the
             # table dir instead would let rollback delete the table)
-            "path": os.path.join(self._tdir(table), f"v{sid}"),
+            "path": os.path.join(self._tdir(table), f"v{sid}-meta"),
             "row_count": parent["row_count"] - dropped_rows,
             "sort_by": list(parent.get("sort_by") or ()),
             "mode": "delete",
@@ -531,10 +564,14 @@ class SnapshotCatalog:
 
     @staticmethod
     def _dir_sid(d: str) -> int:
-        """Commit sequence of a data dir ('v12' → 12); legacy dirs
-        without the v-prefix sort oldest (every delete applies —
-        conservative and correct for pre-delete-era files)."""
-        return int(d[1:]) if d.startswith("v") and d[1:].isdigit() else 0
+        """Commit sequence of a data dir ('v12' / 'v12-ab34cd' → 12);
+        legacy dirs without the v-prefix sort oldest (every delete
+        applies — conservative and correct for pre-delete-era files)."""
+        if d.startswith("v"):
+            head = d[1:].split("-", 1)[0]
+            if head.isdigit():
+                return int(head)
+        return 0
 
     def _read_with_deletes(
         self,
@@ -568,8 +605,13 @@ class SnapshotCatalog:
         )
 
         def range_pred_from(min_sid: int):
+            # NULL-valued rows are in NO range: keep them (a bare
+            # ~BETWEEN evaluates to NULL and filter() would silently
+            # drop them — inconsistent with the key-delete anti-join,
+            # which preserves NULL keys)
             conds = [
-                ~grid.ranges_predicate(
+                F.col(r["col"]).isNull()
+                | ~grid.ranges_predicate(
                     r["col"], [tuple(x) for x in r["ranges"]]
                 )
                 for r in rdels
@@ -598,8 +640,13 @@ class SnapshotCatalog:
         if base_keys is not None and len(by_sid) > 1:
             base_keys = base_keys.cache()
 
+        max_key_sid = max((d["sid"] for d in dels), default=-1)
+
         def keys_from(min_sid: int) -> DataFrame | None:
-            if base_keys is None:
+            # no key delete applies to this segment (base empty, or the
+            # boundary comes from a RANGE delete newer than every key
+            # delete) — skip the provably-empty anti-join
+            if base_keys is None or min_sid > max_key_sid:
                 return None
             k = (
                 base_keys.filter(F.col("_del_sid") >= min_sid)

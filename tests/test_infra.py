@@ -545,7 +545,9 @@ def test_append_snapshot_reuses_parent_files(spark, tmp_path):
     )
     assert s2["row_count"] == 1500
     assert len(s2["files"]) == 6  # 4 inherited + 2 new
-    assert {f["dir"] for f in s2["files"]} == {"v1", "v2"}
+    # dirs are v{sid}-{uuid}: assert the SEQUENCE prefixes (the uuid
+    # suffix exists so racing writers can never share a data dir)
+    assert {f["dir"].split("-")[0] for f in s2["files"]} == {"v1", "v2"}
     # parent bytes untouched
     assert [os.path.getmtime(p) for p in v1_files] == v1_mtimes
 
@@ -731,7 +733,9 @@ def test_manifest_row_counts_and_file_metrics(spark, tmp_path):
     fm = cat.file_metrics(spark, "t")
     assert fm.count() == 5
     assert fm.agg(F.sum("rows")).first()[0] == 1250
-    assert {r.dir for r in fm.select("dir").distinct().collect()} == {"v1", "v2"}
+    assert {
+        r.dir.split("-")[0] for r in fm.select("dir").distinct().collect()
+    } == {"v1", "v2"}
 
 
 def test_manifest_scan_timestamp_ranges(spark, tmp_path):
@@ -953,8 +957,10 @@ def test_delete_sequence_semantics_match_model(spark, tmp_path_factory, ops, see
                 spark, "t", spark.createDataFrame([(k,) for k in keys], "k long")
             )
             model = {(k, b) for (k, b) in model if k not in keys}
-    got = {(r.k, r.batch) for r in cat.read(spark, "t").collect()}
-    assert got == model
+    from collections import Counter
+
+    got = Counter((r.k, r.batch) for r in cat.read(spark, "t").collect())
+    assert got == Counter(model)  # multiset-exact: duplicates would fail
 
 
 def test_manifest_optimistic_concurrency(spark, tmp_path):
@@ -1043,3 +1049,33 @@ def test_range_delete_rollback_is_safe(spark, tmp_path):
     assert cat.read(spark, "t").count() == 50
     cat.rollback("t", s1["snapshot_id"])
     assert cat.read(spark, "t").count() == 100
+
+
+def test_range_delete_datetime_bounds_and_nulls(spark, tmp_path):
+    """delete_range with datetime bounds must commit (bounds are
+    coerced to the manifest value space, not raw datetimes that crash
+    json.dump) and prune/filter correctly; rows with a NULL delete
+    column survive; inverted ranges raise."""
+    import datetime as dt
+
+    cat = SnapshotCatalog(str(tmp_path / "rdel_ts"))
+    df = spark.range(1_000).select(
+        F.col("id").alias("v"),
+        F.when(
+            F.col("id") % 100 != 0,
+            F.timestamp_seconds(F.lit(1_583_000_000) + F.col("id") * 60),
+        ).alias("ts"),
+    )
+    cat.write(df, "t", sort_by=("ts",), n_files=4)
+    lo = dt.datetime(2020, 3, 1, 0, 0, 0)
+    hi = dt.datetime(2020, 3, 1, 5, 0, 0)
+    cat.delete_range("t", "ts", (lo, hi))
+    got = cat.read(spark, "t")
+    expect = spark.createDataFrame(df.collect()).filter(
+        F.col("ts").isNull()
+        | (F.col("ts") < F.lit(lo)) | (F.col("ts") > F.lit(hi))
+    )
+    assert got.count() == expect.count()
+    assert got.filter("ts IS NULL").count() == 10  # NULLs preserved
+    with pytest.raises(ValueError, match="inverted"):
+        cat.delete_range("t", "ts", (hi, lo))
