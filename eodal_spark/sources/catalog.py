@@ -443,6 +443,10 @@ class SnapshotCatalog:
                 "dir": os.path.basename(ddir),
                 "name": f["name"],
                 "rows": f["rows"],
+                # on-disk size feeds the read-time broadcast decision:
+                # row count alone ignores key WIDTH (1M long-URL keys
+                # can be hundreds of MB — too big to force-broadcast)
+                "bytes": os.path.getsize(os.path.join(ddir, f["name"])),
                 "key_cols": key_cols,
                 "sid": sid,
             }
@@ -520,18 +524,32 @@ class SnapshotCatalog:
         sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
 
         def fully_deleted(f: dict) -> bool:
+            # dropping a file here is IRREVERSIBLE after expire/compact,
+            # so any bound/stat representation mismatch must KEEP the
+            # file (the read-time residual filter, which compares in the
+            # column's real type, still removes the in-range rows).
+            # Mirrors scan()'s guards: a 'YYYY-MM-DD HH:MM:SS' string
+            # bound sorts BEFORE every same-day 'T'-isoformat stat
+            # (' ' < 'T') and would otherwise misclassify coverage.
             st = (f.get("stats") or {}).get(col)
             if not st or st["min"] is None or st["max"] is None:
                 return False
-            try:
-                return any(
-                    _stat_bound(lo) <= st["min"] and st["max"] <= _stat_bound(hi)
-                    for lo, hi in ranges
-                )
-            except TypeError:
-                # incomparable bound/stat types: keep the file — the
-                # read-time residual filter still removes its rows
-                return False
+            stat_is_str = isinstance(st["min"], str)
+            stat_is_iso = stat_is_str and _ISO_TS.match(st["min"])
+            for lo, hi in ranges:
+                if (
+                    isinstance(lo, str) != stat_is_str
+                    or isinstance(hi, str) != stat_is_str
+                ):
+                    continue  # type mismatch → not provably covered
+                if stat_is_iso:
+                    lo, hi = _iso_t(lo), _iso_t(hi)
+                try:
+                    if lo <= st["min"] and st["max"] <= hi:
+                        return True
+                except TypeError:
+                    continue  # incomparable → keep the file
+            return False
 
         kept, dropped_rows = [], 0
         for f in parent_files:
@@ -539,6 +557,17 @@ class SnapshotCatalog:
                 dropped_rows += int(f.get("rows") or 0)
             else:
                 kept.append(f)
+        if not kept and parent_files:
+            # full-table purge: keep the smallest covered file as a
+            # SCHEMA ANCHOR.  A files==[] snapshot is indistinguishable
+            # from a legacy pre-stats one, so read()/scan()/compact()
+            # would fall back to snap['path'] — the never-created
+            # v{sid}-meta dir — and append would listdir it.  The
+            # anchor's rows are still removed by the read-time residual
+            # filter (its dir sid < this delete's sid), so reads return
+            # a schema-correct EMPTY relation; row_count stays 0.
+            anchor = min(parent_files, key=lambda f: int(f.get("rows") or 0))
+            kept = [anchor]
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -653,8 +682,20 @@ class SnapshotCatalog:
                 .select(*key_cols)
                 .distinct()
             )
-            n = sum(d["rows"] for d in dels if d["sid"] >= min_sid)
-            return F.broadcast(k) if n <= 1_000_000 else k
+            # force-broadcast only when the key SET is provably small by
+            # BYTES (parquet-compressed footprint × a decompression
+            # fudge), not by row count alone — 1M wide string keys can
+            # be a several-hundred-MB broadcast that would override
+            # Spark's size-based threshold and OOM the driver.  Entries
+            # without a recorded size (pre-upgrade) get a conservative
+            # row cap; above the gates, Spark's own
+            # autoBroadcastJoinThreshold decides.
+            applicable = [d for d in dels if d["sid"] >= min_sid]
+            if all("bytes" in d for d in applicable):
+                small = sum(d["bytes"] for d in applicable) <= 32 << 20
+            else:
+                small = sum(d["rows"] for d in applicable) <= 100_000
+            return F.broadcast(k) if small else k
 
         # segment boundaries: files with sid in (prev_del, del] share
         # the same applicable-delete suffix {del, ...}

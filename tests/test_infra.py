@@ -1079,3 +1079,79 @@ def test_range_delete_datetime_bounds_and_nulls(spark, tmp_path):
     assert got.filter("ts IS NULL").count() == 10  # NULLs preserved
     with pytest.raises(ValueError, match="inverted"):
         cat.delete_range("t", "ts", (hi, lo))
+
+
+def test_range_delete_space_separated_bounds_no_data_loss(spark, tmp_path):
+    """A 'YYYY-MM-DD HH:MM:SS' string bound vs 'T'-isoformat manifest
+    stats: ' ' sorts before 'T', so without normalization a file whose
+    stats span [Mar1 00:00, Mar1 23:59] looks fully covered by
+    (Mar1-12:00-space, Mar2-space) — delete_range would DROP it and
+    silently delete the morning rows.  The fix normalizes the bound
+    (scan()'s _iso_t guard) so the file is kept and only the in-range
+    rows disappear via the residual filter."""
+    cat = SnapshotCatalog(str(tmp_path / "rdel_sp"))
+    df = spark.range(24).select(
+        F.col("id").alias("h"),
+        F.timestamp_seconds(
+            F.lit(1_583_020_800) + F.col("id") * 3600  # 2020-03-01 hourly
+        ).alias("ts"),
+    )
+    s1 = cat.write(df, "t", sort_by=("ts",), n_files=1)
+    s2 = cat.delete_range(
+        "t", "ts", ("2020-03-01 12:00:00", "2020-03-02 00:00:00")
+    )
+    # the single data file must NOT have been dropped from the manifest
+    assert s2["meta"]["dropped_files"] == 0
+    assert len(s2["files"]) == len(s1["files"])
+    got = cat.read(spark, "t")
+    assert got.count() == 12  # hours 0..11 survive
+    assert got.agg(F.max("h")).first()[0] == 11
+
+
+def test_full_table_range_delete_keeps_table_usable(spark, tmp_path):
+    """A delete_range covering EVERY file must not brick the table: a
+    files==[] snapshot would be read as legacy pre-stats and chase the
+    never-created v{sid}-meta dir.  A schema-anchor file is kept (its
+    rows removed by the residual filter), so read/scan return a
+    schema-correct empty relation and append/compact keep working."""
+    cat = SnapshotCatalog(str(tmp_path / "rdel_full"))
+    df = spark.range(1_000).select(
+        F.col("id").alias("cell_id"), (F.col("id") * 3).alias("v")
+    )
+    cat.write(df, "t", sort_by=("cell_id",), n_files=4)
+    s2 = cat.delete_range("t", "cell_id", (0, 999))
+    assert s2["files"], "schema anchor must survive a full purge"
+    assert s2["row_count"] == 0
+    got = cat.read(spark, "t")
+    assert got.columns == ["cell_id", "v"]
+    assert got.count() == 0
+    assert cat.scan(spark, "t", {"cell_id": (0, 10)}).count() == 0
+    # append on top of the purge: only the new rows are visible
+    cat.write(
+        spark.range(5).select(
+            F.col("id").alias("cell_id"), F.lit(-1).cast("long").alias("v")
+        ),
+        "t", n_files=1, mode="append",
+    )
+    assert cat.read(spark, "t").count() == 5
+    assert cat.read(spark, "t").filter("v = -1").count() == 5
+    # compact applies the purge physically and stays readable
+    cat.compact(spark, "t", n_files=1)
+    assert cat.read(spark, "t").count() == 5
+
+
+def test_delete_key_entries_record_bytes(spark, tmp_path):
+    """Equality-delete manifest entries carry the on-disk byte size so
+    the read path can gate its forced broadcast on actual key-set
+    WIDTH, not row count alone (1M long-URL keys may be too big to
+    broadcast safely)."""
+    cat = SnapshotCatalog(str(tmp_path / "delbytes"))
+    cat.write(
+        spark.range(100).select(F.col("id").alias("k")), "t", n_files=1
+    )
+    s = cat.delete_keys(
+        spark, "t", spark.range(10).select(F.col("id").alias("k"))
+    )
+    ent = s["delete_files"][0]
+    assert ent["bytes"] > 0
+    assert cat.read(spark, "t").count() == 90
