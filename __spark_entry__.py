@@ -1381,78 +1381,31 @@ def _q_emb_cosine_topk(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registered driver queries.
 
-    ORDERING MATTERS: the round driver gates only the FIRST 50 dict entries
-    (CORRECTNESS_r03 = positions 1-50 exactly).  Round 4 front-loads the 17
-    queries with no round-3 driver row — the four probabilistic operators
-    (whose last driver rows are stale ``no_oracle`` FAILs from r1/r2 that
-    predate their oracles), the six round-3 additions never sampled, and the
-    seven r2-green LLM-pipeline queries — so every registered query earns a
-    fresh hard-signal row.  Positions 18-50 keep the flagship geospatial /
-    snapshot / kNN queries in-window (kNN especially: its bookkeeping was
-    rewritten this round and must re-prove hash-exactness).  The r3-green
-    entries parked after position 50 rotate back in round 5.
+    ORDERING MATTERS: the round driver gates only the FIRST 50 dict entries.
+
+    STANDING ROTATION POLICY (do not drop): every registered query must
+    appear inside the 50-entry window at least every 2 rounds.  Each round,
+    front-load (a) any query that has NEVER had a driver row, then (b) the
+    queries parked outside the window LAST round, then fill the remaining
+    slots with the queries whose code paths changed THIS round (they must
+    re-prove hash-exactness); park only queries that are green as of the
+    previous round and untouched this round.  With 71 registered queries and
+    a 50-row window, parked entries are stale by exactly one round — never
+    more.  All parked entries remain gated every round by the local DuckDB
+    twin in tests/test_entry_oracles.
+
+    Round 5: positions 1-21 are the two never-driver-checked queries
+    (snapshot_range_delete, docs_curation_pipeline) plus the 19 r3-green
+    entries parked in r4; positions 22-50 are the r4-green queries whose
+    code was touched in round 5 (catalog deletes, kNN fusing, LSH
+    hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
+    flagship set; the 21 parked entries all have fresh r4-green rows.
     """
     return {
-        # -- never driver-green (stale no_oracle FAILs from r1/r2) ----------
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_ann_srp": _q_emb_ann_srp,
-        # -- round-3 additions never sampled by the driver ------------------
-        "docs_dup_groups": _q_docs_dup_groups,
-        "url_canonical": _q_url_canonical,
-        "host_stats": _q_host_stats,
-        "docs_hash_sample": _q_docs_hash_sample,
-        "link_pagerank": _q_link_pagerank,
-        "emb_cosine_topk": _q_emb_cosine_topk,
-        # -- r2-green, not sampled in r3 ------------------------------------
-        "docs_token_stats": _q_docs_token_stats,
-        "docs_lang_id": _q_docs_lang_id,
-        "docs_quality_filter": _q_docs_quality_filter,
-        "docs_fingerprint": _q_docs_fingerprint,
-        "emb_l2_topk": _q_emb_l2_topk,
-        "emb_near_dup": _q_emb_near_dup,
-        "multimodal_bytes": _q_multimodal_bytes,
-        # -- new in round 4 -------------------------------------------------
-        "product_uri_battery": _q_product_uri_battery,
-        "snapshot_deletes": _q_snapshot_deletes,
-        # -- flagship r3-green, kept in the 50-row window -------------------
-        "cell_encode": _q_cell_encode,
-        "text_extraction": _q_text_extraction,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "tile_assignment": _q_tile_assignment,
-        "spatial_join_centroid": _q_spatial_join_centroid,
-        "spatial_join_exact": _q_spatial_join_exact,
-        "spatial_join_holes": _q_spatial_join_holes,
-        "spatial_join_buffered": _q_spatial_join_buffered,
-        "zonal_stats": _q_zonal_stats,
-        "mosaic_dedup": _q_mosaic_dedup,
-        "duplicate_split": _q_duplicate_split,
-        "tile_histogram": _q_tile_histogram,
-        "knn": _q_knn,
-        "sample_points": _q_sample_points,
-        "adaptive_cells": _q_adaptive_cells,
-        "asof_join": _q_asof_join,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "q3_shipping_priority": _q3_shipping_priority,
-        "q5_region_revenue": _q5_region_revenue,
-        "events_window": _q_events_window,
-        "events_sessions": _q_events_sessions,
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
-        "snapshot_incremental": _q_snapshot_incremental,
-        "morton_bbox_scan": _q_morton_bbox_scan,
-        "bbox_cell_range": _q_bbox_cell_range,
-        "poly_timeseries": _q_poly_timeseries,
-        "poly_timeseries_reindexed": _q_poly_timeseries_reindexed,
-        "cell_resample_mean": _q_cell_resample_mean,
-        "cell_upsample_bilinear": _q_cell_upsample_bilinear,
-        "filter_grammar": _q_filter_grammar,
-        "sensor_s2_scale": _q_sensor_s2_scale,
-        # ------------------------------------------------------------------
-        # r3-green entries below are OUTSIDE the driver's 50-row window this
-        # round (stale by exactly one round; rotate back in round 5).  All
-        # remain gated by the local DuckDB twin in tests/test_entry_oracles.
-        # ------------------------------------------------------------------
+        # -- never driver-checked (new in r4, registered after pos 50) ------
+        "snapshot_range_delete": _q_snapshot_range_delete,
+        "docs_curation_pipeline": _q_docs_curation_pipeline,
+        # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
         "bounds": _q_bounds,
@@ -1472,8 +1425,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_histogram": _q_value_histogram,
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
-        "docs_curation_pipeline": _q_docs_curation_pipeline,
-        "snapshot_range_delete": _q_snapshot_range_delete,
+        # -- r4-green, code paths touched in round 5 ------------------------
+        "snapshot_deletes": _q_snapshot_deletes,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "snapshot_incremental": _q_snapshot_incremental,
+        "knn": _q_knn,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_dup_groups": _q_docs_dup_groups,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ann_srp": _q_emb_ann_srp,
+        "spatial_join_centroid": _q_spatial_join_centroid,
+        "spatial_join_exact": _q_spatial_join_exact,
+        "spatial_join_holes": _q_spatial_join_holes,
+        "spatial_join_buffered": _q_spatial_join_buffered,
+        # -- flagship r4-green, kept in-window ------------------------------
+        "cell_encode": _q_cell_encode,
+        "text_extraction": _q_text_extraction,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "tile_assignment": _q_tile_assignment,
+        "zonal_stats": _q_zonal_stats,
+        "mosaic_dedup": _q_mosaic_dedup,
+        "duplicate_split": _q_duplicate_split,
+        "tile_histogram": _q_tile_histogram,
+        "sample_points": _q_sample_points,
+        "adaptive_cells": _q_adaptive_cells,
+        "asof_join": _q_asof_join,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
+        "q5_region_revenue": _q5_region_revenue,
+        "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
+        # ------------------------------------------------------------------
+        # Entries below are OUTSIDE the driver's 50-row window this round —
+        # every one has a FRESH r4-green driver row (stale by exactly one
+        # round; rotate back in round 6 per the policy above).  All remain
+        # gated by the local DuckDB twin in tests/test_entry_oracles.
+        # ------------------------------------------------------------------
+        "url_canonical": _q_url_canonical,
+        "host_stats": _q_host_stats,
+        "docs_hash_sample": _q_docs_hash_sample,
+        "link_pagerank": _q_link_pagerank,
+        "emb_cosine_topk": _q_emb_cosine_topk,
+        "emb_l2_topk": _q_emb_l2_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        "docs_token_stats": _q_docs_token_stats,
+        "docs_lang_id": _q_docs_lang_id,
+        "docs_quality_filter": _q_docs_quality_filter,
+        "docs_fingerprint": _q_docs_fingerprint,
+        "multimodal_bytes": _q_multimodal_bytes,
+        "product_uri_battery": _q_product_uri_battery,
+        "morton_bbox_scan": _q_morton_bbox_scan,
+        "bbox_cell_range": _q_bbox_cell_range,
+        "poly_timeseries": _q_poly_timeseries,
+        "poly_timeseries_reindexed": _q_poly_timeseries_reindexed,
+        "cell_resample_mean": _q_cell_resample_mean,
+        "cell_upsample_bilinear": _q_cell_upsample_bilinear,
+        "filter_grammar": _q_filter_grammar,
+        "sensor_s2_scale": _q_sensor_s2_scale,
     }
 
 
