@@ -148,6 +148,21 @@ def main() -> None:
         spark.stop()
         return
 
+    # bandwidth control for the FULL suite too (not just --headline-only):
+    # the sandbox VM's CPU steal varies 1.8-5× between runs, and a
+    # single-shot driver bench cannot otherwise distinguish "every query
+    # regressed" from "the whole window was slow".  The control is a
+    # near-zero-compute scan of the same parquet (storage/memory-path
+    # bound); probing it BEFORE and AFTER the suite also exposes
+    # mid-run drift.  Normalized figures divide by the control so a
+    # uniformly-noisy window cancels out.
+    scan_control(spark, pages_path).collect()  # warm
+    scan_before = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        scan_control(spark, pages_path).collect()
+        scan_before = min(scan_before, time.time() - t0)
+
     # operator suite at the configured scale factor
     suite = [
         "q1_pricing_summary",
@@ -173,7 +188,12 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    t0 = time.time()
+    scan_control(spark, pages_path).collect()
+    scan_after = time.time() - t0
+
     total = round(sum(timings.values()), 3)
+    scan_sec = min(scan_before, scan_after)
     print(
         json.dumps(
             {
@@ -189,6 +209,17 @@ def main() -> None:
                     "rows_per_sec": round(rows_per_sec),
                     "cpus": CPUS,
                 },
+                # in-run noise control: compare value_over_control /
+                # headline_over_control ACROSS rounds — a noisy VM
+                # window inflates numerator and denominator together
+                "scan_control": {
+                    "seconds": round(scan_sec, 3),
+                    "before_sec": round(scan_before, 3),
+                    "after_sec": round(scan_after, 3),
+                    "rows_per_sec": round(BENCH_ROWS / scan_sec),
+                },
+                "value_over_control": round(total / scan_sec, 2),
+                "headline_over_control": round(headline_sec / scan_sec, 2),
             }
         )
     )

@@ -210,12 +210,34 @@ def _mix64(h: np.ndarray) -> np.ndarray:
         return h
 
 
+def _cap_buckets(banded: DataFrame, keys: list[str], cap: int) -> DataFrame:
+    """Drop LSH buckets holding more than ``cap`` members before the
+    candidate self-join: a bucket of n ids emits n(n-1)/2 pairs, so one
+    adversarial bucket (template/boilerplate families that survive the
+    exact-text pre-collapse) can go quadratic.  Standard LSH practice
+    (datasketch / Spark ML both bound bucket fan-out); recall loss is
+    confined to pairs whose EVERY shared band is oversized — near-dups
+    collide in many independent bands.  One extra shuffle on the same
+    bucket key the join was about to shuffle on anyway."""
+    counts = banded.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+    return banded.join(
+        counts.filter(F.col("_n") > cap).select(*keys), keys, "left_anti"
+    )
+
+
 def minhash_lsh_candidates(
-    sigs: DataFrame, bands: int = 16, rows_per_band: int = 4
+    sigs: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 4,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banding: hash each band of the signature, self-join on
     (band_idx, band_hash) buckets → candidate pairs (id_a < id_b).
-    Shuffle key is the band hash — small and well-distributed."""
+    Shuffle key is the band hash — small and well-distributed.
+    ``bucket_cap`` drops oversized buckets (see :func:`_cap_buckets`);
+    pair it with the exact-text pre-collapse in :func:`minhash_dedup`,
+    which removes the *guaranteed* hot buckets (identical docs collide
+    in every band) without any recall loss."""
     banded = sigs.select(
         "id",
         F.posexplode(
@@ -225,6 +247,8 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bh"),
     )
+    if bucket_cap is not None:
+        banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bh"])
@@ -303,25 +327,36 @@ def _pair_jaccard_udf(w: int):
     return jac
 
 
-def minhash_dedup(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_perm: int = 64,
-    bands: int = 16,
-    threshold_milli: int = 800,
-    w: int = 5,
+def _shingle_size_udf(w: int):
+    """|distinct w-shingle set| per text — the (inter, uni) both equal
+    this for an exact-duplicate pair, letting the expansion step emit
+    within-group pairs without running the pair verifier on them."""
+
+    @F.pandas_udf(T.LongType())
+    def ssize(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [int(_shingle_hash_set(t, w).size) for t in texts.fillna("")]
+        )
+
+    return ssize
+
+
+def _minhash_pairs_core(
+    docs: DataFrame,
+    num_perm: int,
+    bands: int,
+    threshold_milli: int,
+    w: int,
+    bucket_cap: int | None,
 ) -> DataFrame:
-    """Full pipeline: signatures → LSH candidates → exact-Jaccard verify
-    **within candidates only** (per-pair, never the all-pairs inverted
-    index — at 10^12 docs the candidate set is the only thing that may
-    exist materialized).  Returns (id_a, id_b, inter, uni) verified
-    near-dup pairs; survivors follow the min-id rule downstream."""
+    """signatures → LSH candidates → zip_with estimate prune → exact
+    per-pair Jaccard verify, over ``docs(id, t)``.  Candidates only —
+    never the all-pairs inverted index."""
     # persist: the signature UDF is the dominant cost and is consumed
     # by the banding self-join (both sides) AND the sa/sb estimate joins
     # — without the cache it would re-run up to 4x over the corpus
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, w).persist()
-    cand = minhash_lsh_candidates(sigs, bands, num_perm // bands)
+    sigs = minhash_signatures(docs, "t", "id", num_perm, w).persist()
+    cand = minhash_lsh_candidates(sigs, bands, num_perm // bands, bucket_cap)
     # signature-level Jaccard estimate (pure JVM zip_with) prunes the
     # candidate set BEFORE the Python exact verifier — banding alone
     # admits many mid-similarity pairs; the 150-milli margin keeps the
@@ -339,10 +374,9 @@ def minhash_dedup(
         .filter(F.col("_est") * 1000 >= F.lit(est_min))
         .select("id_a", "id_b")
     )
-    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
     paired = (
-        cand.join(texts.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
-        .join(texts.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
+        cand.join(docs.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
+        .join(docs.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
     )
     jac = _pair_jaccard_udf(w)
     out = paired.withColumn("j", jac(F.col("ta"), F.col("tb"))).select(
@@ -351,6 +385,126 @@ def minhash_dedup(
     return out.filter(
         F.col("inter") * 1000 >= F.lit(threshold_milli) * F.col("uni")
     )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold_milli: int = 800,
+    w: int = 5,
+    collapse_exact: bool = True,
+    expand: str = "all",
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Full pipeline: **exact-text pre-collapse** → signatures → LSH
+    candidates → exact-Jaccard verify within candidates → fan results
+    back out through the exact-duplicate groups.  Returns
+    (id_a, id_b, inter, uni) verified near-dup pairs; survivors follow
+    the min-id rule downstream.
+
+    The pre-collapse (``collapse_exact``, on by default) is the
+    hot-bucket defense the 10^12-doc case REQUIRES: n byte-identical
+    boilerplate docs have identical signatures, so they land in the
+    same (band, hash) bucket in *every* band and the candidate
+    self-join emits ~bands·n²/2 pairs.  Grouping by exact content hash
+    first (sha2-256, the same key as :func:`exact_dedup`) runs the
+    whole LSH machinery on one representative per distinct text —
+    identical docs can never inflate a bucket, signatures are computed
+    once per distinct text, and the result is provably identical: the
+    signature/estimate/verify stack is a pure function of the text, so
+    a member pair passes iff its representative pair passes.
+
+    ``expand`` controls the fan-out:
+      * ``"all"`` — every implied member pair, with (inter, uni) taken
+        from the representative pair (within-group pairs get
+        inter = uni = |shingle set|).  Output-faithful to the
+        un-collapsed pipeline; note the OUTPUT itself is inherently
+        quadratic in exact-group size.
+      * ``"star"`` — within each exact group emit only (rep, member)
+        spanning pairs, and cross-group pairs only between
+        representatives: O(n) output with identical connected
+        components / dup_groups downstream — the form to use at scale.
+
+    ``bucket_cap`` additionally drops residual oversized LSH buckets
+    (near-identical template *families*); see :func:`_cap_buckets`.
+    """
+    if expand not in ("all", "star"):
+        raise ValueError(f"unknown expand mode {expand!r}")
+    if not collapse_exact:
+        docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+        return _minhash_pairs_core(
+            docs, num_perm, bands, threshold_milli, w, bucket_cap
+        )
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h"),
+    )
+    # map-side combinable min per content hash; the mapping join fans a
+    # hot content hash 1×n, never n×n
+    reps = hashed.groupBy("_h").agg(F.min("id").alias("rep_id"))
+    mapping = (
+        hashed.select("id", "_h").join(reps, "_h").select("id", "rep_id")
+    ).persist()
+    rep_docs = hashed.join(
+        reps.select(F.col("rep_id").alias("id")), "id", "semi"
+    ).select("id", "t")
+    rep_pairs = _minhash_pairs_core(
+        rep_docs, num_perm, bands, threshold_milli, w, bucket_cap
+    )
+    # exact groups with >1 member need |shingle set| for their
+    # within-group pairs — computed once per such representative
+    multi = mapping.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("_gn")
+    ).filter(F.col("_gn") > 1)
+    ssize = _shingle_size_udf(w)
+    sizes = (
+        rep_docs.join(
+            multi.select(F.col("rep_id").alias("id")), "id", "semi"
+        )
+        .select(F.col("id").alias("rep_id"), ssize(F.col("t")).alias("_ss"))
+    )
+    if expand == "star":
+        within = (
+            mapping.filter(F.col("id") != F.col("rep_id"))
+            .join(sizes, "rep_id")
+            .select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.col("_ss").alias("inter"),
+                F.col("_ss").alias("uni"),
+            )
+        )
+        return rep_pairs.unionByName(within)
+    ma = mapping.select(F.col("id").alias("_xa"), F.col("rep_id").alias("id_a"))
+    mb = mapping.select(F.col("id").alias("_xb"), F.col("rep_id").alias("id_b"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("_xa", "_xb").alias("id_a"),
+            F.greatest("_xa", "_xb").alias("id_b"),
+            "inter",
+            "uni",
+        )
+    )
+    w1 = mapping.select("rep_id", F.col("id").alias("_xa"))
+    w2 = mapping.select("rep_id", F.col("id").alias("_xb"))
+    within = (
+        w1.join(w2, "rep_id")
+        .filter(F.col("_xa") < F.col("_xb"))
+        .join(sizes, "rep_id")
+        .select(
+            F.col("_xa").alias("id_a"),
+            F.col("_xb").alias("id_b"),
+            F.col("_ss").alias("inter"),
+            F.col("_ss").alias("uni"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 # ---------------------------------------------------------------------------
@@ -387,14 +541,79 @@ def simhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    sigs: DataFrame,
+    max_hamming: int = 3,
+    collapse_identical: bool = True,
+    expand: str = "all",
+    bucket_cap: int | None = None,
+) -> DataFrame:
     """Candidate pairs within Hamming distance via block banding,
     verified with native bit_count (Spark 3.5+).
 
     The signature is split into ``max_hamming + 1`` near-equal bit
     blocks — by pigeonhole, any pair ≤ max_hamming bits apart shares at
     least one full block, so recall is GUARANTEED at the requested
-    radius (a fixed 4-block split only guarantees hamming ≤ 3)."""
+    radius (a fixed 4-block split only guarantees hamming ≤ 3).
+
+    ``collapse_identical`` (default on) is the hot-bucket defense:
+    identical texts hash to identical signatures, which collide in
+    EVERY block — n boilerplate copies would put n ids in the same
+    bucket per block and the self-join would emit ~blocks·n²/2 pairs.
+    Collapsing to one representative per distinct signature first
+    (min id — stricter than, and subsuming, exact-text identity) runs
+    the banding join over distinct signatures only, then fans results
+    back out: ``expand="all"`` reproduces every implied member pair
+    (hamming 0 within a signature group — output-faithful to the
+    un-collapsed join, though the output itself is quadratic in group
+    size); ``expand="star"`` emits (rep, member) spanning pairs within
+    groups and rep-level pairs across — O(n) output with identical
+    connected components downstream.  ``bucket_cap`` drops residual
+    oversized buckets (distinct-but-near-identical template families);
+    see :func:`_cap_buckets`."""
+    if expand not in ("all", "star"):
+        raise ValueError(f"unknown expand mode {expand!r}")
+    if collapse_identical:
+        reps = sigs.groupBy("simhash").agg(F.min("id").alias("id"))
+        mapping = sigs.join(
+            reps.select("simhash", F.col("id").alias("rep_id")), "simhash"
+        ).select("id", "rep_id").persist()
+        rep_pairs = simhash_near_pairs(
+            reps.select("id", "simhash"),
+            max_hamming,
+            collapse_identical=False,
+            bucket_cap=bucket_cap,
+        )
+        if expand == "star":
+            within = mapping.filter(F.col("id") != F.col("rep_id")).select(
+                F.col("rep_id").alias("id_a"),
+                F.col("id").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+            return rep_pairs.unionByName(within)
+        ma = mapping.select(F.col("id").alias("_xa"), F.col("rep_id").alias("id_a"))
+        mb = mapping.select(F.col("id").alias("_xb"), F.col("rep_id").alias("id_b"))
+        cross = (
+            rep_pairs.join(ma, "id_a")
+            .join(mb, "id_b")
+            .select(
+                F.least("_xa", "_xb").alias("id_a"),
+                F.greatest("_xa", "_xb").alias("id_b"),
+                "hamming",
+            )
+        )
+        w1 = mapping.select("rep_id", F.col("id").alias("_xa"))
+        w2 = mapping.select("rep_id", F.col("id").alias("_xb"))
+        within = (
+            w1.join(w2, "rep_id")
+            .filter(F.col("_xa") < F.col("_xb"))
+            .select(
+                F.col("_xa").alias("id_a"),
+                F.col("_xb").alias("id_b"),
+                F.lit(0).cast("int").alias("hamming"),
+            )
+        )
+        return cross.unionByName(within)
     n_blocks = min(max_hamming + 1, 64)
     widths = [64 // n_blocks + (1 if i < 64 % n_blocks else 0) for i in range(n_blocks)]
     offsets = np.concatenate(([0], np.cumsum(widths[:-1]))).tolist()
@@ -414,6 +633,8 @@ def simhash_near_pairs(sigs: DataFrame, max_hamming: int = 3) -> DataFrame:
             )
         ).alias("blk", "bval"),
     )
+    if bucket_cap is not None:
+        blocks = _cap_buckets(blocks, ["blk", "bval"], bucket_cap)
     cand = (
         blocks.alias("a")
         .join(blocks.alias("b"), ["blk", "bval"])

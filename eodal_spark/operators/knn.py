@@ -59,14 +59,38 @@ def _cell_id_is_stored(df: DataFrame) -> bool:
     `pages.geocode`) predicate pushdown would substitute the full
     deriving expression into every comparison — measured 5-10× slower —
     while the broadcast hash join already evaluates it exactly once per
-    row, so the prefilter is pure loss there."""
-    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
-    for i in range(leaves.length()):
-        out = leaves.apply(i).output()
-        for j in range(out.length()):
-            if out.apply(j).name() == "cell_id":
-                return True
-    return False
+    row, so the prefilter is pure loss there.
+
+    Walks py4j queryExecution internals — correct on Spark 4.x but
+    brittle across upgrades, so any reflection failure degrades to
+    False (skip the prefilter: the join alone is still exact)."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        for i in range(leaves.length()):
+            out = leaves.apply(i).output()
+            for j in range(out.length()):
+                if out.apply(j).name() == "cell_id":
+                    return True
+        return False
+    except Exception:
+        return False
+
+
+# Per-round caches of the most recent knn() call.  The returned plan
+# references them, so they cannot be unpersisted inside knn() itself;
+# instead each new knn() call releases the previous call's caches, and
+# callers that materialized their result can reclaim storage memory
+# immediately with release_caches().  (A caller that holds an
+# UNmaterialized knn result across a second knn() call merely recomputes
+# from lineage — correctness is unaffected.)
+_ROUND_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> None:
+    """Unpersist the per-round topk caches of the most recent
+    :func:`knn` call — call after materializing its result."""
+    while _ROUND_CACHES:
+        _ROUND_CACHES.pop().unpersist()
 
 
 def knn(

@@ -282,3 +282,99 @@ def test_star_contraction_keeps_self_pair_nodes(spark):
         ).collect()
     }
     assert star == prop == {(5, 5), (1, 1), (2, 1)}
+
+
+def test_minhash_collapse_matches_uncollapsed(planted):
+    """The exact-text pre-collapse must be output-invisible in "all"
+    mode: the signature/estimate/verify stack is a pure function of the
+    text, so the fanned-out pair set (ids AND inter/uni) is identical
+    to the un-collapsed pipeline's."""
+    a = D.minhash_dedup(
+        planted, threshold_milli=700, collapse_exact=True
+    ).collect()
+    b = D.minhash_dedup(
+        planted, threshold_milli=700, collapse_exact=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_simhash_collapse_matches_uncollapsed(planted):
+    sigs = D.simhash_signatures(planted).cache()
+    a = D.simhash_near_pairs(
+        sigs, max_hamming=6, collapse_identical=True
+    ).collect()
+    b = D.simhash_near_pairs(
+        sigs, max_hamming=6, collapse_identical=False
+    ).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert len(a) > 0
+
+
+def test_hot_bucket_exact_collapse_is_linear(spark):
+    """10⁵ byte-identical docs: without the pre-collapse the LSH
+    self-join would emit ~bands·n²/2 ≈ 8·10¹⁰ candidate pairs (a
+    scale-killer); with it the whole LSH stack sees ONE representative
+    (zero rep-level candidates) and expand="star" returns exactly the
+    n-1 spanning pairs.  Completing at all — in seconds — IS the
+    property being tested."""
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate page body over and over " * 4).alias(
+            "text"
+        ),
+    )
+    out = D.minhash_dedup(docs, expand="star").cache()
+    assert out.count() == n - 1
+    row = out.agg(
+        F.min("id_a"), F.max("id_a"), F.countDistinct("id_b")
+    ).first()
+    assert row[0] == 0 and row[1] == 0 and row[2] == n - 1  # star on rep 0
+    # the representative level generates ZERO candidate pairs
+    one = docs.filter("doc_id = 0").selectExpr("doc_id AS id", "text AS t")
+    sigs = D.minhash_signatures(one, "t", "id")
+    assert D.minhash_lsh_candidates(sigs).count() == 0
+    out.unpersist()
+
+
+def test_hot_bucket_simhash_collapse_is_linear(spark):
+    n = 100_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical template page " * 8).alias("text"),
+    )
+    sigs = D.simhash_signatures(docs)
+    out = D.simhash_near_pairs(sigs, expand="star")
+    assert out.count() == n - 1
+    assert out.filter("hamming != 0").count() == 0
+
+
+def test_star_expansion_same_components_as_all(planted):
+    """expand="star" must yield identical dup_groups to expand="all"
+    (spanning pairs preserve connectivity)."""
+    all_pairs = D.minhash_dedup(planted, threshold_milli=700, expand="all")
+    star_pairs = D.minhash_dedup(planted, threshold_milli=700, expand="star")
+    g_all = {
+        (r.doc_id, r.group_id)
+        for r in D.dup_groups(planted, all_pairs).collect()
+    }
+    g_star = {
+        (r.doc_id, r.group_id)
+        for r in D.dup_groups(planted, star_pairs).collect()
+    }
+    assert g_all == g_star
+
+
+def test_bucket_cap_drops_oversized_buckets(spark):
+    """bucket_cap: a 10-member signature group exceeds cap=5 → its
+    buckets are dropped; a 2-member group survives."""
+    sig_a = [1] * 64
+    sig_b = [2] * 64
+    rows = [(i, sig_a) for i in range(10)] + [(10, sig_b), (11, sig_b)]
+    sigs = spark.createDataFrame(rows, "id long, sig array<long>")
+    capped = D.minhash_lsh_candidates(sigs, bucket_cap=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert got == {(10, 11)}
+    uncapped = D.minhash_lsh_candidates(sigs)
+    assert uncapped.count() == 45 + 1
