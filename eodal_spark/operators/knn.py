@@ -131,10 +131,14 @@ def knn(
     3. unresolved queries live in a small DataFrame; rounds re-join
        ONLY them via broadcast semi/anti joins — no ``isin`` literal
        trees, so 10⁵-10⁶ query points don't blow up Catalyst analysis.
-       The driver sees one aggregated (unresolved, overflow) count pair
-       per round; disk-range planning collects at most
-       ``prune_query_cap``+1 cells (above the cap the prefilter is
-       skipped — the join alone is still exact).
+       Each round runs exactly ONE driver action: a fused agg returning
+       the (unresolved, overflow) counts AND the next round's
+       disk-range probe (a collect_list sliced to ``prune_query_cap``+1
+       cells — above the cap the prefilter is skipped; the join alone
+       is still exact).  The final budget round keeps the counts but
+       skips the probe.  Per-round topk caches are registered and
+       released by the NEXT knn() call, or eagerly via
+       :func:`release_caches` once the result is materialized.
     4. queries whose next radius would exceed ``max_ring_radius``, or
        that remain unresolved after ``max_rounds`` passes, fall back to
        ONE bounded brute-force broadcast scan — correct for any
@@ -182,30 +186,36 @@ def knn(
     )
     q_cols = ["query_id", "q_lat_centi", "q_lon_centi", "q_cell"]
 
+    release_caches()  # reclaim the previous knn() call's round caches
+
+    def _plan_ranges(probe: list) -> list | None:
+        if probe is None or len(probe) > prune_query_cap:
+            return None
+        # max_ranges=64: a BETWEEN tree beyond that costs more in
+        # Catalyst analysis per round than the row groups it skips are
+        # worth (measured +0.9 s/round at radius 32); an over-budget
+        # disk just reads the sorted table — cheap, RLE-compressed, and
+        # still joined exactly
+        return grid.cell_disk_ranges(
+            [p[0] for p in probe], [p[1] for p in probe], res, max_ranges=64
+        )
+
+    # round 0's scan-range probe is the one setup action on the (small)
+    # queries input; every later round's probe rides the fused summary
+    probe: list | None = None
+    if scan_prune:
+        rows = unres.select("q_cell", "radius").limit(
+            prune_query_cap + 1
+        ).collect()
+        probe = [(r["q_cell"], r["radius"]) for r in rows]
+
     results: DataFrame | None = None
     brute_q: DataFrame | None = None
     have_overflow = False
     for i in range(rounds_budget):
-        # bounded driver-side probe for scan-range planning (never more
-        # than prune_query_cap+1 rows; above the cap → no prefilter)
-        ranges = None
-        if scan_prune:
-            probe = unres.select("q_cell", "radius").limit(
-                prune_query_cap + 1
-            ).collect()
-            if len(probe) <= prune_query_cap:
-                # max_ranges=64: a BETWEEN tree beyond that costs more
-                # in Catalyst analysis per round than the row groups it
-                # skips are worth (measured +0.9 s/round at radius 32);
-                # an over-budget disk just reads the sorted table —
-                # cheap, RLE-compressed, and still joined exactly
-                ranges = grid.cell_disk_ranges(
-                    [r["q_cell"] for r in probe],
-                    [r["radius"] for r in probe],
-                    res,
-                    max_ranges=64,
-                )
+        last = i == rounds_budget - 1
         round_pages = pages_side
+        ranges = _plan_ranges(probe) if scan_prune else None
         if ranges:
             round_pages = pages_side.filter(
                 grid.ranges_predicate("cell_id", ranges)
@@ -221,6 +231,7 @@ def knn(
             "query_id", "url", "sqdist", "rank"
         )
         topk = topk.cache()  # tiny: ≤ |unresolved|·k rows, reused below
+        _ROUND_CACHES.append(topk)
         stats = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
         )
@@ -248,7 +259,10 @@ def knn(
             *q_cols, "cov_r", "radius", "n_found",
             resolved_c.alias("resolved"),
             next_r.alias("next_r"),
-        ).cache()
+        ).cache()  # tiny (|unres| rows) but referenced 4× per round —
+        # uncached, each later round's lineage re-expands every prior
+        # round's st subtree (with its stats broadcast), compounding
+        _ROUND_CACHES.append(st)
         # routing: oversized disks brute; on an UNPRUNABLE scan a
         # zero-evidence query (no candidates anywhere in its disk) also
         # brutes — every further ring round would be a full corpus
@@ -258,14 +272,38 @@ def knn(
         to_brute = (F.col("next_r") > max_ring_radius) | (
             F.lit(not scan_prune) & (F.col("n_found") == 0)
         )
-        counts = st.agg(
-            F.sum(
-                (~F.col("resolved") & ~to_brute).cast("long")
-            ).alias("u"),
-            F.sum(
-                (~F.col("resolved") & to_brute).cast("long")
-            ).alias("o"),
+        live = ~F.col("resolved") & ~to_brute
+        # ONE fused driver action per round: unresolved/overflow counts
+        # AND the next round's scan-range probe come out of a single agg
+        # over st (collect_list is bounded by the queries contract — the
+        # ring broadcast already requires the query side to be small;
+        # the slice caps what crosses to the driver at cap+1).  st is
+        # NOT cached: its later uses recompute a tiny join against the
+        # cached topk.  The final budget round skips the probe (there is
+        # no next round) but keeps the counts — knowing u == o == 0
+        # prunes the brute branch out of the caller's final job, which
+        # otherwise pays a full corpus scan against an empty broadcast.
+        probe_want = scan_prune and not last
+        probe_col = F.slice(
+            F.collect_list(
+                F.when(
+                    live if probe_want else F.lit(False),
+                    F.struct("q_cell", "next_r"),
+                )
+            ),
+            1,
+            prune_query_cap + 1,
+        )
+        summary = st.agg(
+            F.sum(live.cast("long")).alias("u"),
+            F.sum((~F.col("resolved") & to_brute).cast("long")).alias("o"),
+            probe_col.alias("p"),
         ).collect()[0]
+        probe = (
+            [(r["q_cell"], r["next_r"]) for r in summary["p"]]
+            if probe_want
+            else None
+        )
         part = topk.join(
             F.broadcast(st.filter("resolved").select("query_id")),
             "query_id", "left_semi",
@@ -273,11 +311,11 @@ def knn(
         results = part if results is None else results.unionByName(part)
         over = st.filter(~F.col("resolved") & to_brute).select(*q_cols)
         brute_q = over if brute_q is None else brute_q.unionByName(over)
-        have_overflow = have_overflow or bool(counts["o"])
-        unres = st.filter(~F.col("resolved") & ~to_brute).select(
+        have_overflow = have_overflow or bool(summary["o"])
+        unres = st.filter(live).select(
             *q_cols, "cov_r", F.col("next_r").alias("radius")
         )
-        if not counts["u"]:
+        if not summary["u"]:
             unres = None
             break
 
