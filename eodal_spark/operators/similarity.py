@@ -224,6 +224,24 @@ def ivf_assign_udf(centroids: np.ndarray):
     return assign
 
 
+def ivf_probe_udf(centroids: np.ndarray, n_probe: int):
+    """Arrow-batched ``n_probe``-nearest-centroid list assignment — the
+    relational (executor-side) form of the probe planning, for query
+    sides too large to collect."""
+    cent = centroids.astype(np.float64)
+    cent_sq = (cent**2).sum(1)
+    n_probe = min(n_probe, len(cent))
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        d = (m**2).sum(1)[:, None] - 2 * (m @ cent.T) + cent_sq[None, :]
+        idx = np.argsort(d, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return probes
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -231,37 +249,60 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    probe_query_cap: int = 16_384,
 ) -> DataFrame:
     """IVF ANN: corpus bucketed by nearest centroid (one map-side pass);
     each query probes its ``n_probe`` nearest centroid lists; exact
     integer-quantized re-rank within candidates.  The inverted-list
-    analogue of `grid`'s cell bucketing, for embedding space."""
+    analogue of `grid`'s cell bucketing, for embedding space.
+
+    Probe planning is bounded (the `knn` ``prune_query_cap``
+    discipline): at most ``probe_query_cap``+1 query rows are collected
+    for the driver-side path; a larger query side switches to the
+    relational plan — :func:`ivf_probe_udf` assigns probe lists on the
+    executors (the centroid matrix is a tiny closure broadcast), the
+    lists explode to (query_id, qvec, ivf_list) rows, and Spark's own
+    size estimate decides the join strategy — so 10⁷ query vectors can
+    never OOM the driver."""
     cent = ivf_train_centroids(corpus, n_centroids, seed=seed)
     assign = ivf_assign_udf(cent)
     bucketed = corpus.withColumn("ivf_list", assign(F.col("embedding")))
 
-    # driver-side probe lists per query (queries are small/broadcast)
-    qrows = queries.collect()
-    probe_rows = []
-    for r in qrows:
-        qv = np.asarray(r["qvec"], dtype=np.float64)
-        d = ((cent - qv) ** 2).sum(1)
-        for c in np.argsort(d)[:n_probe]:
-            probe_rows.append((r["query_id"], list(r["qvec"]), int(c)))
-    spark = queries.sparkSession
-    probe_schema = T.StructType(
-        [
-            T.StructField("query_id", T.LongType(), False),
-            T.StructField("qvec", T.ArrayType(T.FloatType()), False),
-            T.StructField("ivf_list", T.IntegerType(), False),
-        ]
-    )  # explicit schema: empty queries must not break inference
-    probes = spark.createDataFrame(
-        [(int(q), [float(v) for v in vec], c) for q, vec, c in probe_rows],
-        probe_schema,
-    )
+    qrows = queries.limit(probe_query_cap + 1).collect()
+    if len(qrows) <= probe_query_cap:
+        # driver-side probe lists (query side provably small/broadcast)
+        probe_rows = []
+        for r in qrows:
+            qv = np.asarray(r["qvec"], dtype=np.float64)
+            d = ((cent - qv) ** 2).sum(1)
+            for c in np.argsort(d)[:n_probe]:
+                probe_rows.append((r["query_id"], list(r["qvec"]), int(c)))
+        spark = queries.sparkSession
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("qvec", T.ArrayType(T.FloatType()), False),
+                T.StructField("ivf_list", T.IntegerType(), False),
+            ]
+        )  # explicit schema: empty queries must not break inference
+        probes = F.broadcast(
+            spark.createDataFrame(
+                [
+                    (int(q), [float(v) for v in vec], c)
+                    for q, vec, c in probe_rows
+                ],
+                probe_schema,
+            )
+        )
+    else:
+        plan = ivf_probe_udf(cent, n_probe)
+        probes = queries.select(
+            "query_id",
+            "qvec",
+            F.explode(plan(F.col("qvec"))).alias("ivf_list"),
+        )
 
-    cand = bucketed.join(F.broadcast(probes), "ivf_list").withColumn(
+    cand = bucketed.join(probes, "ivf_list").withColumn(
         "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
     )
     return _rank_topk(cand, k, "sqdist", asc=True).select(

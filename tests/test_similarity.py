@@ -250,3 +250,32 @@ def test_ivf_empty_corpus_raises_actionable(spark):
     empty = spark.createDataFrame([], schema)
     with pytest.raises(ValueError, match="empty corpus sample"):
         S.ivf_train_centroids(empty, n_centroids=4)
+
+
+def test_ivf_topk_relational_probe_path_matches_driver_path(spark, corpus):
+    """Above probe_query_cap the query side is never collected: probe
+    lists are assigned executor-side (ivf_probe_udf) and exploded
+    relationally.  Both paths must produce identical results (same
+    centroids, same probe membership, same exact re-rank)."""
+    rows = corpus.orderBy("vec_id").limit(40).collect()
+    qdf = spark.createDataFrame(
+        [(r["vec_id"], r["embedding"]) for r in rows], ["query_id", "qvec"]
+    )
+    driver = S.ivf_topk(qdf, corpus, k=5, probe_query_cap=16_384)
+    relational = S.ivf_topk(qdf, corpus, k=5, probe_query_cap=8)
+    a = sorted(map(tuple, driver.collect()))
+    b = sorted(map(tuple, relational.collect()))
+    assert a == b and len(a) == 40 * 5
+
+
+def test_ivf_topk_large_query_side_is_bounded(spark, corpus):
+    """10⁵ query vectors with a tiny cap: the collect is bounded at
+    cap+1 rows and the job completes through the relational plan."""
+    base = corpus.limit(1)
+    qs = (
+        spark.range(100_000)
+        .join(F.broadcast(base.select("embedding")))
+        .select(F.col("id").alias("query_id"), F.col("embedding").alias("qvec"))
+    )
+    out = S.ivf_topk(qs, corpus, k=1, probe_query_cap=64)
+    assert out.count() == 100_000
