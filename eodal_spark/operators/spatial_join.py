@@ -87,11 +87,31 @@ def spatial_join(
     if broadcast_layer is None:
         # broadcastability is about COVER SIZE, not where the cover is
         # computed (DRIVER_COVER_MAX_POLYS governs the latter): a layer
-        # of 100k small polygons still broadcasts fine.  The probe is a
-        # bounded limit+count (no row transfer) against a cap sized so
-        # the exploded cover stays well under executor broadcast budgets.
-        n = polys.select("poly_id").limit(BROADCAST_LAYER_MAX_POLYS + 1).count()
-        broadcast_layer = n <= BROADCAST_LAYER_MAX_POLYS
+        # of 100k small polygons still broadcasts fine.  Decide from
+        # Catalyst's driver-side size estimate when it is conclusive —
+        # zero Spark jobs for the overwhelmingly common small-AOI case
+        # (a probe job per call was a pure latency regression there);
+        # only an inconclusive estimate pays the bounded limit+count
+        # probe (no row transfer), capped so the exploded cover stays
+        # well under executor broadcast budgets.
+        size = None
+        try:
+            size = int(
+                polys._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            pass  # stats reflection drift → fall through to the probe
+        # ~1M typical polygons ≈ 200-300 MB raw; an estimate safely
+        # under that broadcasts, 100× over it cannot
+        if size is not None and size <= 256 << 20:
+            broadcast_layer = True
+        elif size is not None and size >= 32 << 30:
+            broadcast_layer = False
+        else:
+            n = polys.select("poly_id").limit(
+                BROADCAST_LAYER_MAX_POLYS + 1
+            ).count()
+            broadcast_layer = n <= BROADCAST_LAYER_MAX_POLYS
     bc = F.broadcast if broadcast_layer else (lambda d: d)
 
     if page_res is not None and page_res != res:

@@ -164,6 +164,27 @@ class SnapshotCatalog:
         finally:
             os.close(fd)  # releases the flock
 
+    def commit_with_retry(
+        self, fn, retries: int = 5, backoff: float = 0.05
+    ):
+        """Run a commit operation with optimistic-concurrency retries.
+
+        ``fn`` is a zero-arg callable performing ONE commit against this
+        catalog (e.g. ``lambda: cat.write(df, "t", mode="append")`` or a
+        ``delete_range`` call).  Every public commit path loads the
+        manifest fresh at call time, so re-invoking ``fn`` after a
+        ``ConcurrentCommitError`` rebuilds the commit on top of the
+        winning writer's snapshot — the standard Iceberg retry loop.
+        Exponential backoff decorrelates herds; the last failure is
+        re-raised so a persistently-contended table surfaces loudly."""
+        for attempt in range(retries + 1):
+            try:
+                return fn()
+            except ConcurrentCommitError:
+                if attempt == retries:
+                    raise
+                time.sleep(backoff * (2**attempt))
+
     def snapshots(self, table: str) -> list[dict]:
         return self._load_manifest(table)["snapshots"]
 

@@ -1155,3 +1155,118 @@ def test_delete_key_entries_record_bytes(spark, tmp_path):
     ent = s["delete_files"][0]
     assert ent["bytes"] > 0
     assert cat.read(spark, "t").count() == 90
+
+
+_RACER_SCRIPT = r"""
+import json, os, sys, time
+sys.path.insert(0, sys.argv[4])
+from eodal_spark.sources.catalog import ConcurrentCommitError, SnapshotCatalog
+
+root, who, sync_dir, repo = sys.argv[1:5]
+cat = SnapshotCatalog(root)
+
+# deterministic interleave: BOTH processes build their commit against the
+# same manifest version, then commit simultaneously after the barrier
+man = cat._load_manifest("t")
+parent = man["snapshots"][-1]
+snap = dict(parent)
+snap = json.loads(json.dumps(parent))
+snap["snapshot_id"] = parent["snapshot_id"] + 1
+snap["parent_id"] = parent["snapshot_id"]
+snap["meta"] = {"who": who}
+man["snapshots"].append(snap)
+
+open(os.path.join(sync_dir, f"loaded_{who}"), "w").close()
+while not os.path.exists(os.path.join(sync_dir, "go")):
+    time.sleep(0.005)
+
+lost = False
+try:
+    cat._commit_manifest("t", man)
+except ConcurrentCommitError:
+    lost = True
+    # the Iceberg retry loop: re-read, rebuild, recommit
+    def rebuild():
+        m2 = cat._load_manifest("t")
+        p2 = m2["snapshots"][-1]
+        s2 = json.loads(json.dumps(p2))
+        s2["snapshot_id"] = p2["snapshot_id"] + 1
+        s2["parent_id"] = p2["snapshot_id"]
+        s2["meta"] = {"who": who}
+        m2["snapshots"].append(s2)
+        cat._commit_manifest("t", m2)
+    cat.commit_with_retry(rebuild)
+sys.exit(7 if lost else 0)
+"""
+
+
+def test_concurrent_commit_two_processes(spark, tmp_path):
+    """TWO OS PROCESSES race commits built against the same manifest
+    version (kernel flock + version CAS are cross-process mechanisms,
+    which the in-process test cannot exercise): exactly one wins the
+    CAS, the loser gets ConcurrentCommitError and converges via the
+    commit_with_retry rebuild — both snapshots land, none lost."""
+    import subprocess
+    import sys as _sys
+
+    root = str(tmp_path / "race_cat")
+    cat = SnapshotCatalog(root)
+    cat.write(spark.range(10), "t", n_files=1)
+    v0 = cat._load_manifest("t")["version"]
+
+    sync = tmp_path / "sync"
+    sync.mkdir()
+    script = tmp_path / "racer.py"
+    script.write_text(_RACER_SCRIPT)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = {
+        who: subprocess.Popen(
+            [_sys.executable, str(script), root, who, str(sync), repo]
+        )
+        for who in ("a", "b")
+    }
+    deadline = __import__("time").time() + 30
+    while not all(
+        (sync / f"loaded_{w}").exists() for w in ("a", "b")
+    ):
+        assert __import__("time").time() < deadline, "children never loaded"
+        __import__("time").sleep(0.01)
+    (sync / "go").touch()
+    codes = {w: p.wait(timeout=60) for w, p in procs.items()}
+
+    # exactly one lost the CAS (both were built against version v0)
+    assert sorted(codes.values()) == [0, 7], codes
+    man = cat._load_manifest("t")
+    # winner's commit + loser's retried commit: two new snapshots, two
+    # version bumps, nothing lost
+    assert man["version"] == v0 + 2
+    whos = [s["meta"].get("who") for s in man["snapshots"][-2:]]
+    assert sorted(whos) == ["a", "b"]
+
+
+def test_commit_with_retry_retries_then_raises(spark, tmp_path):
+    """commit_with_retry re-invokes the builder on ConcurrentCommitError
+    (which re-reads the manifest) and re-raises once retries are
+    exhausted."""
+    from eodal_spark.sources.catalog import ConcurrentCommitError
+
+    cat = SnapshotCatalog(str(tmp_path / "retry_cat"))
+    cat.write(spark.range(100).selectExpr("id AS k"), "t", n_files=1)
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConcurrentCommitError("synthetic race")
+        return cat.delete_range("t", "k", (0, 9))
+
+    snap = cat.commit_with_retry(flaky)
+    assert calls["n"] == 2 and snap["mode"] == "delete"
+    assert cat.read(spark, "t").count() == 90
+
+    def always_loses():
+        raise ConcurrentCommitError("hot table")
+
+    with pytest.raises(ConcurrentCommitError, match="hot table"):
+        cat.commit_with_retry(always_loses, retries=2, backoff=0.001)
