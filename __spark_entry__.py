@@ -677,6 +677,17 @@ def _q_docs_quality_filter(spark, sf_dir):
     ).filter((F.col("quality_milli") >= 700) & (F.col("lang_guess") == "en"))
 
 
+def _q_docs_repetition(spark, sf_dir):
+    """Gopher/MassiveText-style repetition-quality signals (Rae et al.
+    2021, App. A — public method): duplicate-line fraction,
+    duplicate-line character mass, most-repeated word-2-gram character
+    mass, bullet/ellipsis line fraction, and the composite keep flag —
+    all integer per-mille arithmetic, native higher-order functions
+    (whole-stage codegen, no UDF); DuckDB list-lambda oracle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.repetition_signals(docs.select("doc_id", "text")).drop("text")
+
+
 def _q_docs_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -827,6 +838,49 @@ def _q_snapshot_range_delete(spark, sf_dir):
             mode="append",
         )
     return cat.read(spark, "pages_rdel").select("url", "cell_id")
+
+
+def _q_snapshot_upsert(spark, sf_dir):
+    """Atomic MERGE INTO (merge-on-read upsert — ≡ Iceberg MERGE
+    compiled to equality deletes + appended data files in ONE commit):
+    pages land sorted; one upsert REPLACES pages with id ≡ 0 (mod 5) —
+    cell_id bumped by 1 — and INSERTS 100 new urls.  The replacements
+    must survive their own commit's delete (the delete file carries the
+    PARENT's sequence number) while every old version vanishes; either
+    all of the merge is visible or none (single manifest CAS)."""
+    import shutil
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_upscat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if len(cat.snapshots("pages_ups")) < 2:  # partial build → rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SnapshotCatalog(root)
+        geo = _pages_geo(spark).select("url", "cell_id")
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(geo, "pages_ups", sort_by=("cell_id",), n_files=8)
+        repl = geo.filter(pid % 5 == 0).select(
+            "url", (F.col("cell_id") + 1).alias("cell_id")
+        )
+        ins = spark.range(100).select(
+            F.concat(
+                F.lit("https://upsert.example/p/"),
+                F.col("id").cast("string"),
+            ).alias("url"),
+            F.col("id").alias("cell_id"),
+        )
+        cat.upsert(
+            spark,
+            repl.unionByName(ins),
+            "pages_ups",
+            key_cols=("url",),
+            n_files=2,
+        )
+    return cat.read(spark, "pages_ups").select("url", "cell_id")
 
 
 def _q_snapshot_incremental(spark, sf_dir):
@@ -1396,10 +1450,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round 5: positions 1-21 are the two never-driver-checked queries
     (snapshot_range_delete, docs_curation_pipeline) plus the 19 r3-green
-    entries parked in r4; positions 22-50 are the r4-green queries whose
-    code was touched in round 5 (catalog deletes, kNN fusing, LSH
+    entries parked in r4; positions 22-50 are the two queries NEW this
+    round (snapshot_upsert, docs_repetition) and the r4-green queries
+    whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
     hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
-    flagship set; the 21 parked entries all have fresh r4-green rows.
+    flagship set; all 23 parked entries have fresh r4-green rows.
     """
     return {
         # -- never driver-checked (new in r4, registered after pos 50) ------
@@ -1426,6 +1481,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_dedup": _q_docs_exact_dedup,
         "docs_jaccard": _q_docs_jaccard,
         # -- r4-green, code paths touched in round 5 ------------------------
+        "snapshot_upsert": _q_snapshot_upsert,
+        "docs_repetition": _q_docs_repetition,
         "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
@@ -1454,14 +1511,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
-        "events_window": _q_events_window,
-        "events_sessions": _q_events_sessions,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
         # every one has a FRESH r4-green driver row (stale by exactly one
         # round; rotate back in round 6 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "events_window": _q_events_window,
+        "events_sessions": _q_events_sessions,
         "url_canonical": _q_url_canonical,
         "host_stats": _q_host_stats,
         "docs_hash_sample": _q_docs_hash_sample,
@@ -1949,6 +2006,60 @@ def oracle_sql() -> dict[str, str]:
                    {quality} AS quality_milli
             FROM documents
         """,
+        # Gopher-style repetition signals: DuckDB list lambdas replicate
+        # the Spark higher-order functions term for term; all-integer
+        # per-mille arithmetic (// floor division both engines)
+        "docs_repetition": """
+            SELECT doc_id, dup_line_milli, dup_line_char_milli,
+                   top2gram_milli, bullet_ellipsis_milli,
+                   (dup_line_milli < 300 AND dup_line_char_milli < 200
+                    AND top2gram_milli < 200
+                    AND bullet_ellipsis_milli < 900) AS repetition_ok
+            FROM (
+              SELECT doc_id,
+                CAST(CASE WHEN nl <= 0 THEN 0
+                          ELSE ((nl - ndl) * 1000) // nl END AS BIGINT)
+                  AS dup_line_milli,
+                CAST((dup_chars * 1000) // greatest(length(text), 1)
+                     AS BIGINT) AS dup_line_char_milli,
+                CAST(CASE WHEN nw < 2 THEN 0
+                          ELSE (gmass * 1000) // greatest(length(text), 1)
+                     END AS BIGINT) AS top2gram_milli,
+                CAST(CASE WHEN nl <= 0 THEN 0
+                          ELSE (bhits * 1000) // nl END AS BIGINT)
+                  AS bullet_ellipsis_milli
+              FROM (
+                SELECT doc_id, text,
+                  len(lines) AS nl,
+                  len(list_distinct(lines)) AS ndl,
+                  CAST(coalesce(list_sum(list_transform(
+                    list_filter(lines,
+                      x -> len(list_filter(lines, y -> y = x)) > 1),
+                    x -> length(x))), 0) AS BIGINT) AS dup_chars,
+                  len(words) AS nw,
+                  CAST(coalesce(list_max(list_transform(
+                    list_distinct(grams),
+                    g -> len(list_filter(grams, x -> x = g)) * length(g))),
+                    0) AS BIGINT) AS gmass,
+                  len(list_filter(lines,
+                    x -> starts_with(x, '-') OR starts_with(x, '*')
+                         OR ends_with(x, '...'))) AS bhits
+                FROM (
+                  SELECT doc_id, text, lines, words,
+                    list_transform(
+                      range(1, greatest(len(words) - 1, 1) + 1),
+                      i -> words[i] || ' ' || words[i + 1]) AS grams
+                  FROM (
+                    SELECT doc_id, text,
+                      string_split(text, chr(10)) AS lines,
+                      list_filter(regexp_split_to_array(text, '\\s+'),
+                                  w -> length(w) > 0) AS words
+                    FROM documents
+                  )
+                )
+              )
+            )
+        """,
         "docs_lang_id": f"""
             SELECT doc_id,
                    CASE WHEN greatest({lang_score['de']}, {lang_score['en']},
@@ -2091,6 +2202,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE {cell} NOT BETWEEN {(RES << 58) + (130 << 29)}
                                AND {(RES << 58) + (180 << 29) + ((1 << 29) - 1)}
                OR CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) % 7 = 0
+        """,
+        # atomic MERGE: ids ≡ 0 (mod 5) replaced with cell_id+1 (their
+        # own commit's delete must not touch them), 100 new urls
+        # inserted, every old version of a replaced key gone
+        "snapshot_upsert": f"""
+            SELECT url,
+                   CASE WHEN CAST(regexp_extract(url, '/p/(\\d+)$', 1)
+                             AS BIGINT) % 5 = 0
+                        THEN {cell} + 1 ELSE {cell} END AS cell_id
+            FROM {pages}
+            UNION ALL
+            SELECT 'https://upsert.example/p/' || CAST(i AS VARCHAR) AS url,
+                   CAST(i AS BIGINT) AS cell_id
+            FROM range(100) AS t(i)
         """,
         # equality deletes: ids 0,1,2 (mod 10) deleted by url, ids 0
         # (mod 10) re-appended later — sequence semantics resurrect

@@ -496,6 +496,157 @@ class SnapshotCatalog:
             raise
         return snap
 
+    def upsert(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        key_cols: tuple[str, ...] | list[str],
+        n_files: int | None = None,
+        meta: dict | None = None,
+    ) -> dict:
+        """MERGE INTO, merge-on-read, ONE atomic commit (≡ Iceberg
+        ``MERGE`` compiled to equality deletes + appended data files):
+        rows of ``df`` REPLACE existing rows with matching ``key_cols``
+        tuples and insert otherwise — the re-crawl primitive ("this
+        url's page changed") a training corpus needs at 100 TB, where
+        copy-on-write MERGE would rewrite every touched file.
+
+        Commit cost is O(|df|): ``df`` is written as new data files and
+        its distinct key tuples as an equality-delete file whose
+        sequence number is the PARENT snapshot's — it suppresses
+        matching rows in all pre-existing data files but not in the
+        upsert's own (or any later) files, which is exactly MERGE
+        semantics under the catalog's existing sequence rules.  Either
+        the whole merge is visible or none of it (single manifest CAS);
+        a two-commit delete_keys+append would expose a window where the
+        old rows are gone and the new ones not yet there.  ``df`` rows
+        are appended verbatim — de-duplicate on the key upstream if it
+        may carry several versions of one key.  :meth:`compact` applies
+        the merge physically; :meth:`read_changes` across an upsert
+        raises (replaced rows are not a file-level delta)."""
+        key_cols = list(key_cols)
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"upsert key column(s) {missing} not in the DataFrame "
+                f"columns {df.columns}"
+            )
+        man = self._load_manifest(table)
+        if not man["snapshots"]:
+            # MERGE into an empty target is pure insert
+            return self.write(
+                df, table, meta=meta, n_files=n_files, mode="overwrite"
+            )
+        parent = man["snapshots"][-1]
+        parent_files = self._snap_files(parent)
+        if not parent_files:
+            pdir = os.path.basename(parent["path"])
+            parent_files = [
+                {**f, "dir": pdir}
+                for f in _file_stats(
+                    parent["path"], tuple(parent.get("sort_by") or ())
+                )
+            ]
+            if not parent_files:
+                raise ValueError(
+                    f"cannot upsert into snapshot "
+                    f"{parent['snapshot_id']}: no data files found "
+                    f"under {parent['path']}"
+                )
+        for d in parent.get("delete_files") or []:
+            if list(d["key_cols"]) != key_cols:
+                raise ValueError(
+                    f"table {table!r} already has equality deletes on "
+                    f"{d['key_cols']} — mixed delete keys are not "
+                    "supported; compact() first"
+                )
+        # a mistyped key column would commit fine and break every read
+        # until rollback — validate against the data schema now (same
+        # guard as delete_keys)
+        import pyarrow.parquet as pq
+
+        probe = os.path.join(
+            self._tdir(table), parent_files[0]["dir"], parent_files[0]["name"]
+        )
+        data_cols = set(pq.read_schema(probe).names)
+        not_in_data = [c for c in key_cols if c not in data_cols]
+        if not_in_data:
+            raise ValueError(
+                f"upsert key column(s) {not_in_data} not in table "
+                f"{table!r}'s data schema {sorted(data_cols)}"
+            )
+        import uuid
+
+        sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(ts_conf)
+        data_dir = os.path.join(
+            self._tdir(table), f"v{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        kdir = os.path.join(
+            self._tdir(table), f"v{sid}-{uuid.uuid4().hex[:8]}"
+        )
+        sort_by = tuple(parent.get("sort_by") or ())
+        out = df
+        if sort_by and all(c in df.columns for c in sort_by):
+            parts = (n_files,) if n_files else ()
+            out = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
+                *sort_by
+            )
+        elif n_files:
+            out = df.repartition(n_files)
+        try:
+            spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+            out.write.mode("overwrite").parquet(data_dir)
+            df.select(*key_cols).distinct().repartition(1).write.mode(
+                "overwrite"
+            ).parquet(kdir)
+        finally:
+            spark.conf.set(ts_conf, prev_ts)
+        dname = os.path.basename(data_dir)
+        new_files = [
+            {**f, "dir": dname} for f in _file_stats(data_dir, sort_by)
+        ]
+        n_new = sum(f["rows"] for f in new_files)
+        new_dels = [
+            {
+                "dir": os.path.basename(kdir),
+                "name": f["name"],
+                "rows": f["rows"],
+                "bytes": os.path.getsize(os.path.join(kdir, f["name"])),
+                "key_cols": key_cols,
+                # PARENT's sequence number: the delete applies to every
+                # file committed at or before the parent, never to this
+                # commit's own data files (dir sid > parent sid)
+                "sid": parent["snapshot_id"],
+            }
+            for f in _file_stats(kdir, tuple(key_cols))
+        ]
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "committed_at": time.time(),
+            "path": data_dir,
+            "row_count": parent["row_count"] + n_new,
+            "sort_by": list(sort_by),
+            "mode": "upsert",
+            "files": parent_files + new_files,
+            "delete_files": (
+                list(parent.get("delete_files") or []) + new_dels
+            ),
+            "delete_ranges": list(parent.get("delete_ranges") or []),
+            "meta": meta or {},
+        }
+        man["snapshots"].append(snap)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.rmtree(kdir, ignore_errors=True)
+            raise
+        return snap
+
     def delete_range(
         self,
         table: str,

@@ -1270,3 +1270,94 @@ def test_commit_with_retry_retries_then_raises(spark, tmp_path):
 
     with pytest.raises(ConcurrentCommitError, match="hot table"):
         cat.commit_with_retry(always_loses, retries=2, backoff=0.001)
+
+
+def test_upsert_merge_on_read(spark, tmp_path):
+    """upsert = atomic MERGE: one commit whose equality-delete file
+    carries the PARENT's sequence number — matching rows in
+    pre-existing files vanish, the upsert's own rows survive, inserts
+    append; later appends of the same key still reappear (sequence
+    semantics unchanged)."""
+    cat = SnapshotCatalog(str(tmp_path / "ups_cat"))
+    s1 = cat.write(
+        spark.range(1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        ),
+        "t", sort_by=("k",), n_files=4,
+    )
+    # replace k in [0, 99] with v = -k, insert k in [1000, 1049]
+    up = spark.range(150).select(
+        F.when(F.col("id") < 100, F.col("id"))
+        .otherwise(F.col("id") + 900)
+        .alias("k")
+    ).select("k", (-F.col("k")).alias("v"))
+    s2 = cat.upsert(spark, up, "t", key_cols=("k",), n_files=1)
+    assert s2["mode"] == "upsert"
+    got = cat.read(spark, "t")
+    assert got.count() == 1_000 + 50  # 100 replaced in place, 50 inserted
+    # replaced rows carry the NEW values (own-file rows not self-deleted)
+    assert got.filter("k < 100 AND v = -k").count() == 100
+    assert got.filter("k < 100 AND v = 2 * k").count() == 0
+    assert got.filter("k >= 1000").count() == 50
+    assert got.filter("k >= 100 AND k < 1000 AND v = 2 * k").count() == 900
+    # time travel: pre-merge snapshot intact
+    assert cat.read(spark, "t", snapshot_id=s1["snapshot_id"]).filter(
+        "k < 100 AND v = 2 * k"
+    ).count() == 100
+    # ONE commit: exactly one new snapshot and one version bump
+    assert [s["snapshot_id"] for s in cat.snapshots("t")] == [1, 2]
+    # a later append of an upserted key reappears alongside it
+    cat.write(
+        spark.createDataFrame([(5, 555)], "k long, v long"),
+        "t", n_files=1, mode="append",
+    )
+    assert sorted(
+        r["v"] for r in cat.read(spark, "t").filter("k = 5").collect()
+    ) == [-5, 555]
+    # pruned scan still honors the merge
+    assert cat.scan(spark, "t", {"k": (0, 49)}).filter(
+        "v = -k"
+    ).count() == 50
+    # compact applies physically and clears delete files
+    s4 = cat.compact(spark, "t", n_files=2)
+    assert not s4.get("delete_files")
+    assert cat.read(spark, "t").count() == 1_051
+
+
+def test_upsert_empty_table_and_bad_key(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "ups_edge"))
+    s = cat.upsert(
+        spark,
+        spark.range(10).select(F.col("id").alias("k")),
+        "t",
+        key_cols=("k",),
+    )
+    assert s["mode"] == "overwrite"  # MERGE into empty target = insert
+    assert cat.read(spark, "t").count() == 10
+    with pytest.raises(ValueError, match="not in the DataFrame"):
+        cat.upsert(spark, spark.range(5), "t", key_cols=("nope",))
+    with pytest.raises(ValueError, match="not in table"):
+        cat.upsert(
+            spark,
+            spark.range(5).select(F.col("id").alias("zz")),
+            "t",
+            key_cols=("zz",),
+        )
+
+
+def test_upsert_rejected_by_read_changes(spark, tmp_path):
+    """Replaced rows are not a file-level delta: read_changes across an
+    upsert must raise, like any non-append commit."""
+    cat = SnapshotCatalog(str(tmp_path / "ups_rc"))
+    s1 = cat.write(spark.range(100).selectExpr("id AS k"), "t", n_files=1)
+    cat.upsert(
+        spark, spark.range(5).selectExpr("id AS k"), "t", key_cols=("k",)
+    )
+    s3 = cat.write(
+        spark.range(3).selectExpr("id + 500 AS k"), "t", n_files=1,
+        mode="append",
+    )
+    with pytest.raises(ValueError, match="upsert"):
+        cat.read_changes(
+            spark, "t", s1["snapshot_id"], s3["snapshot_id"]
+        )

@@ -100,3 +100,65 @@ def test_hash_sample_filter_is_native(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_repetition_signals_match_python_reference(spark):
+    """Gopher-style repetition signals vs a direct Python reference —
+    per-mille integer arithmetic must agree exactly (the same contract
+    the DuckDB oracle then re-proves cross-engine)."""
+    import re
+    from collections import Counter
+
+    texts = [
+        "a\nb\na\nc",
+        "word word word word word",
+        "- item one\n- item two\nplain line\ntrails off...",
+        "",
+        " ",
+        "x",
+        "one two one two one two three",
+        "same\nsame\nsame\nsame",
+        "* bullet\n* bullet\nnormal",
+        "alpha beta gamma delta epsilon zeta",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in TX.repetition_signals(df).orderBy("doc_id").collect()
+    }
+
+    def ref(t):
+        lines = t.split("\n")
+        nl, ndl = len(lines), len(set(lines))
+        dup_line = 0 if nl <= 0 else ((nl - ndl) * 1000) // nl
+        c = Counter(lines)
+        dup_chars = sum(len(x) for x in lines if c[x] > 1)
+        dup_char = (dup_chars * 1000) // max(len(t), 1)
+        words = [w for w in re.split(r"\s+", t) if w]
+        top = 0
+        if len(words) >= 2:
+            gc = Counter(
+                words[i] + " " + words[i + 1] for i in range(len(words) - 1)
+            )
+            gm = max(cnt * len(g) for g, cnt in gc.items())
+            top = (gm * 1000) // max(len(t), 1)
+        bh = sum(
+            1
+            for x in lines
+            if x.startswith(("-", "*")) or x.endswith("...")
+        )
+        be = 0 if nl <= 0 else (bh * 1000) // nl
+        return dup_line, dup_char, top, be
+
+    for i, t in enumerate(texts):
+        dl, dc, tg, be = ref(t)
+        r = got[i]
+        assert r["dup_line_milli"] == dl, (i, t)
+        assert r["dup_line_char_milli"] == dc, (i, t)
+        assert r["top2gram_milli"] == tg, (i, t)
+        assert r["bullet_ellipsis_milli"] == be, (i, t)
+        assert r["repetition_ok"] == (
+            dl < 300 and dc < 200 and tg < 200 and be < 900
+        )
