@@ -1297,7 +1297,10 @@ def test_upsert_merge_on_read(spark, tmp_path):
     assert got.count() == 1_000 + 50  # 100 replaced in place, 50 inserted
     # replaced rows carry the NEW values (own-file rows not self-deleted)
     assert got.filter("k < 100 AND v = -k").count() == 100
-    assert got.filter("k < 100 AND v = 2 * k").count() == 0
+    # exactly ONE version per replaced key — the old rows are gone
+    # (v = 2k alone can't test this: k=0 satisfies both -k and 2k)
+    assert got.filter("k < 100").count() == 100
+    assert got.filter("k < 100 AND k > 0 AND v = 2 * k").count() == 0
     assert got.filter("k >= 1000").count() == 50
     assert got.filter("k >= 100 AND k < 1000 AND v = 2 * k").count() == 900
     # time travel: pre-merge snapshot intact
