@@ -102,10 +102,13 @@ def spatial_join(
         except Exception:
             pass  # stats reflection drift → fall through to the probe
         # ~1M typical polygons ≈ 200-300 MB raw; an estimate safely
-        # under that broadcasts, 100× over it cannot
+        # under that broadcasts, 100× over it cannot.  Relations with NO
+        # stats (ExistingRDD/createDataFrame) report the
+        # defaultSizeInBytes sentinel (Long.MaxValue) — that is
+        # "unknown", not "huge": fall through to the probe
         if size is not None and size <= 256 << 20:
             broadcast_layer = True
-        elif size is not None and size >= 32 << 30:
+        elif size is not None and (32 << 30) <= size < (1 << 60):
             broadcast_layer = False
         else:
             n = polys.select("poly_id").limit(
