@@ -438,20 +438,20 @@ def minhash_dedup(
         return _minhash_pairs_core(
             docs, num_perm, bands, threshold_milli, w, bucket_cap
         )
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("_h"),
-    )
+    docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # hash the corpus ONCE: keyed is the tiny (id, 32-byte digest)
+    # projection, persisted so reps and mapping both read it instead of
+    # re-running sha2 over the full text column
+    keyed = docs.select(
+        "id", F.sha2(F.coalesce(F.col("t"), F.lit("")), 256).alias("_h")
+    ).persist()
     # map-side combinable min per content hash; the mapping join fans a
     # hot content hash 1×n, never n×n
-    reps = hashed.groupBy("_h").agg(F.min("id").alias("rep_id"))
-    mapping = (
-        hashed.select("id", "_h").join(reps, "_h").select("id", "rep_id")
-    ).persist()
-    rep_docs = hashed.join(
+    reps = keyed.groupBy("_h").agg(F.min("id").alias("rep_id"))
+    mapping = keyed.join(reps, "_h").select("id", "rep_id").persist()
+    rep_docs = docs.join(
         reps.select(F.col("rep_id").alias("id")), "id", "semi"
-    ).select("id", "t")
+    )
     rep_pairs = _minhash_pairs_core(
         rep_docs, num_perm, bands, threshold_milli, w, bucket_cap
     )
