@@ -922,13 +922,20 @@ class SnapshotCatalog:
         table: str,
         snapshot_id: int | None = None,
         as_of=None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Time-travel read — ≡ Iceberg ``VERSION AS OF`` by snapshot
-        id, or ``TIMESTAMP AS OF`` via ``as_of`` (equality deletes
-        applied merge-on-read, see :meth:`delete_keys`)."""
+        id, ``TIMESTAMP AS OF`` via ``as_of``, or a named ref via
+        ``tag`` (equality deletes applied merge-on-read, see
+        :meth:`delete_keys`)."""
+        if sum(x is not None for x in (snapshot_id, as_of, tag)) > 1:
+            raise ValueError("pass only one of snapshot_id / as_of / tag")
+        if tag is not None:
+            refs = self.tags(table)
+            if tag not in refs:
+                raise KeyError(f"no tag {tag!r} on table {table!r}")
+            snapshot_id = refs[tag]
         if as_of is not None:
-            if snapshot_id is not None:
-                raise ValueError("pass snapshot_id OR as_of, not both")
             # use the resolved dict directly — re-resolving its id via a
             # second manifest load would be a TOCTOU against concurrent
             # expiry/rollback
@@ -1059,18 +1066,106 @@ class SnapshotCatalog:
             meta=meta,
         )
 
+    # -- named refs (≡ Iceberg tags) ------------------------------------
+
+    def tag(
+        self, table: str, name: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Pin a NAMED REF to a snapshot (≡ Iceberg tags): a stable,
+        human-meaningful handle — ``cat.read(spark, t, tag="v1-train")``
+        — that :meth:`expire_snapshots` RETAINS regardless of the
+        keep-last horizon and :meth:`rollback` refuses to orphan.  The
+        reproducibility primitive for training runs: tag the snapshot a
+        model was trained on and the exact bytes stay addressable while
+        routine expiry reclaims everything else.  Commit is the same
+        manifest CAS as every other metadata change."""
+        man = self._load_manifest(table)
+        refs = man.setdefault("refs", {})
+        if name in refs:
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {refs[name]} — "
+                "remove_tag() first (retags must be explicit)"
+            )
+        snap = self._get_snap(table, snapshot_id, man["snapshots"])
+        refs[name] = snap["snapshot_id"]
+        self._commit_manifest(table, man)
+        return {"name": name, "snapshot_id": snap["snapshot_id"]}
+
+    def remove_tag(self, table: str, name: str) -> None:
+        man = self._load_manifest(table)
+        refs = man.get("refs") or {}
+        if name not in refs:
+            raise KeyError(f"no tag {name!r} on table {table!r}")
+        del refs[name]
+        self._commit_manifest(table, man)
+
+    def tags(self, table: str) -> dict[str, int]:
+        return dict(self._load_manifest(table).get("refs") or {})
+
+    def remove_orphan_files(self, table: str, dry_run: bool = False) -> list[str]:
+        """Delete data dirs under the table location that NO snapshot
+        (or delete file) references — ≡ Iceberg's
+        ``remove_orphan_files``.  Orphans arise from crashes between a
+        data write and its manifest commit, and from rolling back past
+        an upsert (whose delete-file dir is not the snapshot's own
+        path).  Holds the commit lock via a no-op manifest reload so a
+        concurrent committer can't land a new dir between the listing
+        and the deletes being computed; only ``v*`` dirs are
+        candidates — the manifest and lock files are never touched."""
+        import fcntl
+
+        lockpath = self._manifest_path(table) + ".lock"
+        fd = os.open(lockpath, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            man = self._load_manifest(table)
+            live: set[str] = set()
+            for s in man["snapshots"]:
+                live.add(os.path.basename(s["path"]))
+                live |= {f["dir"] for f in self._snap_files(s)}
+                live |= {d["dir"] for d in (s.get("delete_files") or [])}
+            tdir = self._tdir(table)
+            orphans = sorted(
+                d
+                for d in os.listdir(tdir)
+                if d.startswith("v")
+                and os.path.isdir(os.path.join(tdir, d))
+                and d not in live
+            )
+            if not dry_run:
+                for d in orphans:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+            return orphans
+        finally:
+            os.close(fd)
+
     def expire_snapshots(self, table: str, keep_last: int) -> list[int]:
         """Drop all but the last ``keep_last`` snapshots and delete the
         data dirs no surviving snapshot references (append snapshots
         share files with their parents — sharing is refcounted at the
-        dir level).  Returns the expired snapshot ids."""
+        dir level).  TAGGED snapshots are always retained (≡ Iceberg
+        ref-aware expiry).  Returns the expired snapshot ids."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         man = self._load_manifest(table)
         snaps = man["snapshots"]
         if len(snaps) <= keep_last:
             return []
-        kept, dropped = snaps[-keep_last:], snaps[:-keep_last]
+        tagged = set((man.get("refs") or {}).values())
+        horizon = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        kept = [
+            s
+            for s in snaps
+            if s["snapshot_id"] in horizon or s["snapshot_id"] in tagged
+        ]
+        dropped = [
+            s
+            for s in snaps
+            if s["snapshot_id"] not in horizon
+            and s["snapshot_id"] not in tagged
+        ]
+        if not dropped:
+            return []
         live_dirs = {f["dir"] for s in kept for f in self._snap_files(s)}
         live_dirs |= {
             d["dir"] for s in kept for d in (s.get("delete_files") or [])
@@ -1223,6 +1318,16 @@ class SnapshotCatalog:
 
     def rollback(self, table: str, snapshot_id: int) -> None:
         man = self._load_manifest(table)
+        dangling = {
+            n: s
+            for n, s in (man.get("refs") or {}).items()
+            if s > snapshot_id
+        }
+        if dangling:
+            raise ValueError(
+                f"rollback past tagged snapshot(s) {dangling} would "
+                "dangle the tag(s) — remove_tag() first"
+            )
         dropped = [s for s in man["snapshots"] if s["snapshot_id"] > snapshot_id]
         man["snapshots"] = [
             s for s in man["snapshots"] if s["snapshot_id"] <= snapshot_id

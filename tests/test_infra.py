@@ -1364,3 +1364,74 @@ def test_upsert_rejected_by_read_changes(spark, tmp_path):
         cat.read_changes(
             spark, "t", s1["snapshot_id"], s3["snapshot_id"]
         )
+
+
+def test_snapshot_tags_retained_through_expiry(spark, tmp_path):
+    """Named refs (≡ Iceberg tags): read(tag=) resolves, retagging must
+    be explicit, expire_snapshots RETAINS tagged snapshots past the
+    keep-last horizon (and their data dirs), rollback refuses to dangle
+    a tag."""
+    cat = SnapshotCatalog(str(tmp_path / "tag_cat"))
+    s1 = cat.write(spark.range(10), "t", n_files=1)
+    cat.tag("t", "v1-train")
+    for i in range(4):
+        cat.write(spark.range(20 + i), "t", n_files=1)
+    assert cat.tags("t") == {"v1-train": s1["snapshot_id"]}
+    assert cat.read(spark, "t", tag="v1-train").count() == 10
+    with pytest.raises(ValueError, match="already points"):
+        cat.tag("t", "v1-train")
+    with pytest.raises(ValueError, match="only one of"):
+        cat.read(spark, "t", snapshot_id=1, tag="v1-train")
+    with pytest.raises(KeyError, match="no tag"):
+        cat.read(spark, "t", tag="nope")
+
+    # expiry keeps the tagged snapshot alive beyond keep_last=2
+    expired = cat.expire_snapshots("t", keep_last=2)
+    assert s1["snapshot_id"] not in expired
+    assert cat.read(spark, "t", tag="v1-train").count() == 10
+    assert cat.read(spark, "t").count() == 23  # current unaffected
+
+    # rollback past the tag refuses; after remove_tag it proceeds and
+    # a fresh expiry can then reclaim
+    cat.tag("t", "tip")  # tag the current snapshot
+    with pytest.raises(ValueError, match="dangle"):
+        cat.rollback("t", s1["snapshot_id"])
+    cat.remove_tag("t", "tip")
+    cat.rollback("t", s1["snapshot_id"])
+    assert cat.read(spark, "t").count() == 10
+    with pytest.raises(KeyError):
+        cat.remove_tag("t", "tip")
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    """Orphan dirs (crash leftovers / rolled-back upsert delete dirs)
+    are removed; every referenced dir survives and the table stays
+    readable."""
+    cat = SnapshotCatalog(str(tmp_path / "orph_cat"))
+    cat.write(spark.range(100).selectExpr("id AS k"), "t", n_files=2)
+    cat.upsert(
+        spark,
+        spark.range(5).selectExpr("id AS k"),
+        "t",
+        key_cols=("k",),
+        n_files=1,
+    )
+    tdir = os.path.join(str(tmp_path / "orph_cat"), "t")
+    # a crash leftover: data written, commit never happened
+    fake = os.path.join(tdir, "v99-deadbeef")
+    os.makedirs(fake)
+    open(os.path.join(fake, "part-0.parquet"), "wb").close()
+
+    assert cat.remove_orphan_files("t", dry_run=True) == ["v99-deadbeef"]
+    assert os.path.isdir(fake)
+    assert cat.remove_orphan_files("t") == ["v99-deadbeef"]
+    assert not os.path.isdir(fake)
+    assert cat.remove_orphan_files("t") == []
+    assert cat.read(spark, "t").count() == 100
+
+    # rollback past the upsert orphans its delete-file dir — vacuum
+    # reclaims it and the pre-upsert read is intact
+    cat.rollback("t", 1)
+    orphans = cat.remove_orphan_files("t")
+    assert len(orphans) == 1  # the upsert's key dir
+    assert cat.read(spark, "t").count() == 100
