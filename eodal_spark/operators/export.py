@@ -146,23 +146,122 @@ def plot_data(
     return {**lab, "extent": extent, "vrange": ranges}
 
 
-def render_plot(df: DataFrame, value_col: str, res: int, **imshow_kwargs):
+DISCRETE_VALUES_CAP = 256
+
+
+def plot_spec(
+    df: DataFrame,
+    value_col: str,
+    colormap: str = "viridis",
+    discrete_values: bool = False,
+    user_defined_ticks: list | None = None,
+    colorbar_label: str | None = None,
+    vmin: float | None = None,
+    vmax: float | None = None,
+    fontsize: int = 12,
+    robust_quantiles: tuple[float, float] = (0.02, 0.98),
+) -> dict:
+    """`Band.plot`'s STYLING vocabulary (reference
+    `eodal/core/band.py:1522-1680`) with the data-plane half computed
+    distributed — at 10^12 cells the reference's driver-side
+    ``np.nanquantile(values, 0.02)`` / ``np.unique(values)`` cannot
+    run, so:
+
+    * ``vmin``/``vmax`` default to the reference's robust 2%/98%
+      stretch via ``percentile_approx`` (one aggregation, no
+      collect of the band);
+    * ``discrete_values`` collects the SORTED DISTINCT value set (the
+      reference's ``BoundaryNorm(np.unique(values))`` boundaries +
+      colorbar ticks), guarded at ``DISCRETE_VALUES_CAP`` — a
+      "discrete" band with 10⁶ levels is a modeling error, surfaced
+      loudly instead of OOMing the driver;
+    * renderer-plane knobs (``colormap``, ``user_defined_ticks``,
+      ``colorbar_label``, ``fontsize``) pass through untouched.
+
+    Returns a plain dict a frontend (`render_plot`, or any client-side
+    matplotlib) applies; no matplotlib import needed here."""
+    spec: dict = {
+        "colormap": colormap,
+        "discrete_values": discrete_values,
+        "user_defined_ticks": user_defined_ticks,
+        "colorbar_label": colorbar_label or value_col,
+        "fontsize": fontsize,
+    }
+    col = F.col(value_col).cast("double")
+    if discrete_values:
+        rows = (
+            df.select(col.alias("v"))
+            .where(F.col("v").isNotNull())
+            .distinct()
+            .orderBy("v")
+            .limit(DISCRETE_VALUES_CAP + 1)
+            .collect()
+        )
+        if len(rows) > DISCRETE_VALUES_CAP:
+            raise ValueError(
+                f"{value_col!r} has more than {DISCRETE_VALUES_CAP} "
+                "distinct values — not a discrete band; plot it "
+                "continuous (discrete_values=False)"
+            )
+        uniques = [r["v"] for r in rows]
+        spec["boundaries"] = uniques
+        spec["ticks"] = (
+            user_defined_ticks if user_defined_ticks is not None else uniques
+        )
+        return spec
+    if vmin is None or vmax is None:
+        lo_q, hi_q = robust_quantiles
+        row = df.agg(
+            F.percentile_approx(col, float(lo_q)).alias("lo"),
+            F.percentile_approx(col, float(hi_q)).alias("hi"),
+        ).first()
+        if vmin is None:
+            vmin = row["lo"]
+        if vmax is None:
+            vmax = row["hi"]
+    spec["vmin"], spec["vmax"] = vmin, vmax
+    spec["ticks"] = user_defined_ticks
+    return spec
+
+
+def render_plot(df: DataFrame, value_col: str, res: int, **plot_kwargs):
     """Matplotlib rendering of one band — import-gated (the sandbox has
-    no matplotlib; `plot_data` is the dependency-free hand-off)."""
+    no matplotlib; `plot_data` + `plot_spec` are the dependency-free
+    hand-off).  Accepts the reference's styling keywords
+    (`plot_spec`'s signature); unknown kwargs flow to ``imshow``."""
     try:
+        import matplotlib as mpl
         import matplotlib.pyplot as plt
     except ImportError as e:  # pragma: no cover - matplotlib absent here
         raise ImportError(
-            "matplotlib is not installed; use plot_data() for the "
-            "render-ready grid + extent + value range"
+            "matplotlib is not installed; use plot_data()/plot_spec() "
+            "for the render-ready grid + extent + styling spec"
         ) from e
+    spec_keys = (
+        "colormap", "discrete_values", "user_defined_ticks",
+        "colorbar_label", "vmin", "vmax", "fontsize", "robust_quantiles",
+    )
+    spec = plot_spec(
+        df, value_col,
+        **{k: plot_kwargs.pop(k) for k in spec_keys if k in plot_kwargs},
+    )
     pd_ = plot_data(df, (value_col,), res)
     fig, ax = plt.subplots()
+    kw = dict(cmap=spec["colormap"], **plot_kwargs)
+    if spec["discrete_values"]:
+        cmap = mpl.colormaps.get_cmap(spec["colormap"])
+        kw["norm"] = mpl.colors.BoundaryNorm(spec["boundaries"], cmap.N)
+    else:
+        kw["vmin"], kw["vmax"] = spec["vmin"], spec["vmax"]
     im = ax.imshow(
-        pd_["data"][value_col], origin="lower", extent=pd_["extent"],
-        **imshow_kwargs,
+        pd_["data"][value_col], origin="lower", extent=pd_["extent"], **kw
     )
-    fig.colorbar(im, ax=ax, label=value_col)
+    cb = fig.colorbar(im, ax=ax, label=spec["colorbar_label"])
+    if spec.get("ticks") is not None:
+        cb.set_ticks(spec["ticks"])
+    cb.ax.tick_params(labelsize=spec["fontsize"])
+    ax.set_xlabel("lon [deg]", fontsize=spec["fontsize"])
+    ax.set_ylabel("lat [deg]", fontsize=spec["fontsize"])
     return fig
 
 

@@ -146,3 +146,34 @@ def test_plot_data_and_heatmap(spark):
     import pytest as _pytest
     with _pytest.raises(ImportError, match="matplotlib"):
         X.render_plot(df, "v", res)
+
+
+def test_plot_spec_styling_vocabulary(spark):
+    """The reference's Band.plot styling knobs (band.py:1522-1680),
+    data-plane half computed distributed: robust 2%/98% vmin/vmax via
+    percentile_approx, discrete bands -> sorted distinct boundaries +
+    ticks (cap-guarded), renderer knobs passed through."""
+    import pytest
+
+    from eodal_spark.operators import export as X
+
+    df = spark.range(1000).selectExpr("CAST(id AS DOUBLE) AS v")
+    spec = X.plot_spec(df, "v")
+    assert spec["colormap"] == "viridis" and spec["colorbar_label"] == "v"
+    assert 0 <= spec["vmin"] <= 40 and 940 <= spec["vmax"] <= 999
+    # explicit vmin/vmax suppress the quantile pass
+    spec2 = X.plot_spec(df, "v", vmin=0, vmax=10, colorbar_label="NDVI")
+    assert (spec2["vmin"], spec2["vmax"]) == (0, 10)
+    assert spec2["colorbar_label"] == "NDVI"
+
+    scl = spark.range(1000).selectExpr("CAST(id % 12 AS DOUBLE) AS scl")
+    d = X.plot_spec(scl, "scl", discrete_values=True)
+    assert d["boundaries"] == [float(x) for x in range(12)]
+    assert d["ticks"] == d["boundaries"]
+    d2 = X.plot_spec(
+        scl, "scl", discrete_values=True, user_defined_ticks=["a", "b"]
+    )
+    assert d2["ticks"] == ["a", "b"]
+
+    with pytest.raises(ValueError, match="distinct"):
+        X.plot_spec(df, "v", discrete_values=True)
