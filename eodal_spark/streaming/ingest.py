@@ -261,6 +261,8 @@ def drain_to_catalog(
     table: str,
     sort_by: tuple[str, ...] = (),
     n_files: int | None = None,
+    mode: str = "append",
+    key_cols: tuple[str, ...] = (),
 ):
     """Drain a stream into APPEND SNAPSHOTS of a `SnapshotCatalog`
     table — the full incremental-ingestion contract in one call:
@@ -284,9 +286,24 @@ def drain_to_catalog(
     point fresh checkpoints at fresh tables.  ≡ the reference's
     incremental scene insert + pickle checkpoint
     (`eodal/core/scene.py:381-413`, mapper temp-file resume) with real
-    table semantics."""
+    table semantics.
+
+    ``mode="upsert"`` (with ``key_cols``) drains a CDC-style stream —
+    each micro-batch MERGES instead of appending: re-crawled keys
+    replace their previous version, new keys insert, all in one atomic
+    commit per batch (:meth:`SnapshotCatalog.upsert`).  Batches are
+    merged verbatim — if one micro-batch can carry several versions of
+    a key, dedupe it upstream (e.g. ``dropDuplicates(key_cols)`` after
+    a max-ts window).  ``read_changes`` across upsert commits raises
+    (replaced rows are not a file-level delta); consume the table by
+    snapshot reads instead.  Exactly-once markers work identically in
+    both modes."""
     import os
 
+    if mode not in ("append", "upsert"):
+        raise ValueError(f"unknown drain mode {mode!r}")
+    if mode == "upsert" and not key_cols:
+        raise ValueError("mode='upsert' requires key_cols")
     ckpt_id = os.path.abspath(checkpoint_dir)
 
     def _commit(bdf, batch_id: int):
@@ -301,14 +318,25 @@ def drain_to_catalog(
                     "refusing to double-append — use the original "
                     "checkpoint or a fresh table"
                 )
-        catalog.write(
-            bdf,
-            table,
-            sort_by=sort_by,
-            n_files=n_files,
-            mode="append",
-            meta={"checkpoint": ckpt_id, "batch_id": batch_id},
-        )
+        meta = {"checkpoint": ckpt_id, "batch_id": batch_id}
+        if mode == "upsert":
+            if not catalog.snapshots(table):
+                # seed batch: plain sorted write, so the table carries
+                # sort_by and later upserts inherit the layout
+                catalog.write(
+                    bdf, table, sort_by=sort_by, n_files=n_files,
+                    mode="overwrite", meta=meta,
+                )
+            else:
+                catalog.upsert(
+                    bdf.sparkSession, bdf, table, key_cols=key_cols,
+                    n_files=n_files, meta=meta,
+                )
+        else:
+            catalog.write(
+                bdf, table, sort_by=sort_by, n_files=n_files,
+                mode="append", meta=meta,
+            )
 
     q = (
         stream_df.writeStream.option("checkpointLocation", checkpoint_dir)

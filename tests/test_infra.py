@@ -1435,3 +1435,63 @@ def test_remove_orphan_files(spark, tmp_path):
     orphans = cat.remove_orphan_files("t")
     assert len(orphans) == 1  # the upsert's key dir
     assert cat.read(spark, "t").count() == 100
+
+
+def test_drain_to_catalog_upsert_mode(spark, tmp_path):
+    """CDC-style re-crawl drain: each micro-batch MERGES on url — the
+    second batch's re-crawled urls replace their first-batch versions,
+    new urls insert, exactly one version per key survives; a restart
+    from the same checkpoint commits nothing new."""
+    import time as _t
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "cdc_src")
+    os.makedirs(src)
+
+    def batch(lo, hi, ver):
+        return spark.range(lo, hi).selectExpr(
+            "concat('https://ex.com/p/', id) AS url",
+            f"{ver} AS crawl_ver",
+            "id AS cell_id",
+        )
+
+    batch(0, 100, 1).coalesce(1).write.mode("append").parquet(src)
+    _t.sleep(1.1)  # distinct mtimes → deterministic batch order
+    batch(50, 150, 2).coalesce(1).write.mode("append").parquet(src)
+
+    cat = SnapshotCatalog(str(tmp_path / "cdc_cat"))
+    chk = str(tmp_path / "cdc_chk")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ingest.drain_to_catalog(
+        stream, chk, cat, "pages", sort_by=("cell_id",), n_files=1,
+        mode="upsert", key_cols=("url",),
+    )
+    got = cat.read(spark, "pages")
+    assert got.count() == 150
+    assert got.select("url").distinct().count() == 150  # one version/key
+    assert got.filter("crawl_ver = 2").count() == 100
+    assert got.filter("crawl_ver = 1").count() == 50
+    n_snaps = len(cat.snapshots("pages"))
+
+    # restart over the same checkpoint: nothing new lands
+    stream2 = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ingest.drain_to_catalog(
+        stream2, chk, cat, "pages", mode="upsert", key_cols=("url",),
+    )
+    assert len(cat.snapshots("pages")) == n_snaps
+    assert cat.read(spark, "pages").count() == 150
+
+    with pytest.raises(ValueError, match="requires key_cols"):
+        ingest.drain_to_catalog(stream2, chk, cat, "pages", mode="upsert")
+    with pytest.raises(ValueError, match="unknown drain mode"):
+        ingest.drain_to_catalog(stream2, chk, cat, "pages", mode="merge")
