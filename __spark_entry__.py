@@ -883,6 +883,45 @@ def _q_snapshot_upsert(spark, sf_dir):
     return cat.read(spark, "pages_ups").select("url", "cell_id")
 
 
+def _q_snapshot_pos_delete(spark, sf_dir):
+    """DELETE WHERE compiled to POSITION deletes (≡ Iceberg v2 position
+    delete files): an arbitrary predicate — no key, no manifest stats —
+    records (file, row-ordinal) pairs in O(matches); reads anti-join
+    them merge-on-read.  Ids ≡ 2,5 (mod 9) are deleted by predicate;
+    ids ≡ 2 are re-ingested by a later append and must REAPPEAR
+    (positions only name files that existed at commit).  Final
+    relation = ids not ≡ 5 (mod 9)."""
+    import shutil
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_pdelcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if len(cat.snapshots("pages_pdel")) < 3:  # partial build → rebuild
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SnapshotCatalog(root)
+        geo = _pages_geo(spark).select("url", "cell_id")
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(geo, "pages_pdel", sort_by=("cell_id",), n_files=8)
+        cat.delete_where(
+            spark,
+            "pages_pdel",
+            "CAST(regexp_extract(url, '/p/(\\\\d+)$', 1) AS BIGINT) "
+            "% 9 IN (2, 5)",
+        )
+        cat.write(
+            geo.filter(pid % 9 == 2),
+            "pages_pdel",
+            sort_by=("cell_id",),
+            n_files=1,
+            mode="append",
+        )
+    return cat.read(spark, "pages_pdel").select("url", "cell_id")
+
+
 def _q_snapshot_incremental(spark, sf_dir):
     """Incremental consumption (≡ Iceberg incremental scan / the
     reference's scene-append resume, `eodal/core/scene.py:381-413`):
@@ -1451,7 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: positions 1-21 are the two never-driver-checked queries
     (snapshot_range_delete, docs_curation_pipeline) plus the 19 r3-green
     entries parked in r4; positions 22-50 are the two queries NEW this
-    round (snapshot_upsert, docs_repetition) and the r4-green queries
+    round (snapshot_upsert, snapshot_pos_delete, docs_repetition) and
+    the r4-green queries
     whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
     hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
     flagship set; all 23 parked entries have fresh r4-green rows.
@@ -1482,6 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard": _q_docs_jaccard,
         # -- r4-green, code paths touched in round 5 ------------------------
         "snapshot_upsert": _q_snapshot_upsert,
+        "snapshot_pos_delete": _q_snapshot_pos_delete,
         "docs_repetition": _q_docs_repetition,
         "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
@@ -1508,7 +1549,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_points": _q_sample_points,
         "adaptive_cells": _q_adaptive_cells,
         "asof_join": _q_asof_join,
-        "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
         # ------------------------------------------------------------------
@@ -1517,6 +1557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; rotate back in round 6 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "q1_pricing_summary": _q1_pricing_summary,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "url_canonical": _q_url_canonical,
@@ -2202,6 +2243,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {cell} NOT BETWEEN {(RES << 58) + (130 << 29)}
                                AND {(RES << 58) + (180 << 29) + ((1 << 29) - 1)}
                OR CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT) % 7 = 0
+        """,
+        # position deletes: ids ≡ 2,5 (mod 9) deleted by predicate,
+        # ids ≡ 2 re-appended later and resurrected by sequence rules
+        "snapshot_pos_delete": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                  % 9 != 5
         """,
         # atomic MERGE: ids ≡ 0 (mod 5) replaced with cell_id+1 (their
         # own commit's delete must not touch them), 100 new urls

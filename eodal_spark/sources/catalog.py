@@ -298,6 +298,7 @@ class SnapshotCatalog:
         )
         delete_files = list(carry.get("delete_files") or [])
         delete_ranges = list(carry.get("delete_ranges") or [])
+        pos_delete_files = list(carry.get("pos_delete_files") or [])
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -313,6 +314,7 @@ class SnapshotCatalog:
             "files": files,
             "delete_files": delete_files,
             "delete_ranges": delete_ranges,
+            "pos_delete_files": pos_delete_files,
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -486,6 +488,7 @@ class SnapshotCatalog:
                 list(parent.get("delete_files") or []) + new_dels
             ),
             "delete_ranges": list(parent.get("delete_ranges") or []),
+            "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "meta": {},
         }
         man["snapshots"].append(snap)
@@ -636,6 +639,7 @@ class SnapshotCatalog:
                 list(parent.get("delete_files") or []) + new_dels
             ),
             "delete_ranges": list(parent.get("delete_ranges") or []),
+            "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "meta": meta or {},
         }
         man["snapshots"].append(snap)
@@ -757,10 +761,108 @@ class SnapshotCatalog:
                 list(parent.get("delete_ranges") or [])
                 + [{"col": col, "ranges": ranges, "sid": sid}]
             ),
+            "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "meta": {"dropped_files": len(parent_files) - len(kept)},
         }
         man["snapshots"].append(snap)
         self._commit_manifest(table, man)
+        return snap
+
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicate,
+        n_files: int = 1,
+    ) -> dict:
+        """``DELETE WHERE <predicate>`` compiled to POSITION-DELETE
+        files (≡ Iceberg v2 position deletes) — the third delete tier:
+        equality deletes need a key, metadata range deletes need
+        manifest stats on the column; an arbitrary predicate
+        ("text LIKE '%spam%'") needs neither.  One scan of the current
+        snapshot's data files records the (file, row-ordinal) pairs of
+        matching rows (``_metadata.row_index`` — stable physical
+        positions); commit cost is O(matches) bytes, no data rewritten.
+        Reads anti-join the positions (broadcast when small) with the
+        same sequence semantics as the other delete kinds: later
+        appends are untouched (a position can only name a file that
+        existed at commit).  :meth:`compact` applies physically.
+
+        Positions are computed over the RAW referenced files — rows
+        already hidden by earlier deletes may be recorded again, which
+        is harmless (they are already invisible) and keeps the commit a
+        single scan."""
+        from pyspark.sql import functions as F
+
+        man = self._load_manifest(table)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        parent = man["snapshots"][-1]
+        parent_files = self._snap_files(parent)
+        if not parent_files:
+            pdir = os.path.basename(parent["path"])
+            parent_files = [
+                {**f, "dir": pdir}
+                for f in _file_stats(
+                    parent["path"], tuple(parent.get("sort_by") or ())
+                )
+            ]
+            if not parent_files:
+                raise ValueError(
+                    f"cannot delete from snapshot "
+                    f"{parent['snapshot_id']}: no data files found "
+                    f"under {parent['path']}"
+                )
+        import uuid
+
+        sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
+        tdir = self._tdir(table)
+        paths = [os.path.join(tdir, f["dir"], f["name"]) for f in parent_files]
+        pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        positions = (
+            self._read_files(spark, paths)
+            .filter(pred)
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ).alias("dfile"),
+                F.col("_metadata.row_index").alias("pos"),
+            )
+        )
+        ddir = os.path.join(tdir, f"v{sid}-{uuid.uuid4().hex[:8]}")
+        positions.repartition(n_files).write.mode("overwrite").parquet(ddir)
+        new_pdels = [
+            {
+                "dir": os.path.basename(ddir),
+                "name": f["name"],
+                "rows": f["rows"],
+                "bytes": os.path.getsize(os.path.join(ddir, f["name"])),
+                "sid": sid,
+            }
+            for f in _file_stats(ddir, ())
+        ]
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": parent["snapshot_id"],
+            "committed_at": time.time(),
+            "path": ddir,
+            "row_count": parent["row_count"],
+            "sort_by": list(parent.get("sort_by") or ()),
+            "mode": "delete",
+            "files": parent_files,
+            "delete_files": list(parent.get("delete_files") or []),
+            "delete_ranges": list(parent.get("delete_ranges") or []),
+            "pos_delete_files": (
+                list(parent.get("pos_delete_files") or []) + new_pdels
+            ),
+            "meta": {},
+        }
+        man["snapshots"].append(snap)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            shutil.rmtree(ddir, ignore_errors=True)
+            raise
         return snap
 
     @staticmethod
@@ -796,13 +898,16 @@ class SnapshotCatalog:
 
         dels = snap.get("delete_files") or []
         rdels = snap.get("delete_ranges") or []
+        pdels = snap.get("pos_delete_files") or []
         tdir = self._tdir(table)
         paths = [os.path.join(tdir, f["dir"], f["name"]) for f in files]
-        if (not dels and not rdels) or not files:
+        if (not dels and not rdels and not pdels) or not files:
             return self._read_files(spark, paths, merge=merge)
         key_cols = list(dels[0]["key_cols"]) if dels else []
         del_sids = sorted(
-            {d["sid"] for d in dels} | {r["sid"] for r in rdels}
+            {d["sid"] for d in dels}
+            | {r["sid"] for r in rdels}
+            | {p["sid"] for p in pdels}
         )
 
         def range_pred_from(min_sid: int):
@@ -869,6 +974,34 @@ class SnapshotCatalog:
                 small = sum(d["rows"] for d in applicable) <= 100_000
             return F.broadcast(k) if small else k
 
+        # position deletes (≡ Iceberg v2 position delete files): one
+        # tagged base relation of (dfile, pos) rows, filtered per
+        # segment like the key deletes.  Positions can only reference
+        # files that existed at the delete's commit, so the per-segment
+        # filter is an efficiency (skip provably-empty joins), not a
+        # correctness requirement.
+        pos_base: DataFrame | None = None
+        for p in pdels:
+            part = spark.read.parquet(
+                os.path.join(tdir, p["dir"], p["name"])
+            ).withColumn("_del_sid", F.lit(p["sid"]))
+            pos_base = part if pos_base is None else pos_base.unionByName(part)
+        if pos_base is not None and len(pdels) > 1:
+            pos_base = pos_base.cache()
+        max_pos_sid = max((p["sid"] for p in pdels), default=-1)
+
+        def pos_keys_from(min_sid: int) -> DataFrame | None:
+            if pos_base is None or min_sid > max_pos_sid:
+                return None
+            k = (
+                pos_base.filter(F.col("_del_sid") >= min_sid)
+                .select("dfile", "pos")
+                .distinct()
+            )
+            applicable = [p for p in pdels if p["sid"] >= min_sid]
+            small = sum(p.get("bytes", 0) for p in applicable) <= 32 << 20
+            return F.broadcast(k) if small else k
+
         # segment boundaries: files with sid in (prev_del, del] share
         # the same applicable-delete suffix {del, ...}
         out: DataFrame | None = None
@@ -887,6 +1020,25 @@ class SnapshotCatalog:
                 continue
             df = self._read_files(spark, sorted(set(seg)), merge=merge)
             if hi is not None:
+                pk = pos_keys_from(hi)
+                if pk is not None:
+                    # row identity = ("dir/name", row ordinal in file) —
+                    # Spark's _metadata.row_index is the stable physical
+                    # position the delete file recorded at commit time
+                    data_cols = df.columns
+                    df = (
+                        df.select(
+                            "*",
+                            F.regexp_extract(
+                                F.col("_metadata.file_path"),
+                                r"([^/]+/[^/]+)$",
+                                1,
+                            ).alias("dfile"),
+                            F.col("_metadata.row_index").alias("pos"),
+                        )
+                        .join(pk, ["dfile", "pos"], "left_anti")
+                        .select(*data_cols)
+                    )
                 keys = keys_from(hi)
                 if keys is not None:
                     df = df.join(keys, key_cols, "left_anti")
@@ -1124,6 +1276,7 @@ class SnapshotCatalog:
                 live.add(os.path.basename(s["path"]))
                 live |= {f["dir"] for f in self._snap_files(s)}
                 live |= {d["dir"] for d in (s.get("delete_files") or [])}
+                live |= {d["dir"] for d in (s.get("pos_delete_files") or [])}
             tdir = self._tdir(table)
             orphans = sorted(
                 d
@@ -1170,6 +1323,9 @@ class SnapshotCatalog:
         live_dirs |= {
             d["dir"] for s in kept for d in (s.get("delete_files") or [])
         }
+        live_dirs |= {
+            d["dir"] for s in kept for d in (s.get("pos_delete_files") or [])
+        }
         live_dirs |= {os.path.basename(s["path"]) for s in kept}
         man["snapshots"] = kept
         self._commit_manifest(table, man)
@@ -1179,6 +1335,7 @@ class SnapshotCatalog:
             for d in (
                 {f["dir"] for f in self._snap_files(s)}
                 | {df["dir"] for df in (s.get("delete_files") or [])}
+                | {df["dir"] for df in (s.get("pos_delete_files") or [])}
                 | {os.path.basename(s["path"])}
             )
         } - live_dirs

@@ -1495,3 +1495,65 @@ def test_drain_to_catalog_upsert_mode(spark, tmp_path):
         ingest.drain_to_catalog(stream2, chk, cat, "pages", mode="upsert")
     with pytest.raises(ValueError, match="unknown drain mode"):
         ingest.drain_to_catalog(stream2, chk, cat, "pages", mode="merge")
+
+
+def test_position_deletes_delete_where(spark, tmp_path):
+    """delete_where → position-delete files (≡ Iceberg v2): arbitrary
+    predicate, O(matches) commit, merge-on-read anti-join on
+    (file, row ordinal); sequence semantics leave later appends alone;
+    stacks with equality deletes; compact applies physically."""
+    cat = SnapshotCatalog(str(tmp_path / "pdel_cat"))
+    df = spark.range(1_000).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    s1 = cat.write(df, "t", sort_by=("k",), n_files=4)
+    s2 = cat.delete_where(spark, "t", "k % 10 = 3")
+    assert s2["mode"] == "delete" and s2["pos_delete_files"]
+    got = cat.read(spark, "t")
+    assert got.count() == 900
+    assert got.filter("k % 10 = 3").count() == 0
+    # time travel unaffected
+    assert cat.read(spark, "t", snapshot_id=s1["snapshot_id"]).count() == 1_000
+
+    # a later append INTO the predicate is untouched (positions can
+    # only name files that existed at commit)
+    cat.write(
+        spark.createDataFrame([(3, "doc 3 again")], "k long, text string"),
+        "t", n_files=1, mode="append",
+    )
+    assert cat.read(spark, "t").filter("k = 3").count() == 1
+    assert cat.read(spark, "t").count() == 901
+
+    # stacks with an equality delete on top
+    cat.delete_keys(spark, "t", spark.range(100, 120).selectExpr("id AS k"))
+    assert cat.read(spark, "t").count() == 901 - 20 + 2  # 103,113 were pos-deleted
+    # Column-predicate form
+    cat.delete_where(spark, "t", F.col("text").endswith("7"))
+    got = cat.read(spark, "t")
+    assert got.filter("text LIKE '%7'").count() == 0
+
+    n = got.count()
+    s_c = cat.compact(spark, "t", n_files=2)
+    assert not s_c.get("pos_delete_files") and not s_c.get("delete_files")
+    assert cat.read(spark, "t").count() == n
+
+
+def test_position_deletes_pruned_scan_and_expiry(spark, tmp_path):
+    """scan() honors position deletes on the surviving files; expiry
+    keeps the position-delete dirs of retained snapshots."""
+    cat = SnapshotCatalog(str(tmp_path / "pdel2"))
+    cat.write(
+        spark.range(500).selectExpr("id AS cell_id", "id * 2 AS v"),
+        "t", sort_by=("cell_id",), n_files=5,
+    )
+    cat.delete_where(spark, "t", "cell_id BETWEEN 40 AND 59")
+    got = cat.scan(spark, "t", {"cell_id": (0, 99)})
+    assert got.count() == 80
+    cat.write(
+        spark.range(2).selectExpr("id + 1000 AS cell_id", "id AS v"),
+        "t", n_files=1, mode="append",
+    )
+    cat.expire_snapshots("t", keep_last=2)
+    assert cat.read(spark, "t").count() == 482
+    assert cat.read(spark, "t").filter("cell_id BETWEEN 40 AND 59").count() == 0
