@@ -688,6 +688,18 @@ def _q_docs_repetition(spark, sf_dir):
     return TX.repetition_signals(docs.select("doc_id", "text")).drop("text")
 
 
+def _q_docs_line_scrub(spark, sf_dir):
+    """Corpus-level boilerplate-line scrub (CCNet/RefinedWeb line
+    dedup — public method): lines ≥ 10 chars appearing in ≥ 2 distinct
+    documents are dropped from every document, order preserved.
+    Engine: one explode + two line-key shuffles + anti-join +
+    order-preserving agg reassembly (`text.scrub_boilerplate_lines`).
+    Oracle: the same definition via DuckDB zipped unnest + string_agg
+    ORDER BY pos."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.scrub_boilerplate_lines(docs.select("doc_id", "text"))
+
+
 def _q_docs_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1490,8 +1502,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: positions 1-21 are the two never-driver-checked queries
     (snapshot_range_delete, docs_curation_pipeline) plus the 19 r3-green
     entries parked in r4; positions 22-50 are the two queries NEW this
-    round (snapshot_upsert, snapshot_pos_delete, docs_repetition) and
-    the r4-green queries
+    round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
+    docs_line_scrub) and the r4-green queries
     whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
     hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
     flagship set; all 23 parked entries have fresh r4-green rows.
@@ -1524,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_upsert": _q_snapshot_upsert,
         "snapshot_pos_delete": _q_snapshot_pos_delete,
         "docs_repetition": _q_docs_repetition,
+        "docs_line_scrub": _q_docs_line_scrub,
         "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
@@ -1549,7 +1562,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_points": _q_sample_points,
         "adaptive_cells": _q_adaptive_cells,
         "asof_join": _q_asof_join,
-        "q3_shipping_priority": _q3_shipping_priority,
         "q5_region_revenue": _q5_region_revenue,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
@@ -1558,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
         "q1_pricing_summary": _q1_pricing_summary,
+        "q3_shipping_priority": _q3_shipping_priority,
         "events_window": _q_events_window,
         "events_sessions": _q_events_sessions,
         "url_canonical": _q_url_canonical,
@@ -2100,6 +2113,38 @@ def oracle_sql() -> dict[str, str]:
                 )
               )
             )
+        """,
+        # corpus-level boilerplate line scrub: lines >=10 chars in >=2
+        # distinct docs dropped everywhere, order preserved (zipped
+        # unnest gives (pos, line); string_agg ORDER BY pos rebuilds)
+        "docs_line_scrub": """
+            WITH docl AS (
+              SELECT doc_id,
+                     unnest(range(1, len(lines) + 1)) AS pos,
+                     unnest(lines) AS line
+              FROM (
+                SELECT doc_id, string_split(text, chr(10)) AS lines
+                FROM documents
+              )
+            ),
+            bad AS (
+              SELECT line
+              FROM (SELECT DISTINCT doc_id, line FROM docl
+                    WHERE length(line) >= 10)
+              GROUP BY line HAVING count(*) >= 2
+            ),
+            kept AS (
+              SELECT d.doc_id, d.pos, d.line
+              FROM docl d LEFT JOIN bad b ON d.line = b.line
+              WHERE b.line IS NULL
+            )
+            SELECT doc.doc_id,
+                   coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                     AS text,
+                   CAST(len(string_split(doc.text, chr(10))) - count(k.line)
+                        AS BIGINT) AS n_removed
+            FROM documents doc LEFT JOIN kept k ON k.doc_id = doc.doc_id
+            GROUP BY doc.doc_id, doc.text
         """,
         "docs_lang_id": f"""
             SELECT doc_id,

@@ -228,6 +228,67 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def scrub_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    min_line_len: int = 10,
+) -> DataFrame:
+    """CORPUS-LEVEL duplicate-line removal (the CCNet/RefinedWeb
+    boilerplate scrub — public method): a line appearing in ≥
+    ``min_docs`` DISTINCT documents is navigation/footer boilerplate
+    and is dropped from every document; lines shorter than
+    ``min_line_len`` are never candidates (blank lines and short
+    connectors legitimately repeat).  Returns (id, text, n_removed)
+    with line order preserved.
+
+    Spark-first shape for 10^12 docs: explode lines once, distinct
+    (doc, line) → count per line (two shuffles on the line key,
+    map-side combinable), anti-join the boilerplate set (big×big
+    shuffle join — the set scales with the corpus and cannot
+    broadcast), reassemble per doc with an order-preserving
+    ``collect_list(struct(pos, line))`` + ``array_sort`` aggregation —
+    agg-form, no windows, bounded by document length per group."""
+    t, i = F.col(text_col), F.col(id_col)
+    lines = df.select(
+        i.alias("id"),
+        F.posexplode(F.split(t, "\n", -1)).alias("pos", "line"),
+    )
+    bad = (
+        lines.filter(F.length("line") >= min_line_len)
+        .select("id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(bad, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("_scrubbed"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    n_lines = F.size(F.split(t, "\n", -1))
+    return (
+        df.select(i.alias("id"), n_lines.alias("_total"))
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("_scrubbed", F.lit("")).alias(text_col),
+            (F.col("_total") - F.coalesce("_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def enrich(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Apply the full text-analysis battery as one fused projection."""
     t = F.col(text_col)

@@ -162,3 +162,36 @@ def test_repetition_signals_match_python_reference(spark):
         assert r["repetition_ok"] == (
             dl < 300 and dc < 200 and tg < 200 and be < 900
         )
+
+
+def test_scrub_boilerplate_lines(spark):
+    """Corpus-level line dedup: a >=10-char line appearing in >=2
+    distinct docs vanishes everywhere (order preserved); short lines
+    and doc-internal repeats survive; a doc losing every line becomes
+    empty but keeps its row."""
+    docs = spark.createDataFrame(
+        [
+            (1, "unique alpha content\ncopyright acme corporation\nmore body"),
+            (2, "different beta text\ncopyright acme corporation"),
+            (3, "copyright acme corporation"),
+            (4, "short\nshort\nunique gamma content here"),
+            (5, ""),
+            (6, "repeated inside doc only\nrepeated inside doc only"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in TX.scrub_boilerplate_lines(docs).collect()
+    }
+    assert out[1]["text"] == "unique alpha content\nmore body"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["text"] == "different beta text"
+    assert out[3]["text"] == "" and out[3]["n_removed"] == 1
+    # 'short' (<10 chars) repeats across docs 4's own lines — kept
+    assert out[4]["text"] == "short\nshort\nunique gamma content here"
+    assert out[4]["n_removed"] == 0
+    assert out[5]["text"] == "" and out[5]["n_removed"] == 0
+    # doc-internal repetition is NOT corpus boilerplate (1 distinct doc)
+    assert out[6]["text"] == "repeated inside doc only\nrepeated inside doc only"
+    assert len(out) == 6
