@@ -1557,3 +1557,67 @@ def test_position_deletes_pruned_scan_and_expiry(spark, tmp_path):
     cat.expire_snapshots("t", keep_last=2)
     assert cat.read(spark, "t").count() == 482
     assert cat.read(spark, "t").filter("cell_id BETWEEN 40 AND 59").count() == 0
+
+
+def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
+    """Incremental rollup maintenance: after each source append,
+    refresh_rollup(mode=incremental) must equal a full groupBy of the
+    source; a no-op refresh commits nothing; a delete in the range
+    falls back to one full recompute and stays exact."""
+    from eodal_spark.operators.incremental import refresh_rollup
+
+    cat = SnapshotCatalog(str(tmp_path / "roll_cat"))
+    measures = [
+        ("count", "", "n"),
+        ("sum", "v", "sum_v"),
+        ("min", "v", "min_v"),
+        ("max", "v", "max_v"),
+    ]
+
+    def src_batch(lo, hi):
+        return spark.range(lo, hi).selectExpr(
+            "id % 7 AS k", "id * 3 AS v"
+        )
+
+    def expect():
+        return {
+            (r["k"],): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in cat.read(spark, "src")
+            .groupBy("k")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("v").alias("sum_v"),
+                F.min("v").alias("min_v"),
+                F.max("v").alias("max_v"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            (r["k"],): (r["n"], r["sum_v"], r["min_v"], r["max_v"])
+            for r in cat.read(spark, "agg").collect()
+        }
+
+    cat.write(src_batch(0, 100), "src", n_files=2)
+    r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+    assert r["mode"] == "full"
+    assert got() == expect()
+
+    # append-only updates maintain incrementally
+    for lo, hi in [(100, 250), (250, 260)]:
+        cat.write(src_batch(lo, hi), "src", n_files=1, mode="append")
+        r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+        assert r["mode"] == "incremental"
+        assert got() == expect()
+
+    # already consumed → no-op, no new snapshot
+    n_snaps = len(cat.snapshots("agg"))
+    r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+    assert r["mode"] == "noop" and len(cat.snapshots("agg")) == n_snaps
+
+    # a delete breaks the file-level delta → full rebuild, still exact
+    cat.delete_where(spark, "src", "v % 9 = 0")
+    r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+    assert r["mode"] == "full"
+    assert got() == expect()
