@@ -885,7 +885,7 @@ def test_timestamp_as_of_time_travel(spark, tmp_path):
     assert cat.snapshot_as_of("t", mid)["snapshot_id"] == s1["snapshot_id"]
     with pytest.raises(KeyError, match="at or before"):
         cat.snapshot_as_of("t", s1["committed_at"] - 10)
-    with pytest.raises(ValueError, match="not both"):
+    with pytest.raises(ValueError, match="only one of"):
         cat.read(spark, "t", snapshot_id=1, as_of=mid)
 
 
