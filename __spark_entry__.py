@@ -1494,7 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 71 registered queries and
+    previous round and untouched this round.  With 75 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1506,7 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     docs_line_scrub) and the r4-green queries
     whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
     hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
-    flagship set; all 23 parked entries have fresh r4-green rows.
+    flagship set; all 25 parked entries have fresh r4-green rows.
     """
     return {
         # -- never driver-checked (new in r4, registered after pos 50) ------

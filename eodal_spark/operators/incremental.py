@@ -50,9 +50,14 @@ def _agg_exprs(measures: list[tuple[str, str, str]]) -> list:
 def _merge_expr(kind: str, alias: str):
     old, new = F.col(f"o.{alias}"), F.col(f"n.{alias}")
     if kind in ("count", "sum"):
+        # both-NULL must STAY NULL (a sum over all-NULL values is NULL
+        # in the defining aggregation — coalescing to 0 would make the
+        # stored value depend on which code path last ran)
         return (
-            F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0))
-        ).alias(alias)
+            F.when(old.isNull() & new.isNull(), F.lit(None))
+            .otherwise(F.coalesce(old, F.lit(0)) + F.coalesce(new, F.lit(0)))
+            .alias(alias)
+        )
     if kind == "min":
         # NULL-safe: least() ignores NULLs in Spark, matching "merge of
         # a partial that never saw the key"
@@ -92,8 +97,12 @@ def refresh_rollup(
     last = (dst_snap or {}).get("meta", {}).get("rollup_src_snapshot")
 
     def full_build() -> dict:
+        # pin the read to the sid recorded in meta — an unpinned read
+        # could resolve a NEWER snapshot committed after sid was
+        # captured, aggregating rows the metadata does not mark as
+        # consumed (the next incremental refresh would re-add them)
         agg = (
-            cat.read(spark, src_table)
+            cat.read(spark, src_table, snapshot_id=sid)
             .groupBy(*key_cols)
             .agg(*_agg_exprs(measures))
         )
@@ -114,6 +123,17 @@ def refresh_rollup(
         # overwrite/delete/upsert in range: no file-level delta exists
         return full_build()
     partial = delta.groupBy(*key_cols).agg(*_agg_exprs(measures))
+    # NULL group keys cannot round-trip through the incremental path:
+    # upsert's equality-delete anti-join is (deliberately) null-unsafe,
+    # so a NULL-key row would never REPLACE its stored counterpart and
+    # the rollup would carry duplicates.  partial is tiny — one cheap
+    # check routes those refreshes to the exact full rebuild.
+    null_key = None
+    for k in key_cols:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    if partial.filter(null_key).limit(1).count() > 0:
+        return full_build()
     old = cat.read(spark, dst_table)
     # only the keys the delta touched are re-read and re-written; the
     # full-outer join covers keys new to the rollup AND stored keys the

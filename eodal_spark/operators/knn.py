@@ -76,21 +76,33 @@ def _cell_id_is_stored(df: DataFrame) -> bool:
         return False
 
 
-# Per-round caches of the most recent knn() call.  The returned plan
-# references them, so they cannot be unpersisted inside knn() itself;
-# instead each new knn() call releases the previous call's caches, and
-# callers that materialized their result can reclaim storage memory
-# immediately with release_caches().  (A caller that holds an
-# UNmaterialized knn result across a second knn() call merely recomputes
-# from lineage — correctness is unaffected.)
-_ROUND_CACHES: list[DataFrame] = []
+# Per-round caches of the most recent knn() call, PER DRIVER THREAD
+# (thread-local: concurrent driver threads each track their own calls,
+# so one thread's knn() can never unpersist another's live caches).
+# The returned plan references them, so they cannot be unpersisted
+# inside knn() itself; instead each new knn() call on the same thread
+# releases the previous call's caches, and callers that materialized
+# their result can reclaim storage memory immediately with
+# release_caches().  (A caller that holds an UNmaterialized knn result
+# across a second same-thread knn() call merely recomputes from lineage
+# — correctness is unaffected, only speed.)
+import threading as _threading
+
+_TL = _threading.local()
+
+
+def _round_caches() -> list:
+    if not hasattr(_TL, "caches"):
+        _TL.caches = []
+    return _TL.caches
 
 
 def release_caches() -> None:
-    """Unpersist the per-round topk caches of the most recent
+    """Unpersist the per-round topk caches of this thread's most recent
     :func:`knn` call — call after materializing its result."""
-    while _ROUND_CACHES:
-        _ROUND_CACHES.pop().unpersist()
+    caches = _round_caches()
+    while caches:
+        caches.pop().unpersist()
 
 
 def knn(
@@ -231,7 +243,7 @@ def knn(
             "query_id", "url", "sqdist", "rank"
         )
         topk = topk.cache()  # tiny: ≤ |unresolved|·k rows, reused below
-        _ROUND_CACHES.append(topk)
+        _round_caches().append(topk)
         stats = topk.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n"), F.max("sqdist").alias("kth")
         )
@@ -262,7 +274,7 @@ def knn(
         ).cache()  # tiny (|unres| rows) but referenced 4× per round —
         # uncached, each later round's lineage re-expands every prior
         # round's st subtree (with its stats broadcast), compounding
-        _ROUND_CACHES.append(st)
+        _round_caches().append(st)
         # routing: oversized disks brute; on an UNPRUNABLE scan a
         # zero-evidence query (no candidates anywhere in its disk) also
         # brutes — every further ring round would be a full corpus

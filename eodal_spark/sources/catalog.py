@@ -999,7 +999,14 @@ class SnapshotCatalog:
                 .distinct()
             )
             applicable = [p for p in pdels if p["sid"] >= min_sid]
-            small = sum(p.get("bytes", 0) for p in applicable) <= 32 << 20
+            # same conservative gate as keys_from: entries without a
+            # recorded size (foreign/migrated manifests) must NOT
+            # default to "tiny" — that would force-broadcast a position
+            # set of unknown size
+            if all("bytes" in p for p in applicable):
+                small = sum(p["bytes"] for p in applicable) <= 32 << 20
+            else:
+                small = sum(p["rows"] for p in applicable) <= 100_000
             return F.broadcast(k) if small else k
 
         # segment boundaries: files with sid in (prev_del, del] share
@@ -1254,16 +1261,29 @@ class SnapshotCatalog:
     def tags(self, table: str) -> dict[str, int]:
         return dict(self._load_manifest(table).get("refs") or {})
 
-    def remove_orphan_files(self, table: str, dry_run: bool = False) -> list[str]:
+    def remove_orphan_files(
+        self,
+        table: str,
+        dry_run: bool = False,
+        older_than_seconds: float = 86_400.0,
+    ) -> list[str]:
         """Delete data dirs under the table location that NO snapshot
         (or delete file) references — ≡ Iceberg's
         ``remove_orphan_files``.  Orphans arise from crashes between a
         data write and its manifest commit, and from rolling back past
         an upsert (whose delete-file dir is not the snapshot's own
-        path).  Holds the commit lock via a no-op manifest reload so a
-        concurrent committer can't land a new dir between the listing
-        and the deletes being computed; only ``v*`` dirs are
-        candidates — the manifest and lock files are never touched."""
+        path).
+
+        ``older_than_seconds`` (default 1 day) is the SAFETY RAIL, not
+        an optimization: a writer's data files land BEFORE its manifest
+        CAS, so a dir that is unreferenced *right now* may belong to an
+        in-flight commit — deleting it would let that commit succeed
+        over vanished files (the same race Iceberg's 3-day default
+        guards).  Only dirs whose mtime predates the cutoff are
+        candidates; pass 0 ONLY when no writer can be running.  The
+        commit lock is held across listing+deletion so no commit lands
+        mid-sweep; only ``v*`` dirs are candidates — the manifest and
+        lock files are never touched."""
         import fcntl
 
         lockpath = self._manifest_path(table) + ".lock"
@@ -1278,12 +1298,21 @@ class SnapshotCatalog:
                 live |= {d["dir"] for d in (s.get("delete_files") or [])}
                 live |= {d["dir"] for d in (s.get("pos_delete_files") or [])}
             tdir = self._tdir(table)
+            cutoff = time.time() - older_than_seconds
+
+            def old_enough(d: str) -> bool:
+                try:
+                    return os.path.getmtime(os.path.join(tdir, d)) <= cutoff
+                except OSError:
+                    return False  # vanished mid-listing: not ours to sweep
+
             orphans = sorted(
                 d
                 for d in os.listdir(tdir)
                 if d.startswith("v")
                 and os.path.isdir(os.path.join(tdir, d))
                 and d not in live
+                and old_enough(d)
             )
             if not dry_run:
                 for d in orphans:

@@ -68,7 +68,7 @@ print("train-v1 pages:", cat.read(spark, "pages", tag="train-v1").count())
 cat.compact(spark, "pages", n_files=4)
 cat.expire_snapshots("pages", keep_last=2)
 print("tags after expiry:", cat.tags("pages"))
-print("orphans removed:", cat.remove_orphan_files("pages"))
+print("orphans removed:", cat.remove_orphan_files("pages", older_than_seconds=0))
 print("final:", cat.read(spark, "pages").count(), "pages;",
       cat.read(spark, "cell_stats").count(), "cells in rollup")
 spark.stop()

@@ -1422,17 +1422,23 @@ def test_remove_orphan_files(spark, tmp_path):
     os.makedirs(fake)
     open(os.path.join(fake, "part-0.parquet"), "wb").close()
 
-    assert cat.remove_orphan_files("t", dry_run=True) == ["v99-deadbeef"]
-    assert os.path.isdir(fake)
-    assert cat.remove_orphan_files("t") == ["v99-deadbeef"]
-    assert not os.path.isdir(fake)
+    # default 1-day cutoff protects a FRESH unreferenced dir — it may
+    # belong to an in-flight commit whose manifest CAS hasn't landed
     assert cat.remove_orphan_files("t") == []
+    assert os.path.isdir(fake)
+    assert cat.remove_orphan_files(
+        "t", dry_run=True, older_than_seconds=0
+    ) == ["v99-deadbeef"]
+    assert os.path.isdir(fake)
+    assert cat.remove_orphan_files("t", older_than_seconds=0) == ["v99-deadbeef"]
+    assert not os.path.isdir(fake)
+    assert cat.remove_orphan_files("t", older_than_seconds=0) == []
     assert cat.read(spark, "t").count() == 100
 
     # rollback past the upsert orphans its delete-file dir — vacuum
     # reclaims it and the pre-upsert read is intact
     cat.rollback("t", 1)
-    orphans = cat.remove_orphan_files("t")
+    orphans = cat.remove_orphan_files("t", older_than_seconds=0)
     assert len(orphans) == 1  # the upsert's key dir
     assert cat.read(spark, "t").count() == 100
 
