@@ -700,6 +700,23 @@ def _q_docs_line_scrub(spark, sf_dir):
     return TX.scrub_boilerplate_lines(docs.select("doc_id", "text"))
 
 
+def _q_docs_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 App. C 13-gram rule, public
+    method; n=4 here because the synthetic docs are ~54 words): every
+    training doc sharing a word-4-gram with the held-out benchmark
+    slice (doc_id % 50 = 3) is flagged.  Engine: benchmark n-grams
+    explode+distinct (small) → broadcast; corpus n-grams via native
+    higher-order fns (no UDF) → flatMap explode → map-side semi-join;
+    only contaminated ids shuffle.  Oracle: DuckDB unnest +
+    generate_series sliding window over the same tokenization."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 3)
+    train = docs.filter(F.col("doc_id") % 50 != 3)
+    return TX.decontaminate(train, bench, n=4).select(
+        "doc_id", "contaminated"
+    )
+
+
 def _q_docs_lang_id(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
@@ -1494,7 +1511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 75 registered queries and
+    previous round and untouched this round.  With 76 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1509,7 +1526,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     flagship set; all 25 parked entries have fresh r4-green rows.
     """
     return {
-        # -- never driver-checked (new in r4, registered after pos 50) ------
+        # -- never driver-checked (new this round / registered after 50) ----
+        "docs_decontaminate": _q_docs_decontaminate,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
         # -- r3-green, parked in r4 — rotate back in ------------------------
@@ -2113,6 +2131,35 @@ def oracle_sql() -> dict[str, str]:
                 )
               )
             )
+        """,
+        # benchmark decontamination: train doc flagged iff it shares a
+        # word-4-gram with the doc_id%50=3 benchmark slice; same
+        # regexp tokenization as the Spark side
+        "docs_decontaminate": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            bench_ng AS (
+              SELECT DISTINCT array_to_string(ws[i:i+3], ' ') AS ng
+              FROM words, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE doc_id % 50 = 3
+            ),
+            hits AS (
+              SELECT DISTINCT w.doc_id
+              FROM words w,
+                   UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+              WHERE w.doc_id % 50 <> 3
+                AND array_to_string(ws[i:i+3], ' ')
+                    IN (SELECT ng FROM bench_ng)
+            )
+            SELECT w.doc_id,
+                   CAST(CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS contaminated
+            FROM words w LEFT JOIN hits h ON w.doc_id = h.doc_id
+            WHERE w.doc_id % 50 <> 3
         """,
         # corpus-level boilerplate line scrub: lines >=10 chars in >=2
         # distinct docs dropped everywhere, order preserved (zipped

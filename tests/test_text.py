@@ -195,3 +195,66 @@ def test_scrub_boilerplate_lines(spark):
     # doc-internal repetition is NOT corpus boilerplate (1 distinct doc)
     assert out[6]["text"] == "repeated inside doc only\nrepeated inside doc only"
     assert len(out) == 6
+
+
+def test_decontaminate_flag_drop_hashed_agree(spark):
+    """Known overlaps: doc 1 shares the 3-gram 'the quick brown' with
+    the benchmark, doc 2 shares none, doc 3 is too short to have a
+    3-gram, doc 4 shares one only modulo case.  flag/drop/hashed
+    paths must agree; empty benchmark flags nothing."""
+    train = spark.createDataFrame(
+        [
+            (1, "see the quick brown animal leap"),
+            (2, "completely unrelated text body here"),
+            (3, "two words"),
+            (4, "THE QUICK BROWN fox again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over")], "doc_id long, text string"
+    )
+    flags = {
+        r["doc_id"]: r["contaminated"]
+        for r in TX.decontaminate(train, bench, n=3).collect()
+    }
+    assert flags == {1: 1, 2: 0, 3: 0, 4: 1}
+    kept = {
+        r["doc_id"]
+        for r in TX.decontaminate(train, bench, n=3, mode="drop").collect()
+    }
+    assert kept == {2, 3}
+    hflags = {
+        r["doc_id"]: r["contaminated"]
+        for r in TX.decontaminate(train, bench, n=3, hashed=True).collect()
+    }
+    assert hflags == flags
+    empty_bench = bench.filter("doc_id < 0")
+    assert {
+        r["contaminated"]
+        for r in TX.decontaminate(train, empty_bench, n=3).collect()
+    } == {0}
+    with pytest.raises(ValueError):
+        TX.decontaminate(train, bench, mode="purge")
+
+
+def test_decontaminate_plan_is_native_and_broadcast(spark):
+    """The n-gram machinery must stay whole-stage-codegen native (no
+    Python UDF / BatchEvalPython) and the benchmark side must join as
+    a broadcast."""
+    train = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma delta epsilon word"),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    bench = spark.range(0, 3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("alpha beta gamma delta").alias("text"),
+    )
+    plan = (
+        TX.decontaminate(train, bench, n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
