@@ -317,6 +317,7 @@ class SnapshotCatalog:
             "pos_delete_files": pos_delete_files,
             "meta": meta or {},
         }
+        self._register_new_columns(man, df)
         man["snapshots"].append(snap)
         try:
             self._commit_manifest(table, man)  # atomic commit
@@ -383,6 +384,289 @@ class SnapshotCatalog:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
+    # -- schema evolution (≡ Iceberg field-id schema evolution) ----------
+    #
+    # The manifest carries a field-id schema: every live column has a
+    # stable integer id; renames change only the NAME bound to an id,
+    # drops retire the id, adds mint a fresh one.  Data files keep their
+    # write-time physical names forever; the read path binds each file's
+    # physical columns to ids via the schema version that was current
+    # when the file's snapshot committed, then projects ids to CURRENT
+    # names.  This is exactly Iceberg's contract (spec §4 "Schema
+    # Evolution"): renames never rewrite data, re-adding a dropped name
+    # gets a NEW id so the old column's bytes can never resurface, and
+    # all changes are O(manifest) metadata commits.  The reference
+    # (eodal) has no table format at all; this extends the catalog tier
+    # the same way its Band API fixes band names at load
+    # (`eodal/core/raster.py` band_names) but here names may evolve.
+    #
+    # Version resolution: schema changes do not create snapshots; each
+    # superseded version is logged with ``last_sid`` = the max snapshot
+    # id at the moment it was replaced.  A data dir ``v{S}-…`` was
+    # written under the OLDEST logged version with ``last_sid >= S``
+    # (falling through to the current fields) — no per-file bookkeeping.
+
+    def table_schema(self, table: str) -> list[dict] | None:
+        """Current field-id schema: ``[{"id", "name", "type"}, ...]`` in
+        column order, or ``None`` when the table has never had a schema
+        change (plain name-based reads)."""
+        st = self._load_manifest(table).get("schema")
+        return [dict(f) for f in st["fields"]] if st else None
+
+    def _ensure_schema(self, spark: SparkSession, table: str, man: dict) -> dict:
+        """Lazily initialize field-id tracking from the current
+        snapshot's merged read schema (footer reads only).  Until the
+        first rename/drop/add, tables carry no schema state and reads
+        stay purely name-based — zero cost for the common case."""
+        st = man.get("schema")
+        if st:
+            return st
+        if not man["snapshots"]:
+            raise FileNotFoundError(
+                f"no snapshots for table {table!r} — write data before "
+                "evolving its schema"
+            )
+        snap = man["snapshots"][-1]
+        files = self._snap_files(snap)
+        paths = (
+            [
+                os.path.join(self._tdir(table), f["dir"], f["name"])
+                for f in files
+            ]
+            if files
+            else [snap["path"]]
+        )
+        schema = self._read_files(spark, paths, merge=True).schema
+        fields = [
+            {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+            for i, f in enumerate(schema.fields)
+        ]
+        man["schema"] = {
+            "next_id": len(fields) + 1,
+            "version": 0,
+            "fields": fields,
+            "log": [],
+        }
+        return man["schema"]
+
+    @staticmethod
+    def _push_schema_version(man: dict, st: dict) -> None:
+        st["log"].append(
+            {
+                "version": st["version"],
+                "last_sid": max(
+                    (s["snapshot_id"] for s in man["snapshots"]), default=0
+                ),
+                "fields": [dict(f) for f in st["fields"]],
+            }
+        )
+        st["version"] += 1
+
+    @staticmethod
+    def _fields_for_sid(st: dict, sid: int) -> list[dict]:
+        """Schema version a data dir with snapshot id ``sid`` was
+        written under — oldest logged version still covering it."""
+        for entry in st["log"]:
+            if sid <= entry["last_sid"]:
+                return entry["fields"]
+        return st["fields"]
+
+    def _translate_cols(
+        self, st: dict | None, names: list[str], sid: int
+    ) -> list[str]:
+        """Map column ``names`` recorded at snapshot ``sid`` (e.g. a
+        delete file's key columns) to their CURRENT names via field
+        ids.  Identity when no schema state exists."""
+        if not st or not st["log"]:
+            return list(names)
+        then = {f["name"]: f["id"] for f in self._fields_for_sid(st, sid)}
+        now = {f["id"]: f["name"] for f in st["fields"]}
+        out = []
+        for n in names:
+            fid = then.get(n)
+            if fid is None or fid not in now:
+                raise KeyError(
+                    f"column {n!r} (recorded at snapshot {sid}) no "
+                    "longer exists in the current schema"
+                )
+            out.append(now[fid])
+        return out
+
+    def rename_column(
+        self, spark: SparkSession, table: str, old: str, new: str
+    ) -> None:
+        """Rename a column — O(manifest) metadata commit, no data
+        rewritten; old files keep their physical name and are re-bound
+        at read via the field id (≡ ``ALTER TABLE RENAME COLUMN``)."""
+        man = self._load_manifest(table)
+        st = self._ensure_schema(spark, table, man)
+        names = [f["name"] for f in st["fields"]]
+        if old not in names:
+            raise KeyError(f"no column {old!r} in table {table!r}")
+        if new in names:
+            raise ValueError(
+                f"column {new!r} already exists in table {table!r}"
+            )
+        self._push_schema_version(man, st)
+        next(f for f in st["fields"] if f["name"] == old)["name"] = new
+        self._commit_manifest(table, man)
+
+    def drop_column(self, spark: SparkSession, table: str, name: str) -> None:
+        """Drop a column — metadata-only: the field id is retired, old
+        files' bytes stay but can never resurface (re-adding the same
+        name mints a NEW id).  Refuses when an active delete file or
+        range delete references the column (same constraint Iceberg
+        places on identifier/partition fields)."""
+        man = self._load_manifest(table)
+        st = self._ensure_schema(spark, table, man)
+        names = [f["name"] for f in st["fields"]]
+        if name not in names:
+            raise KeyError(f"no column {name!r} in table {table!r}")
+        cur = man["snapshots"][-1] if man["snapshots"] else {}
+        fid = next(f["id"] for f in st["fields"] if f["name"] == name)
+        for d in cur.get("delete_files") or []:
+            then = {
+                f["name"]: f["id"]
+                for f in self._fields_for_sid(st, d["sid"])
+            }
+            if fid in {then.get(c) for c in d["key_cols"]}:
+                raise ValueError(
+                    f"column {name!r} is a key of an active equality "
+                    "delete — compact() first"
+                )
+        for r in cur.get("delete_ranges") or []:
+            then = {
+                f["name"]: f["id"]
+                for f in self._fields_for_sid(st, r["sid"])
+            }
+            if then.get(r["col"]) == fid:
+                raise ValueError(
+                    f"column {name!r} is referenced by an active range "
+                    "delete — compact() first"
+                )
+        self._push_schema_version(man, st)
+        st["fields"] = [f for f in st["fields"] if f["name"] != name]
+        self._commit_manifest(table, man)
+
+    def add_column(
+        self, spark: SparkSession, table: str, name: str, dtype: str = "string"
+    ) -> None:
+        """Add a column (typed, reads as NULL for every existing row) —
+        metadata-only.  A previously-dropped name may be re-used; it
+        gets a fresh field id, so the dropped column's stored values
+        never reappear."""
+        man = self._load_manifest(table)
+        st = self._ensure_schema(spark, table, man)
+        if name in {f["name"] for f in st["fields"]}:
+            raise ValueError(
+                f"column {name!r} already exists in table {table!r}"
+            )
+        self._push_schema_version(man, st)
+        st["fields"].append(
+            {"id": st["next_id"], "name": name, "type": dtype}
+        )
+        st["next_id"] += 1
+        self._commit_manifest(table, man)
+
+    @staticmethod
+    def _register_new_columns(man: dict, df: DataFrame) -> None:
+        """Auto-register columns a write introduces (Iceberg
+        mergeSchema-on-write): new names get fresh ids appended to the
+        CURRENT version — no log push needed, because files lacking the
+        column physically already project it as NULL."""
+        st = man.get("schema")
+        if not st:
+            return
+        live = {f["name"] for f in st["fields"]}
+        for f in df.schema.fields:
+            if f.name not in live:
+                st["fields"].append(
+                    {
+                        "id": st["next_id"],
+                        "name": f.name,
+                        "type": f.dataType.simpleString(),
+                    }
+                )
+                st["next_id"] += 1
+
+    def _read_resolved(
+        self,
+        spark: SparkSession,
+        table: str,
+        paths: list[str],
+        merge: bool | None = None,
+        state: dict | None = None,
+        with_pos_meta: bool = False,
+    ) -> DataFrame:
+        """Schema-evolution-aware file read: groups ``paths`` by the
+        schema version their dir was written under, binds physical
+        names to field ids per group, projects every group to the
+        CURRENT names/types, and unions.  With no schema state (or no
+        logged changes) it is exactly :meth:`_read_files`.
+
+        ``with_pos_meta=True`` additionally materializes ``_dfile``
+        (dir/name) and ``_pos`` (``_metadata.row_index``) — the row
+        identity the position-delete tier anti-joins on; they must be
+        captured at the scan (``_metadata`` is only resolvable there),
+        which is why the reader owns them."""
+        from pyspark.sql import functions as F
+
+        def attach(df: DataFrame) -> DataFrame:
+            if not with_pos_meta:
+                return df
+            return df.select(
+                "*",
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ).alias("_dfile"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
+
+        if not state or not state["log"]:
+            return attach(self._read_files(spark, paths, merge=merge))
+        by_ver: dict[int, list[str]] = {}
+        for p in paths:
+            sid = self._dir_sid(os.path.basename(os.path.dirname(p)))
+            vi = next(
+                (
+                    i
+                    for i, e in enumerate(state["log"])
+                    if sid <= e["last_sid"]
+                ),
+                -1,
+            )
+            by_ver.setdefault(vi, []).append(p)
+        cur = state["fields"]
+        out: DataFrame | None = None
+        for vi, ps in sorted(by_ver.items()):
+            df = attach(
+                spark.read.option("mergeSchema", "true").parquet(
+                    *sorted(ps)
+                )
+            )
+            have = set(df.columns)
+            gmap = {
+                f["id"]: f["name"]
+                for f in (
+                    state["log"][vi]["fields"] if vi >= 0 else cur
+                )
+            }
+            cols = []
+            for f in cur:
+                gname = gmap.get(f["id"])
+                if gname is not None and gname in have:
+                    cols.append(F.col(gname).alias(f["name"]))
+                else:
+                    cols.append(
+                        F.lit(None).cast(f["type"]).alias(f["name"])
+                    )
+            if with_pos_meta:
+                cols += [F.col("_dfile"), F.col("_pos")]
+            df = df.select(*cols)
+            out = df if out is None else out.unionByName(df)
+        assert out is not None
+        return out
+
     def delete_keys(
         self,
         spark: SparkSession,
@@ -431,8 +715,13 @@ class SnapshotCatalog:
                     f"under {parent['path']}"
                 )
         key_cols = list(keys.columns)
+        schema_state = man.get("schema")
         for d in parent.get("delete_files") or []:
-            if list(d["key_cols"]) != key_cols:
+            # compare in CURRENT names — an old delete's recorded names
+            # may predate a rename of the same field
+            if self._translate_cols(
+                schema_state, d["key_cols"], d["sid"]
+            ) != key_cols:
                 raise ValueError(
                     f"table {table!r} already has equality deletes on "
                     f"{d['key_cols']} — mixed delete keys are not "
@@ -440,17 +729,25 @@ class SnapshotCatalog:
                 )
         # a mistyped key column would commit fine and then break every
         # read until rollback — validate against the data schema now
-        import pyarrow.parquet as pq
+        # (the CURRENT logical schema when evolution is active: a probe
+        # file may physically predate a rename)
+        if schema_state:
+            live = {f["name"] for f in schema_state["fields"]}
+            missing = [c for c in key_cols if c not in live]
+        else:
+            import pyarrow.parquet as pq
 
-        probe = os.path.join(
-            self._tdir(table), parent_files[0]["dir"], parent_files[0]["name"]
-        )
-        data_cols = set(pq.read_schema(probe).names)
-        missing = [c for c in key_cols if c not in data_cols]
+            probe = os.path.join(
+                self._tdir(table),
+                parent_files[0]["dir"],
+                parent_files[0]["name"],
+            )
+            live = set(pq.read_schema(probe).names)
+            missing = [c for c in key_cols if c not in live]
         if missing:
             raise ValueError(
                 f"delete key column(s) {missing} not in table "
-                f"{table!r}'s data schema {sorted(data_cols)}"
+                f"{table!r}'s data schema {sorted(live)}"
             )
         import uuid
 
@@ -557,8 +854,13 @@ class SnapshotCatalog:
                     f"{parent['snapshot_id']}: no data files found "
                     f"under {parent['path']}"
                 )
+        schema_state = man.get("schema")
         for d in parent.get("delete_files") or []:
-            if list(d["key_cols"]) != key_cols:
+            # compare in CURRENT names — an old delete's recorded names
+            # may predate a rename of the same field
+            if self._translate_cols(
+                schema_state, d["key_cols"], d["sid"]
+            ) != key_cols:
                 raise ValueError(
                     f"table {table!r} already has equality deletes on "
                     f"{d['key_cols']} — mixed delete keys are not "
@@ -566,18 +868,24 @@ class SnapshotCatalog:
                 )
         # a mistyped key column would commit fine and break every read
         # until rollback — validate against the data schema now (same
-        # guard as delete_keys)
-        import pyarrow.parquet as pq
+        # guard as delete_keys; CURRENT logical schema when evolution is
+        # active, since a probe file may physically predate a rename)
+        if schema_state:
+            live = {f["name"] for f in schema_state["fields"]}
+        else:
+            import pyarrow.parquet as pq
 
-        probe = os.path.join(
-            self._tdir(table), parent_files[0]["dir"], parent_files[0]["name"]
-        )
-        data_cols = set(pq.read_schema(probe).names)
-        not_in_data = [c for c in key_cols if c not in data_cols]
+            probe = os.path.join(
+                self._tdir(table),
+                parent_files[0]["dir"],
+                parent_files[0]["name"],
+            )
+            live = set(pq.read_schema(probe).names)
+        not_in_data = [c for c in key_cols if c not in live]
         if not_in_data:
             raise ValueError(
                 f"upsert key column(s) {not_in_data} not in table "
-                f"{table!r}'s data schema {sorted(data_cols)}"
+                f"{table!r}'s data schema {sorted(live)}"
             )
         import uuid
 
@@ -642,6 +950,7 @@ class SnapshotCatalog:
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "meta": meta or {},
         }
+        self._register_new_columns(man, df)
         man["snapshots"].append(snap)
         try:
             self._commit_manifest(table, man)
@@ -698,6 +1007,23 @@ class SnapshotCatalog:
                 f"{parent['snapshot_id']} — compact() first"
             )
         sid = max(s["snapshot_id"] for s in man["snapshots"]) + 1
+        schema_state = man.get("schema")
+        _cur_id = (
+            {f["name"]: f["id"] for f in schema_state["fields"]}
+            if schema_state
+            else {}
+        )
+
+        def _stat_name(f: dict) -> str:
+            # pre-rename files keep stats under their write-time name
+            if not schema_state or not schema_state["log"]:
+                return col
+            then = self._fields_for_sid(
+                schema_state, self._dir_sid(f["dir"])
+            )
+            return {x["id"]: x["name"] for x in then}.get(
+                _cur_id.get(col), col
+            )
 
         def fully_deleted(f: dict) -> bool:
             # dropping a file here is IRREVERSIBLE after expire/compact,
@@ -707,7 +1033,7 @@ class SnapshotCatalog:
             # Mirrors scan()'s guards: a 'YYYY-MM-DD HH:MM:SS' string
             # bound sorts BEFORE every same-day 'T'-isoformat stat
             # (' ' < 'T') and would otherwise misclassify coverage.
-            st = (f.get("stats") or {}).get(col)
+            st = (f.get("stats") or {}).get(_stat_name(f))
             if not st or st["min"] is None or st["max"] is None:
                 return False
             stat_is_str = isinstance(st["min"], str)
@@ -819,14 +1145,21 @@ class SnapshotCatalog:
         tdir = self._tdir(table)
         paths = [os.path.join(tdir, f["dir"], f["name"]) for f in parent_files]
         pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+        # schema-resolved read: the predicate is written in CURRENT
+        # column names and must match rows in files that predate a
+        # rename; positions are captured at the scan by the reader
         positions = (
-            self._read_files(spark, paths)
+            self._read_resolved(
+                spark,
+                table,
+                paths,
+                state=man.get("schema"),
+                with_pos_meta=True,
+            )
             .filter(pred)
             .select(
-                F.regexp_extract(
-                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
-                ).alias("dfile"),
-                F.col("_metadata.row_index").alias("pos"),
+                F.col("_dfile").alias("dfile"),
+                F.col("_pos").alias("pos"),
             )
         )
         ddir = os.path.join(tdir, f"v{sid}-{uuid.uuid4().hex[:8]}")
@@ -900,10 +1233,21 @@ class SnapshotCatalog:
         rdels = snap.get("delete_ranges") or []
         pdels = snap.get("pos_delete_files") or []
         tdir = self._tdir(table)
+        state = self._load_manifest(table).get("schema")
         paths = [os.path.join(tdir, f["dir"], f["name"]) for f in files]
         if (not dels and not rdels and not pdels) or not files:
-            return self._read_files(spark, paths, merge=merge)
-        key_cols = list(dels[0]["key_cols"]) if dels else []
+            return self._read_resolved(
+                spark, table, paths, merge=merge, state=state
+            )
+        # delete/data columns may have been RENAMED since a delete
+        # committed: all joins/filters below run in CURRENT names (the
+        # data side is projected by _read_resolved), so each delete
+        # entry's recorded names are translated via its field ids
+        key_cols = (
+            self._translate_cols(state, dels[0]["key_cols"], dels[0]["sid"])
+            if dels
+            else []
+        )
         del_sids = sorted(
             {d["sid"] for d in dels}
             | {r["sid"] for r in rdels}
@@ -916,12 +1260,11 @@ class SnapshotCatalog:
             # drop them — inconsistent with the key-delete anti-join,
             # which preserves NULL keys)
             conds = [
-                F.col(r["col"]).isNull()
-                | ~grid.ranges_predicate(
-                    r["col"], [tuple(x) for x in r["ranges"]]
-                )
+                F.col(c).isNull()
+                | ~grid.ranges_predicate(c, [tuple(x) for x in r["ranges"]])
                 for r in rdels
                 if r["sid"] >= min_sid
+                for c in self._translate_cols(state, [r["col"]], r["sid"])
             ]
             out = None
             for c in conds:
@@ -939,9 +1282,24 @@ class SnapshotCatalog:
             )
         base_keys: DataFrame | None = None
         for sid, ps in by_sid.items():
-            part = spark.read.parquet(*ps).select(*key_cols).withColumn(
-                "_del_sid", F.lit(sid)
+            # each delete parquet stores its WRITE-TIME key names —
+            # alias to current so all parts (and the data side) align
+            then_cols = next(
+                d["key_cols"] for d in dels if d["sid"] == sid
             )
+            cur_cols = self._translate_cols(state, then_cols, sid)
+            if sorted(cur_cols) != sorted(key_cols):
+                raise ValueError(
+                    f"equality deletes at snapshot {sid} use key "
+                    f"{cur_cols}, others use {key_cols} — mixed delete "
+                    "keys are not supported; compact() first"
+                )
+            part = spark.read.parquet(*ps).select(
+                *[
+                    F.col(a).alias(b)
+                    for a, b in zip(then_cols, cur_cols)
+                ]
+            ).withColumn("_del_sid", F.lit(sid))
             base_keys = part if base_keys is None else base_keys.unionByName(part)
         if base_keys is not None and len(by_sid) > 1:
             base_keys = base_keys.cache()
@@ -1025,24 +1383,27 @@ class SnapshotCatalog:
                   if self._dir_sid(f["dir"]) == 0] if lo == 0 else [])
             if not seg:
                 continue
-            df = self._read_files(spark, sorted(set(seg)), merge=merge)
+            pk = pos_keys_from(hi) if hi is not None else None
+            df = self._read_resolved(
+                spark,
+                table,
+                sorted(set(seg)),
+                merge=merge,
+                state=state,
+                with_pos_meta=pk is not None,
+            )
             if hi is not None:
-                pk = pos_keys_from(hi)
                 if pk is not None:
                     # row identity = ("dir/name", row ordinal in file) —
-                    # Spark's _metadata.row_index is the stable physical
-                    # position the delete file recorded at commit time
-                    data_cols = df.columns
+                    # the reader materialized _dfile/_pos at the scan
+                    # (stable physical positions the delete file
+                    # recorded at commit time)
+                    data_cols = [
+                        c for c in df.columns if c not in ("_dfile", "_pos")
+                    ]
                     df = (
-                        df.select(
-                            "*",
-                            F.regexp_extract(
-                                F.col("_metadata.file_path"),
-                                r"([^/]+/[^/]+)$",
-                                1,
-                            ).alias("dfile"),
-                            F.col("_metadata.row_index").alias("pos"),
-                        )
+                        df.withColumnRenamed("_dfile", "dfile")
+                        .withColumnRenamed("_pos", "pos")
                         .join(pk, ["dfile", "pos"], "left_anti")
                         .select(*data_cols)
                     )
@@ -1154,8 +1515,12 @@ class SnapshotCatalog:
             paths = self._file_paths(table, hi)
             if not paths:  # legacy pre-stats snapshot: dir-level read
                 return spark.read.parquet(hi["path"]).where(F.lit(False))
-            return self._read_files(spark, paths).where(F.lit(False))
-        return self._read_files(spark, new)
+            state = self._load_manifest(table).get("schema")
+            return self._read_resolved(
+                spark, table, paths, state=state
+            ).where(F.lit(False))
+        state = self._load_manifest(table).get("schema")
+        return self._read_resolved(spark, table, new, state=state)
 
     def file_metrics(
         self, spark: SparkSession, table: str, snapshot_id: int | None = None
@@ -1433,13 +1798,34 @@ class SnapshotCatalog:
         }
         files = self._snap_files(snap)
         snap_multi_dir = len({f["dir"] for f in files}) > 1
+        # schema evolution: per-file stats are keyed by WRITE-TIME
+        # names; a predicate on a renamed column must consult the name
+        # its file's schema version bound to the same field id —
+        # otherwise every pre-rename file loses pruning (kept, never
+        # wrongly dropped, but the scan degrades to a full read)
+        schema_state = self._load_manifest(table).get("schema")
+        cur_id_by_name = (
+            {f["name"]: f["id"] for f in schema_state["fields"]}
+            if schema_state
+            else {}
+        )
+
+        def _stat_name(frec: dict, col: str) -> str:
+            if not schema_state or not schema_state["log"]:
+                return col
+            then = self._fields_for_sid(
+                schema_state, self._dir_sid(frec["dir"])
+            )
+            by_id = {f["id"]: f["name"] for f in then}
+            return by_id.get(cur_id_by_name.get(col), col)
+
         if files:
             keep = []
             for frec in files:
                 stats = frec.get("stats", {})
                 ok = True
                 for col, rs in norm.items():
-                    st = stats.get(col)
+                    st = stats.get(_stat_name(frec, col))
                     if st is None or st["min"] is None or st["max"] is None:
                         continue  # no stats → cannot prune this file
                     stat_is_str = isinstance(st["min"], str)
@@ -1480,8 +1866,12 @@ class SnapshotCatalog:
 
                 # schema-preserving empty: the optimizer folds
                 # filter(false) to an empty LocalRelation — no scan
-                df = self._read_files(
-                    spark, self._file_paths(table, snap), merge=snap_multi_dir
+                df = self._read_resolved(
+                    spark,
+                    table,
+                    self._file_paths(table, snap),
+                    merge=snap_multi_dir,
+                    state=schema_state,
                 ).where(F.lit(False))
             else:
                 # delete-aware: equality deletes apply to the surviving

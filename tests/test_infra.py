@@ -1627,3 +1627,166 @@ def test_refresh_rollup_incremental_matches_full(spark, tmp_path):
     r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
     assert r["mode"] == "full"
     assert got() == expect()
+
+
+def test_schema_evolution_rename_drop_add(spark, tmp_path):
+    """Iceberg-style field-id schema evolution: renames re-bind old
+    files at read, drops retire the id, re-adding a dropped name mints
+    a fresh id so old bytes never resurface, and every change is an
+    O(manifest) metadata commit (no data rewritten)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(
+        spark.range(0, 10).select(
+            F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+        ),
+        "t",
+        sort_by=("a",),
+    )
+    v1_files = {
+        (f["dir"], f["name"]) for f in cat.current_snapshot("t")["files"]
+    }
+    cat.rename_column(spark, "t", "a", "x")
+    # metadata-only: same data files, new logical name, values intact
+    assert {
+        (f["dir"], f["name"]) for f in cat.current_snapshot("t")["files"]
+    } == v1_files
+    out = cat.read(spark, "t")
+    assert out.columns == ["x", "b"]
+    assert out.agg(F.sum("x")).first()[0] == sum(range(10))
+    # append AFTER the rename writes the new physical name; both
+    # generations resolve to one logical column
+    cat.write(
+        spark.range(10, 15).select(
+            F.col("id").alias("x"), (F.col("id") * 2).alias("b")
+        ),
+        "t",
+        mode="append",
+    )
+    assert cat.read(spark, "t").agg(F.sum("x")).first()[0] == sum(range(15))
+    # chained rename: x -> y re-binds BOTH physical generations (a, x)
+    cat.rename_column(spark, "t", "x", "y")
+    assert cat.read(spark, "t").agg(F.sum("y")).first()[0] == sum(range(15))
+    # typed add: NULL for every existing row
+    cat.add_column(spark, "t", "c", "bigint")
+    out = cat.read(spark, "t")
+    assert out.schema["c"].dataType.simpleString() == "bigint"
+    assert out.filter("c IS NULL").count() == 15
+    # drop + re-add under the same name: fresh field id, old values gone
+    cat.drop_column(spark, "t", "b")
+    assert cat.read(spark, "t").columns == ["y", "c"]
+    cat.add_column(spark, "t", "b", "bigint")
+    assert cat.read(spark, "t").filter("b IS NOT NULL").count() == 0
+    ids = {f["name"]: f["id"] for f in cat.table_schema("t")}
+    assert ids["b"] != 2  # the retired id is never reused
+    # guards
+    with pytest.raises(ValueError):
+        cat.rename_column(spark, "t", "y", "c")
+    with pytest.raises(KeyError):
+        cat.rename_column(spark, "t", "nope", "z")
+    with pytest.raises(ValueError):
+        cat.add_column(spark, "t", "y")
+
+
+def test_schema_evolution_deletes_and_scan_across_rename(spark, tmp_path):
+    """All three delete tiers and manifest pruning keep working across
+    renames: recorded names are translated through field ids, old
+    files' stats are consulted under their write-time names, and
+    deletes issued before AND after a rename compose on the same
+    logical column."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(
+        spark.range(0, 100).select(
+            F.col("id").alias("a"), (F.col("id") % 7).alias("grp")
+        ),
+        "t",
+        sort_by=("a",),
+        n_files=4,
+    )
+    # equality delete under the ORIGINAL name ...
+    cat.delete_keys(spark, "t", spark.createDataFrame([(0,), (1,)], "a bigint"))
+    cat.rename_column(spark, "t", "a", "key")
+    # ... still applies after the rename
+    assert cat.read(spark, "t").count() == 98
+    # a second equality delete under the NEW name joins the same field
+    cat.delete_keys(
+        spark, "t", spark.createDataFrame([(2,), (3,)], "key bigint")
+    )
+    assert cat.read(spark, "t").count() == 96
+    # range delete on the renamed column (current name at call time)
+    cat.delete_range("t", "key", (90, 99))
+    assert cat.read(spark, "t").count() == 86
+    # position delete with a predicate in current names over pre-rename
+    # files
+    cat.delete_where(spark, "t", "key >= 80 AND key < 85")
+    assert cat.read(spark, "t").count() == 81
+    assert cat.read(spark, "t").agg(F.sum("key")).first()[0] == sum(
+        range(4, 80)
+    ) + sum(range(85, 90))
+    # manifest pruning consults pre-rename stats via the field id: a
+    # narrow scan must still skip files (4 sorted files over 0..99)
+    sc = cat.scan(spark, "t", {"key": (10, 20)})
+    assert sc.count() == 11
+    assert sorted(r["key"] for r in sc.collect()) == list(range(10, 21))
+    # sequence semantics survive translation: re-ingesting a deleted
+    # key AFTER the deletes makes it visible again
+    cat.write(
+        spark.createDataFrame([(2, 2)], "key bigint, grp bigint"),
+        "t",
+        mode="append",
+    )
+    assert cat.read(spark, "t").filter("key = 2").count() == 1
+    # dropping a delete-referenced column is refused
+    with pytest.raises(ValueError):
+        cat.drop_column(spark, "t", "key")
+    # time travel: an OLD snapshot reads under the CURRENT schema
+    # (Iceberg semantics — schema is table-level, not per-snapshot)
+    first = cat.snapshots("t")[0]["snapshot_id"]
+    old = cat.read(spark, "t", snapshot_id=first)
+    assert old.columns == ["key", "grp"]
+    assert old.count() == 100
+
+
+def test_schema_evolution_incremental_and_upsert(spark, tmp_path):
+    """read_changes and MERGE upsert run in current names across a
+    rename; auto-registration records columns a later write adds."""
+    cat = SnapshotCatalog(str(tmp_path))
+    s1 = cat.write(
+        spark.range(0, 10).select(
+            F.col("id").alias("a"), F.lit("v1").alias("val")
+        ),
+        "t",
+    )
+    cat.rename_column(spark, "t", "a", "k")
+    cat.write(
+        spark.range(10, 12).select(
+            F.col("id").alias("k"), F.lit("v1").alias("val")
+        ),
+        "t",
+        mode="append",
+    )
+    delta = cat.read_changes(spark, "t", s1["snapshot_id"])
+    assert delta.columns == ["k", "val"]
+    assert sorted(r["k"] for r in delta.collect()) == [10, 11]
+    # upsert keyed on the renamed column replaces across generations
+    cat.upsert(
+        spark,
+        spark.createDataFrame([(5, "v2"), (99, "v2")], "k bigint, val string"),
+        "t",
+        key_cols=("k",),
+    )
+    out = {r["k"]: r["val"] for r in cat.read(spark, "t").collect()}
+    assert out[5] == "v2" and out[99] == "v2" and out[4] == "v1"
+    assert len(out) == 13
+    # a write carrying a brand-new column auto-registers it
+    cat.write(
+        spark.createDataFrame(
+            [(100, "v3", 7)], "k bigint, val string, extra bigint"
+        ),
+        "t",
+        mode="append",
+    )
+    fields = {f["name"] for f in cat.table_schema("t")}
+    assert "extra" in fields
+    out = cat.read(spark, "t")
+    assert out.filter("extra IS NOT NULL").count() == 1
+    assert out.filter("k < 100 AND extra IS NULL").count() == 13
