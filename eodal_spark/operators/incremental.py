@@ -119,10 +119,18 @@ def refresh_rollup(
 
     try:
         delta = cat.read_changes(spark, src_table, last, sid)
-    except ValueError:
-        # overwrite/delete/upsert in range: no file-level delta exists
+    except (ValueError, KeyError):
+        # ValueError: overwrite/delete/upsert in range — no file-level
+        # delta exists.  KeyError: the consumed snapshot was expired
+        # (routine expire_snapshots on the source) — same remedy, one
+        # full recompute re-anchors the rollup on the current snapshot.
         return full_build()
-    partial = delta.groupBy(*key_cols).agg(*_agg_exprs(measures))
+    # cached: consumed by the NULL-key probe below, then by upsert's
+    # data write AND its key-file write — without the cache the delta
+    # files are re-scanned and the groupBy re-run 3-4 times per refresh
+    partial = (
+        delta.groupBy(*key_cols).agg(*_agg_exprs(measures)).cache()
+    )
     # NULL group keys cannot round-trip through the incremental path:
     # upsert's equality-delete anti-join is (deliberately) null-unsafe,
     # so a NULL-key row would never REPLACE its stored counterpart and
@@ -133,6 +141,7 @@ def refresh_rollup(
         c = F.col(k).isNull()
         null_key = c if null_key is None else (null_key | c)
     if partial.filter(null_key).limit(1).count() > 0:
+        partial.unpersist()
         return full_build()
     old = cat.read(spark, dst_table)
     # only the keys the delta touched are re-read and re-written; the
@@ -153,9 +162,16 @@ def refresh_rollup(
             ],
             *[_merge_expr(kind, alias) for kind, _, alias in measures],
         )
+        # upsert consumes this twice (data files + its key file) —
+        # cached so the stored-rollup scan and merge join run once
+        .cache()
     )
-    cat.upsert(
-        spark, merged, dst_table, key_cols=tuple(key_cols),
-        n_files=n_files, meta=meta,
-    )
+    try:
+        cat.upsert(
+            spark, merged, dst_table, key_cols=tuple(key_cols),
+            n_files=n_files, meta=meta,
+        )
+    finally:
+        merged.unpersist()
+        partial.unpersist()
     return {"mode": "incremental", "src_snapshot": sid}

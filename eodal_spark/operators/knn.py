@@ -77,29 +77,47 @@ def _cell_id_is_stored(df: DataFrame) -> bool:
 
 
 # Per-round caches of the most recent knn() call, PER DRIVER THREAD
-# (thread-local: concurrent driver threads each track their own calls,
-# so one thread's knn() can never unpersist another's live caches).
-# The returned plan references them, so they cannot be unpersisted
-# inside knn() itself; instead each new knn() call on the same thread
-# releases the previous call's caches, and callers that materialized
-# their result can reclaim storage memory immediately with
-# release_caches().  (A caller that holds an UNmaterialized knn result
-# across a second same-thread knn() call merely recomputes from lineage
-# — correctness is unaffected, only speed.)
+# (keyed by thread ident: concurrent driver threads each track their
+# own calls, so one thread's knn() can never unpersist another LIVE
+# thread's caches).  The returned plan references them, so they cannot
+# be unpersisted inside knn() itself; instead each new knn() call on
+# the same thread releases the previous call's caches, and callers
+# that materialized their result can reclaim storage memory
+# immediately with release_caches().  Entries belonging to DEAD
+# threads are purged on every knn()/release_caches() call — Spark's
+# CacheManager pins cached plans independent of Python GC, so a pool
+# of short-lived threads (one knn() each, thread never reused) would
+# otherwise accumulate caches for the application lifetime.  (A caller
+# that holds an UNmaterialized knn result across a second same-thread
+# knn() call merely recomputes from lineage — correctness is
+# unaffected, only speed.)
 import threading as _threading
 
-_TL = _threading.local()
+_CACHES_LOCK = _threading.Lock()
+_CACHES_BY_THREAD: dict[int, list] = {}
 
 
 def _round_caches() -> list:
-    if not hasattr(_TL, "caches"):
-        _TL.caches = []
-    return _TL.caches
+    with _CACHES_LOCK:
+        return _CACHES_BY_THREAD.setdefault(_threading.get_ident(), [])
+
+
+def _purge_dead_threads() -> None:
+    live = {t.ident for t in _threading.enumerate()}
+    with _CACHES_LOCK:
+        dead = [i for i in _CACHES_BY_THREAD if i not in live]
+        orphans = [c for i in dead for c in _CACHES_BY_THREAD.pop(i)]
+    for c in orphans:
+        try:
+            c.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
 
 
 def release_caches() -> None:
     """Unpersist the per-round topk caches of this thread's most recent
     :func:`knn` call — call after materializing its result."""
+    _purge_dead_threads()
     caches = _round_caches()
     while caches:
         caches.pop().unpersist()

@@ -370,15 +370,15 @@ def benchmark_ngrams(
     by ~10× (8 bytes vs ~80-char strings) at the cost of an
     astronomically-unlikely 64-bit collision flagging a clean doc —
     the standard trade (GPT-3 App. C / PaLM use hashed 13-grams)."""
-    ng = (
-        benchmark.select(
-            F.explode(ngram_array(F.col(text_col), n)).alias("ng")
-        )
-        .distinct()
+    exploded = benchmark.select(
+        F.explode(ngram_array(F.col(text_col), n)).alias("ng")
     )
     if hashed:
-        ng = ng.select(F.xxhash64("ng").alias("ng")).distinct()
-    return ng
+        # hash BEFORE the single distinct: one shuffle of 8-byte keys,
+        # not a distinct over ~80-char strings followed by a second
+        # exchange over their hashes
+        exploded = exploded.select(F.xxhash64("ng").alias("ng"))
+    return exploded.distinct()
 
 
 def decontaminate(

@@ -522,28 +522,37 @@ class SnapshotCatalog:
         names = [f["name"] for f in st["fields"]]
         if name not in names:
             raise KeyError(f"no column {name!r} in table {table!r}")
-        cur = man["snapshots"][-1] if man["snapshots"] else {}
         fid = next(f["id"] for f in st["fields"] if f["name"] == name)
-        for d in cur.get("delete_files") or []:
-            then = {
-                f["name"]: f["id"]
-                for f in self._fields_for_sid(st, d["sid"])
-            }
-            if fid in {then.get(c) for c in d["key_cols"]}:
-                raise ValueError(
-                    f"column {name!r} is a key of an active equality "
-                    "delete — compact() first"
-                )
-        for r in cur.get("delete_ranges") or []:
-            then = {
-                f["name"]: f["id"]
-                for f in self._fields_for_sid(st, r["sid"])
-            }
-            if then.get(r["col"]) == fid:
-                raise ValueError(
-                    f"column {name!r} is referenced by an active range "
-                    "delete — compact() first"
-                )
+        # guard EVERY retained snapshot, not just the current one: an
+        # older snapshot (still addressable by id/tag/as_of — the tag
+        # docs promise it stays readable) may carry delete entries on
+        # this field even after a compact() cleared them from HEAD, and
+        # its time-travel read would raise KeyError post-drop
+        for snap_ in man["snapshots"]:
+            for d in snap_.get("delete_files") or []:
+                then = {
+                    f["name"]: f["id"]
+                    for f in self._fields_for_sid(
+                        st, d.get("schema_sid", d["sid"])
+                    )
+                }
+                if fid in {then.get(c) for c in d["key_cols"]}:
+                    raise ValueError(
+                        f"column {name!r} is a key of an equality delete "
+                        f"in retained snapshot {snap_['snapshot_id']} — "
+                        "compact() + expire_snapshots() first"
+                    )
+            for r in snap_.get("delete_ranges") or []:
+                then = {
+                    f["name"]: f["id"]
+                    for f in self._fields_for_sid(st, r["sid"])
+                }
+                if then.get(r["col"]) == fid:
+                    raise ValueError(
+                        f"column {name!r} is referenced by a range delete "
+                        f"in retained snapshot {snap_['snapshot_id']} — "
+                        "compact() + expire_snapshots() first"
+                    )
         self._push_schema_version(man, st)
         st["fields"] = [f for f in st["fields"] if f["name"] != name]
         self._commit_manifest(table, man)
@@ -720,7 +729,7 @@ class SnapshotCatalog:
             # compare in CURRENT names — an old delete's recorded names
             # may predate a rename of the same field
             if self._translate_cols(
-                schema_state, d["key_cols"], d["sid"]
+                schema_state, d["key_cols"], d.get("schema_sid", d["sid"])
             ) != key_cols:
                 raise ValueError(
                     f"table {table!r} already has equality deletes on "
@@ -859,7 +868,7 @@ class SnapshotCatalog:
             # compare in CURRENT names — an old delete's recorded names
             # may predate a rename of the same field
             if self._translate_cols(
-                schema_state, d["key_cols"], d["sid"]
+                schema_state, d["key_cols"], d.get("schema_sid", d["sid"])
             ) != key_cols:
                 raise ValueError(
                     f"table {table!r} already has equality deletes on "
@@ -931,6 +940,13 @@ class SnapshotCatalog:
                 # file committed at or before the parent, never to this
                 # commit's own data files (dir sid > parent sid)
                 "sid": parent["snapshot_id"],
+                # names in ``key_cols`` are CURRENT at *this* commit,
+                # not the parent's — a rename committed between the
+                # parent snapshot and this upsert changes which schema
+                # version the names belong to, so schema translation
+                # must anchor on this commit's own sid (sequence
+                # semantics above stay on the parent's)
+                "schema_sid": sid,
             }
             for f in _file_stats(kdir, tuple(key_cols))
         ]
@@ -1014,16 +1030,21 @@ class SnapshotCatalog:
             else {}
         )
 
-        def _stat_name(f: dict) -> str:
-            # pre-rename files keep stats under their write-time name
+        def _stat_name(f: dict) -> str | None:
+            # pre-rename files keep stats under their write-time name.
+            # None = the file's write-time schema has NO column with the
+            # CURRENT field id (e.g. ``col`` was dropped and re-added:
+            # old files hold only the RETIRED column's bytes/stats under
+            # the same name) → treat as no-stats, never fall back to the
+            # raw name — matching by the retired column's stats would
+            # judge files "fully deleted" by values the current column
+            # does not contain (irreversible data loss)
             if not schema_state or not schema_state["log"]:
                 return col
             then = self._fields_for_sid(
                 schema_state, self._dir_sid(f["dir"])
             )
-            return {x["id"]: x["name"] for x in then}.get(
-                _cur_id.get(col), col
-            )
+            return {x["id"]: x["name"] for x in then}.get(_cur_id.get(col))
 
         def fully_deleted(f: dict) -> bool:
             # dropping a file here is IRREVERSIBLE after expire/compact,
@@ -1216,6 +1237,9 @@ class SnapshotCatalog:
         snap: dict,
         files: list[dict],
         merge: bool,
+        state: dict | None = None,
+        *,
+        state_from_caller: bool = False,
     ) -> DataFrame:
         """Read ``files`` applying the snapshot's equality-delete files
         AND metadata range deletes with Iceberg sequence semantics: a
@@ -1233,7 +1257,12 @@ class SnapshotCatalog:
         rdels = snap.get("delete_ranges") or []
         pdels = snap.get("pos_delete_files") or []
         tdir = self._tdir(table)
-        state = self._load_manifest(table).get("schema")
+        if not state_from_caller:
+            # back-compat load; callers that already hold the manifest
+            # pass state= for ONE consistent snapshot+schema view (a
+            # rename committed between two loads would translate this
+            # snapshot's delete entries against the wrong version)
+            state = self._load_manifest(table).get("schema")
         paths = [os.path.join(tdir, f["dir"], f["name"]) for f in files]
         if (not dels and not rdels and not pdels) or not files:
             return self._read_resolved(
@@ -1244,7 +1273,11 @@ class SnapshotCatalog:
         # data side is projected by _read_resolved), so each delete
         # entry's recorded names are translated via its field ids
         key_cols = (
-            self._translate_cols(state, dels[0]["key_cols"], dels[0]["sid"])
+            self._translate_cols(
+                state,
+                dels[0]["key_cols"],
+                dels[0].get("schema_sid", dels[0]["sid"]),
+            )
             if dels
             else []
         )
@@ -1275,19 +1308,26 @@ class SnapshotCatalog:
         # filters its applicable suffix from it, so stacked deletes
         # don't re-scan older delete files once per segment (cached when
         # more than one segment will consume it)
-        by_sid: dict[int, list[str]] = {}
+        # group by (sequence sid, schema sid): an upsert's entry carries
+        # its PARENT's sequence number but records key names current at
+        # its OWN commit, so a delete_keys at sid N and an upsert whose
+        # parent is N may share a sequence sid yet need different
+        # name translations
+        by_sid: dict[tuple[int, int], list[str]] = {}
         for d in dels:
-            by_sid.setdefault(d["sid"], []).append(
-                os.path.join(tdir, d["dir"], d["name"])
-            )
+            by_sid.setdefault(
+                (d["sid"], d.get("schema_sid", d["sid"])), []
+            ).append(os.path.join(tdir, d["dir"], d["name"]))
         base_keys: DataFrame | None = None
-        for sid, ps in by_sid.items():
+        for (sid, ssid), ps in by_sid.items():
             # each delete parquet stores its WRITE-TIME key names —
             # alias to current so all parts (and the data side) align
             then_cols = next(
-                d["key_cols"] for d in dels if d["sid"] == sid
+                d["key_cols"]
+                for d in dels
+                if d["sid"] == sid and d.get("schema_sid", d["sid"]) == ssid
             )
-            cur_cols = self._translate_cols(state, then_cols, sid)
+            cur_cols = self._translate_cols(state, then_cols, ssid)
             if sorted(cur_cols) != sorted(key_cols):
                 raise ValueError(
                     f"equality deletes at snapshot {sid} use key "
@@ -1450,22 +1490,40 @@ class SnapshotCatalog:
         :meth:`delete_keys`)."""
         if sum(x is not None for x in (snapshot_id, as_of, tag)) > 1:
             raise ValueError("pass only one of snapshot_id / as_of / tag")
+        # ONE manifest load for ref/snapshot/schema resolution — a
+        # second load anywhere below would be a TOCTOU against
+        # concurrent expiry/rollback/rename
+        man = self._load_manifest(table)
+        snaps = man["snapshots"]
         if tag is not None:
-            refs = self.tags(table)
+            refs = dict(man.get("refs") or {})
             if tag not in refs:
                 raise KeyError(f"no tag {tag!r} on table {table!r}")
             snapshot_id = refs[tag]
         if as_of is not None:
-            # use the resolved dict directly — re-resolving its id via a
-            # second manifest load would be a TOCTOU against concurrent
-            # expiry/rollback
-            snap = self.snapshot_as_of(table, as_of)
+            ts = as_of.timestamp() if hasattr(as_of, "timestamp") else as_of
+            eligible = [
+                s for s in snaps if s.get("committed_at", 0.0) <= ts
+            ]
+            if not eligible:
+                raise KeyError(
+                    f"no snapshot of {table!r} committed at or before {ts}"
+                )
+            snap = eligible[-1]
         else:
-            snap = self._get_snap(table, snapshot_id)
+            snap = self._get_snap(table, snapshot_id, snaps)
         files = self._snap_files(snap)
         if files:
             merge = len({f["dir"] for f in files}) > 1
-            return self._read_with_deletes(spark, table, snap, files, merge)
+            return self._read_with_deletes(
+                spark,
+                table,
+                snap,
+                files,
+                merge,
+                state=man.get("schema"),
+                state_from_caller=True,
+            )
         return spark.read.parquet(snap["path"])  # pre-stats snapshot
 
     def read_changes(
@@ -1482,7 +1540,10 @@ class SnapshotCatalog:
         append commits have well-defined change semantics; an overwrite
         in the range raises, as the delta is not expressible as a file
         difference."""
-        snaps = self.snapshots(table)  # ONE load → one consistent view
+        man = self._load_manifest(table)  # ONE load → one consistent view
+        snaps = man["snapshots"]
+        if not snaps:
+            raise FileNotFoundError(f"no snapshots for table {table}")
         lo = self._get_snap(table, from_snapshot, snaps)
         hi = self._get_snap(table, to_snapshot, snaps)
         if lo["snapshot_id"] > hi["snapshot_id"]:
@@ -1515,12 +1576,12 @@ class SnapshotCatalog:
             paths = self._file_paths(table, hi)
             if not paths:  # legacy pre-stats snapshot: dir-level read
                 return spark.read.parquet(hi["path"]).where(F.lit(False))
-            state = self._load_manifest(table).get("schema")
             return self._read_resolved(
-                spark, table, paths, state=state
+                spark, table, paths, state=man.get("schema")
             ).where(F.lit(False))
-        state = self._load_manifest(table).get("schema")
-        return self._read_resolved(spark, table, new, state=state)
+        return self._read_resolved(
+            spark, table, new, state=man.get("schema")
+        )
 
     def file_metrics(
         self, spark: SparkSession, table: str, snapshot_id: int | None = None
@@ -1768,7 +1829,10 @@ class SnapshotCatalog:
         Files with no recorded stats for a column are kept
         (conservative, like Iceberg's null-stats behavior).
         """
-        snap = self._get_snap(table, snapshot_id)
+        man = self._load_manifest(table)  # ONE load → one consistent view
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        snap = self._get_snap(table, snapshot_id, man["snapshots"])
         if not ranges:  # no predicate → plain snapshot read
             return self.read(spark, table, snap["snapshot_id"])
         for c, r in ranges.items():
@@ -1803,21 +1867,26 @@ class SnapshotCatalog:
         # its file's schema version bound to the same field id —
         # otherwise every pre-rename file loses pruning (kept, never
         # wrongly dropped, but the scan degrades to a full read)
-        schema_state = self._load_manifest(table).get("schema")
+        schema_state = man.get("schema")
         cur_id_by_name = (
             {f["name"]: f["id"] for f in schema_state["fields"]}
             if schema_state
             else {}
         )
 
-        def _stat_name(frec: dict, col: str) -> str:
+        def _stat_name(frec: dict, col: str) -> str | None:
+            # None = the file's write-time schema has no column bound to
+            # the CURRENT field id (drop + re-add of the same name):
+            # its same-named stats describe the RETIRED column, so the
+            # file must be kept un-pruned (the current column reads as
+            # NULL there — conservative, like Iceberg's null-stats)
             if not schema_state or not schema_state["log"]:
                 return col
             then = self._fields_for_sid(
                 schema_state, self._dir_sid(frec["dir"])
             )
             by_id = {f["id"]: f["name"] for f in then}
-            return by_id.get(cur_id_by_name.get(col), col)
+            return by_id.get(cur_id_by_name.get(col))
 
         if files:
             keep = []
@@ -1877,7 +1946,13 @@ class SnapshotCatalog:
                 # delete-aware: equality deletes apply to the surviving
                 # files with the same sequence semantics as read()
                 df = self._read_with_deletes(
-                    spark, table, snap, keep, merge=snap_multi_dir
+                    spark,
+                    table,
+                    snap,
+                    keep,
+                    merge=snap_multi_dir,
+                    state=schema_state,
+                    state_from_caller=True,
                 )
         else:  # pre-stats snapshot: fall back to a full read
             df = spark.read.parquet(snap["path"])

@@ -1790,3 +1790,126 @@ def test_schema_evolution_incremental_and_upsert(spark, tmp_path):
     out = cat.read(spark, "t")
     assert out.filter("extra IS NOT NULL").count() == 1
     assert out.filter("k < 100 AND extra IS NULL").count() == 13
+
+
+def test_upsert_immediately_after_rename_reads(spark, tmp_path):
+    """An upsert committed DIRECTLY after a rename (no intervening
+    snapshot) records key names that are current at its own commit but
+    a sequence sid equal to the parent's; schema translation must
+    anchor on the commit's own sid (``schema_sid``) or every
+    subsequent read raises KeyError until rollback."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b")], "k bigint, val string"
+        ),
+        "t",
+    )
+    cat.rename_column(spark, "t", "k", "key")
+    cat.upsert(
+        spark,
+        spark.createDataFrame(
+            [(2, "B"), (3, "c")], "key bigint, val string"
+        ),
+        "t",
+        key_cols=("key",),
+    )
+    out = {r["key"]: r["val"] for r in cat.read(spark, "t").collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+    # stacking: a second upsert + a rename of the key AFTER deletes
+    # exist still composes on the same logical column
+    cat.rename_column(spark, "t", "key", "id")
+    cat.upsert(
+        spark,
+        spark.createDataFrame([(1, "A")], "id bigint, val string"),
+        "t",
+        key_cols=("id",),
+    )
+    out = {r["id"]: r["val"] for r in cat.read(spark, "t").collect()}
+    assert out == {1: "A", 2: "B", 3: "c"}
+
+
+def test_delete_range_after_drop_readd_keeps_rows(spark, tmp_path):
+    """After drop+re-add of a column, old files hold only the RETIRED
+    column's stats under the same name; a range delete on the re-added
+    (all-NULL there) column must not judge those files 'fully deleted'
+    by the retired column's values — that would be silent data loss."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(
+        spark.range(0, 10).select(
+            F.col("id").alias("a"), F.col("id").alias("b")
+        ),
+        "t",
+        sort_by=("b",),
+        n_files=2,
+    )
+    cat.drop_column(spark, "t", "b")
+    cat.add_column(spark, "t", "b", "bigint")
+    # new b is NULL everywhere -> NULL is in no range -> 0 rows removed
+    cat.delete_range("t", "b", (0, 100))
+    assert cat.read(spark, "t").count() == 10
+    # and scan() on the re-added column must not prune by retired stats
+    assert cat.scan(spark, "t", {"b": (0, 100)}).count() == 0  # all NULL
+
+
+def test_refresh_rollup_survives_source_expiry(spark, tmp_path):
+    """Routine expire_snapshots on the source removes the consumed
+    snapshot; the refresh must fall back to one full rebuild (not
+    crash with KeyError) and stay exact."""
+    from eodal_spark.operators.incremental import refresh_rollup
+
+    cat = SnapshotCatalog(str(tmp_path))
+    measures = [("count", "", "n"), ("sum", "v", "sum_v")]
+    cat.write(
+        spark.range(0, 50).selectExpr("id % 5 AS k", "id AS v"), "src"
+    )
+    refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+    cat.write(
+        spark.range(50, 80).selectExpr("id % 5 AS k", "id AS v"),
+        "src",
+        mode="append",
+    )
+    cat.write(
+        spark.range(80, 90).selectExpr("id % 5 AS k", "id AS v"),
+        "src",
+        mode="append",
+    )
+    cat.expire_snapshots("src", keep_last=1)
+    r = refresh_rollup(spark, cat, "src", "agg", ("k",), measures)
+    assert r["mode"] == "full"
+    got = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in cat.read(spark, "agg").collect()
+    }
+    want = {
+        r["k"]: (r["n"], r["sum_v"])
+        for r in cat.read(spark, "src")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_v"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_drop_column_guards_retained_snapshots(spark, tmp_path):
+    """drop_column must refuse when ANY retained snapshot (still
+    addressable by id/tag) carries deletes on the column — not just the
+    current one: a tagged pre-compact snapshot would otherwise become
+    unreadable (KeyError at translation) after the drop."""
+    cat = SnapshotCatalog(str(tmp_path))
+    cat.write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "k bigint, val string"
+        ),
+        "t",
+    )
+    cat.delete_keys(
+        spark, "t", spark.createDataFrame([(2,)], "k bigint")
+    )
+    cat.tag("t", "train-v1")  # pins the delete-carrying snapshot
+    cat.compact(spark, "t", n_files=1)  # HEAD now has no delete files
+    with pytest.raises(ValueError, match="retained snapshot"):
+        cat.drop_column(spark, "t", "k")
+    # the tagged snapshot stays readable with the column intact
+    out = {r["k"] for r in cat.read(spark, "t", tag="train-v1").collect()}
+    assert out == {1, 3}

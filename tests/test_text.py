@@ -257,4 +257,7 @@ def test_decontaminate_plan_is_native_and_broadcast(spark):
     )
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    # the benchmark side MUST plan as a broadcast hash join (the corpus
+    # side never shuffles) — and never as a nested-loop product
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoop" not in plan
