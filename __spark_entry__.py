@@ -1461,6 +1461,46 @@ def _emb_with_planted(emb):
     return uni
 
 
+# semantic-dedup fixture: three copies of each of the first 5 corpus
+# vectors scaled by EXACT POWERS OF TWO (2, 4, 0.5).  Power-of-two
+# scaling is exact in IEEE float/double, so the scaled vector's L2 norm
+# scales exactly and its UNIT-NORMALIZED form is bit-identical to the
+# source's — within whichever engine computes it.  The planted groups
+# are therefore exactly the q7-identical normalized-vector groups (the
+# oracle's definition), and SemDeDup must find them regardless of
+# clustering: identical vectors always share a nearest centroid, and
+# their cosine is exactly 1 ≥ tau.  Natural pairs top out at cosine
+# ≈0.513 (measured at sf0.001/sf0.01) — four decades of margin below
+# tau=0.95, so no natural link exists in either engine.
+SEMDUP_PLANT_BASE = 3_000_000
+SEMDUP_PLANT_SCALES = [(0, "2.0"), (1, "4.0"), (2, "0.5")]
+
+
+def _q_emb_semantic_dedup(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    parts = [emb.select("vec_id", "embedding")]
+    src = emb.filter(F.col("vec_id") < 5)
+    for j, lit in SEMDUP_PLANT_SCALES:
+        parts.append(
+            src.select(
+                (F.col("vec_id") * 10 + F.lit(SEMDUP_PLANT_BASE + j)).alias(
+                    "vec_id"
+                ),
+                F.transform(
+                    "embedding",
+                    lambda x: (x.cast("double") * F.lit(float(lit))).cast(
+                        "float"
+                    ),
+                ).alias("embedding"),
+            )
+        )
+    uni = parts[0]
+    for p_ in parts[1:]:
+        uni = uni.unionByName(p_)
+    out = SIM.semantic_dedup(uni, tau=0.95, n_clusters=8, seed=7)
+    return out.select("vec_id", "comp", "keep")
+
+
 def _q_emb_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     uni = _emb_with_planted(emb)
@@ -1511,14 +1551,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 76 registered queries and
+    previous round and untouched this round.  With 77 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 5: positions 1-21 are the two never-driver-checked queries
-    (snapshot_range_delete, docs_curation_pipeline) plus the 19 r3-green
-    entries parked in r4; positions 22-50 are the two queries NEW this
+    Round 5: positions 1-22 are the never-driver-checked queries
+    (snapshot_range_delete, docs_curation_pipeline, and emb_semantic_dedup —
+    new this round) plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
     round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
     docs_line_scrub) and the r4-green queries
     whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
@@ -1530,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_decontaminate": _q_docs_decontaminate,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
         # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
@@ -1666,6 +1707,17 @@ def _duck_simhash_sigs() -> str:
         ) s ON s.id = d.doc_id
       )
     """
+
+
+def _semdup_plant_sql() -> str:
+    """SQL twin of `_q_emb_semantic_dedup`'s power-of-two plant."""
+    return " UNION ALL ".join(
+        f"""SELECT vec_id * 10 + {SEMDUP_PLANT_BASE + j} AS vec_id,
+              list_transform(embedding,
+                x -> CAST(CAST(x AS DOUBLE) * CAST({lit} AS DOUBLE) AS FLOAT)) AS embedding
+            FROM embeddings WHERE vec_id < 5"""
+        for j, lit in SEMDUP_PLANT_SCALES
+    )
 
 
 def _plant_sql() -> str:
@@ -2304,6 +2356,25 @@ def oracle_sql() -> dict[str, str]:
                      CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
               FROM sigs a JOIN sigs b ON a.id < b.id
             ) WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        """,
+        "emb_semantic_dedup": f"""
+        WITH uni AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL {_semdup_plant_sql()}
+        ),
+        nq AS (
+          SELECT vec_id,
+                 array_to_string(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE)
+                     / sqrt(list_aggregate(list_transform(embedding,
+                         y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum'))
+                     * 10000000.0) AS BIGINT)), ',') AS qn
+          FROM uni
+        )
+        SELECT vec_id,
+               MIN(vec_id) OVER (PARTITION BY qn) AS comp,
+               vec_id = MIN(vec_id) OVER (PARTITION BY qn) AS keep
+        FROM nq
         """,
         "emb_ivf_topk": _emb_topk_planted_oracle(),
         "emb_ann_srp": _emb_topk_planted_oracle(),

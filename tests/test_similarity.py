@@ -279,3 +279,71 @@ def test_ivf_topk_large_query_side_is_bounded(spark, corpus):
     )
     out = S.ivf_topk(qs, corpus, k=1, probe_query_cap=64)
     assert out.count() == 100_000
+
+
+def _vec_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+
+
+def test_semantic_dedup_groups_transitive_chain(spark):
+    """SemDeDup: cosine-≥tau links compose transitively (a~b, b~c → one
+    group even when cos(a,c) < tau), the survivor is the min id, and
+    dissimilar vectors stay singletons."""
+    import math
+
+    # unit-ish 3-d vectors: a at 0°, b at 10°, c at 20° — cos(10°)=.985
+    # links a-b and b-c; cos(20°)=.940 < tau does NOT link a-c directly
+    def ang(deg):
+        r = math.radians(deg)
+        return (math.cos(r), math.sin(r), 0.0)
+
+    rows = [
+        (1, ang(0)), (2, ang(10)), (3, ang(20)),
+        (10, (0.0, 0.0, 1.0)),            # orthogonal singleton
+        (11, (0.0, 2.0, 0.0)),            # scaled copy of (0,1,0)...
+        (12, (0.0, 4.0, 0.0)),            # ...and another: exact group
+    ]
+    out = S.semantic_dedup(
+        _vec_df(spark, rows), tau=0.96, n_clusters=1, sample=10
+    )
+    got = {r["vec_id"]: (r["comp"], r["keep"]) for r in out.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)   # transitive through 2
+    assert got[10] == (10, True)
+    assert got[11] == (11, True)  # min of the exact group {11, 12}
+    assert got[12] == (11, False)
+    assert sum(1 for c, k in got.values() if k) == 3
+
+
+def test_semantic_dedup_cluster_guard(spark):
+    """Oversized natural clusters fail fast (guard='raise') or are
+    skipped with recall loss (guard='skip')."""
+    import math
+
+    # 40 distinct near-collinear vectors → one cluster, > cap
+    rows = [
+        (i, (math.cos(i * 1e-3), math.sin(i * 1e-3), 0.0))
+        for i in range(40)
+    ]
+    df = _vec_df(spark, rows)
+    with pytest.raises(ValueError, match="raise n_clusters"):
+        S.semantic_dedup(df, tau=0.99, n_clusters=1, sample=50,
+                         max_cluster_rows=10)
+    out = S.semantic_dedup(df, tau=0.99, n_clusters=1, sample=50,
+                           max_cluster_rows=10, guard="skip")
+    # skipped cluster → no links → everything survives (documented loss)
+    assert out.filter("keep").count() == 40
+
+
+def test_semantic_dedup_no_duplicates_is_identity(spark):
+    """A corpus with no ≥tau pair returns every row as its own survivor
+    (empty edge set must not break connected components)."""
+    rows = [(1, (1.0, 0.0, 0.0)), (2, (0.0, 1.0, 0.0)), (3, (0.0, 0.0, 1.0))]
+    out = S.semantic_dedup(_vec_df(spark, rows), tau=0.9, n_clusters=2,
+                           sample=10)
+    assert out.filter("keep").count() == 3
+    assert out.count() == 3
