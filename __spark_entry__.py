@@ -796,6 +796,45 @@ def _q_snapshot_pruned_scan(spark, sf_dir):
     return cat.scan(spark, "pages_geo", {"cell_id": (lo, hi)})
 
 
+def _q_snapshot_bloom_lookup(spark, sf_dir):
+    """Per-file Bloom point-lookup pruning (≡ Delta/parquet bloom file
+    skipping; Iceberg bucket-partition point pruning): pages commit with
+    ``bloom_cols=("url",)`` — url is NOT the sort key, so no file-level
+    min/max stats exist for it and every equality probe would otherwise
+    open all files.  Three present urls (ids 10/20/30) must return their
+    rows; two provably-absent urls contribute ZERO files (bloom prunes
+    all of them — file-skip metric asserted in tests/test_infra.py).
+    Result ≡ read+filter; the bloom is a pure optimization."""
+    import functools
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_bloomcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if not cat.snapshots("pages_bloom"):
+        geo = _pages_geo(spark).select("url", "cell_id")
+        cat.write(
+            geo, "pages_bloom", sort_by=("cell_id",), n_files=8,
+            bloom_cols=("url",),
+        )
+    pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    probes = sorted(
+        r["url"]
+        for r in cat.read(spark, "pages_bloom")
+        .filter(pid.isin(10, 20, 30))
+        .collect()
+    )
+    probes += [f"https://absent.example/p/{i}" for i in (1, 2)]
+    parts = [
+        cat.scan(spark, "pages_bloom", eq={"url": u}) for u in probes
+    ]
+    out = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    return out.select("url", "cell_id")
+
+
 def _q_snapshot_deletes(spark, sf_dir):
     """Equality deletes, merge-on-read (≡ Iceberg v2 delete files —
     the corpus-curation primitive: purge urls without rewriting data).
@@ -1551,7 +1590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 77 registered queries and
+    previous round and untouched this round.  With 78 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1571,6 +1610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
         # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
@@ -2389,6 +2429,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bbox_cell_range": _bbox_range_sql(),
+        "snapshot_bloom_lookup": f"""
+            SELECT url, {cell} AS cell_id FROM {pages}
+            WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                  IN (10, 20, 30)
+        """,
         "snapshot_pruned_scan": f"""
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE {cell} BETWEEN {(RES << 58) + (130 << 29)}

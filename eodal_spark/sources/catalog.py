@@ -100,6 +100,130 @@ def _stat_bound(v):
     return v
 
 
+BLOOM_SUFFIX = "-bloom"
+
+
+def _bloom_sidecar(data_dir: str) -> str:
+    return data_dir + BLOOM_SUFFIX
+
+
+def _write_bloom_sidecar(
+    spark: SparkSession,
+    data_dir: str,
+    cols: tuple[str, ...],
+    bits: int,
+    k: int,
+) -> None:
+    """Build per-(file, column) Bloom filters for the data files in
+    ``data_dir`` and write them as a SIDECAR parquet dir — the
+    point-lookup pruning tier min/max stats cannot provide: on a
+    high-cardinality unsorted key (url, doc_id) every file's [min, max]
+    spans the whole domain, so an equality scan of a 100k-file table
+    would open every file; a per-file bloom answers "provably absent"
+    from O(k) stored words per file, no data pages touched.
+
+    Engine shape: ONE extra Spark job per commit over the new files
+    only (column-pruned scan of ``cols``), all-native — ``xxhash64``
+    double hashing (h1 + i·h2, the standard Kirsch-Mitzenmacher
+    construction), explode to (file, col, bit-position), and a
+    map-side-combinable ``bit_or`` per 64-bit word.  Only SET words are
+    stored (sparse for small files, ~bits/64 rows when saturated); the
+    sidecar is written sorted by (col, word) so the scan-time probe
+    reads ≤ k words per file via parquet row-group pushdown.
+
+    Values are hashed as their Spark ``CAST(x AS STRING)`` form —
+    restrict ``bloom_cols`` to string / integer columns so the
+    scan-time probe ``str(value)`` renders identically.  NULLs are not
+    indexed (an equality probe is never NULL).
+    """
+    import functools
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet(data_dir)
+    missing = [c for c in cols if c not in src.columns]
+    if missing:
+        raise KeyError(
+            f"bloom column(s) {missing} not in the written data "
+            f"schema {src.columns}"
+        )
+    parts = []
+    for c in cols:
+        cs = F.col(c).cast("string")
+        # reduce both hashes mod bits BEFORE combining: the raw 64-bit
+        # h1 + i*h2 overflows under ANSI mode; with r1, r2 < bits <= 2^31
+        # the combination stays far inside long range
+        r1 = F.pmod(F.xxhash64(cs), F.lit(bits))
+        r2 = F.pmod(F.xxhash64(cs, F.lit(1)), F.lit(bits))
+        pos = F.array(
+            *[F.pmod(r1 + F.lit(i) * r2, F.lit(bits)) for i in range(k)]
+        )
+        parts.append(
+            src.where(F.col(c).isNotNull()).select(
+                F.element_at(
+                    F.split(F.input_file_name(), "/"), -1
+                ).alias("fname"),
+                F.lit(c).alias("col"),
+                F.explode(pos).alias("pos"),
+            )
+        )
+    allp = functools.reduce(lambda a, b: a.unionByName(b), parts)
+    (
+        allp.select(
+            "fname",
+            "col",
+            F.expr("CAST(pos DIV 64 AS INT)").alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("m"),
+        )
+        .groupBy("fname", "col", "word")
+        .agg(F.expr("bit_or(m)").alias("bits"))
+        .repartition(1)
+        .sortWithinPartitions("col", "word")
+        .write.mode("overwrite")
+        .parquet(_bloom_sidecar(data_dir))
+    )
+
+
+_POS_CACHE: dict = {}
+
+
+def _bloom_positions(
+    spark: SparkSession, value: str, bits: int, k: int
+) -> list[tuple[int, int]]:
+    """(word, bit) probe positions of ``value`` — computed BY SPARK
+    (constant-folded 1-row job) so the probe hash is bit-identical to
+    the build job's ``xxhash64``, with no reimplementation to drift.
+    Cached per (value, bits, k): the job is the probe's only fixed
+    driver cost, and repeated lookups of hot keys skip it entirely."""
+    from pyspark.sql import functions as F
+
+    ckey = (value, bits, k)
+    hit = _POS_CACHE.get(ckey)
+    if hit is not None:
+        return hit
+    lit = F.lit(value)
+    # MUST mirror _write_bloom_sidecar's combination exactly
+    r1 = F.pmod(F.xxhash64(lit), F.lit(bits))
+    r2 = F.pmod(F.xxhash64(lit, F.lit(1)), F.lit(bits))
+    row = (
+        spark.range(1)
+        .select(
+            *[
+                F.pmod(r1 + F.lit(i) * r2, F.lit(bits)).alias(f"p{i}")
+                for i in range(k)
+            ]
+        )
+        .first()
+    )
+    out = [(int(row[i]) >> 6, int(row[i]) & 63) for i in range(k)]
+    if len(_POS_CACHE) > 65536:  # bound driver memory on adversarial use
+        _POS_CACHE.clear()
+    _POS_CACHE[ckey] = out
+    return out
+
+
 class SnapshotCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -200,6 +324,9 @@ class SnapshotCatalog:
         meta: dict | None = None,
         n_files: int | None = None,
         mode: str = "overwrite",
+        bloom_cols: tuple[str, ...] = (),
+        bloom_bits: int = 1 << 17,
+        bloom_k: int = 7,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -265,6 +392,12 @@ class SnapshotCatalog:
         files = [
             {**f, "dir": dname} for f in _file_stats(data_dir, sort_by)
         ]
+        if bloom_cols:
+            # ONE extra job over the NEW files only — O(new data), like
+            # the footer stats; appends never re-bloom the parent's dirs
+            _write_bloom_sidecar(
+                spark, data_dir, tuple(bloom_cols), bloom_bits, bloom_k
+            )
         # row count from the same footer reads that produced the stats —
         # no second Spark job per commit
         n = sum(f["rows"] for f in files)
@@ -299,6 +432,13 @@ class SnapshotCatalog:
         delete_files = list(carry.get("delete_files") or [])
         delete_ranges = list(carry.get("delete_ranges") or [])
         pos_delete_files = list(carry.get("pos_delete_files") or [])
+        blooms = dict(carry.get("blooms") or {})
+        if bloom_cols:
+            blooms[dname] = {
+                "cols": list(bloom_cols),
+                "bits": int(bloom_bits),
+                "k": int(bloom_k),
+            }
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -315,6 +455,7 @@ class SnapshotCatalog:
             "delete_files": delete_files,
             "delete_ranges": delete_ranges,
             "pos_delete_files": pos_delete_files,
+            "blooms": blooms,
             "meta": meta or {},
         }
         self._register_new_columns(man, df)
@@ -323,6 +464,7 @@ class SnapshotCatalog:
             self._commit_manifest(table, man)  # atomic commit
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)  # orphan loser dir
+            shutil.rmtree(_bloom_sidecar(data_dir), ignore_errors=True)
             raise
         return snap
 
@@ -795,6 +937,7 @@ class SnapshotCatalog:
             ),
             "delete_ranges": list(parent.get("delete_ranges") or []),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
+            "blooms": dict(parent.get("blooms") or {}),
             "meta": {},
         }
         man["snapshots"].append(snap)
@@ -964,6 +1107,7 @@ class SnapshotCatalog:
             ),
             "delete_ranges": list(parent.get("delete_ranges") or []),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
+            "blooms": dict(parent.get("blooms") or {}),
             "meta": meta or {},
         }
         self._register_new_columns(man, df)
@@ -1109,6 +1253,7 @@ class SnapshotCatalog:
                 + [{"col": col, "ranges": ranges, "sid": sid}]
             ),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
+            "blooms": dict(parent.get("blooms") or {}),
             "meta": {"dropped_files": len(parent_files) - len(kept)},
         }
         man["snapshots"].append(snap)
@@ -1209,6 +1354,7 @@ class SnapshotCatalog:
             "pos_delete_files": (
                 list(parent.get("pos_delete_files") or []) + new_pdels
             ),
+            "blooms": dict(parent.get("blooms") or {}),
             "meta": {},
         }
         man["snapshots"].append(snap)
@@ -1643,12 +1789,21 @@ class SnapshotCatalog:
             )
             if lineage_reset:
                 break
+        # inherit the bloom config (newest dir's) so compaction does not
+        # silently lose point-lookup pruning; the rewrite re-blooms the
+        # compacted files in the same commit
+        bcfg = None
+        for bcfg in (snap.get("blooms") or {}).values():
+            pass  # insertion order: the last entry is the newest dir's
         return self.write(
             self.read(spark, table),
             table,
             sort_by=tuple(snap.get("sort_by") or ()),
             n_files=n_files,
             meta=meta,
+            bloom_cols=tuple(bcfg["cols"]) if bcfg else (),
+            bloom_bits=bcfg["bits"] if bcfg else 1 << 17,
+            bloom_k=bcfg["k"] if bcfg else 7,
         )
 
     # -- named refs (≡ Iceberg tags) ------------------------------------
@@ -1723,6 +1878,8 @@ class SnapshotCatalog:
                 live |= {f["dir"] for f in self._snap_files(s)}
                 live |= {d["dir"] for d in (s.get("delete_files") or [])}
                 live |= {d["dir"] for d in (s.get("pos_delete_files") or [])}
+            # a live dir's bloom sidecar is live (named <dir>-bloom)
+            live |= {d + BLOOM_SUFFIX for d in live}
             tdir = self._tdir(table)
             cutoff = time.time() - older_than_seconds
 
@@ -1798,14 +1955,100 @@ class SnapshotCatalog:
             shutil.rmtree(
                 os.path.join(self._tdir(table), d), ignore_errors=True
             )
+            shutil.rmtree(
+                os.path.join(self._tdir(table), d + BLOOM_SUFFIX),
+                ignore_errors=True,
+            )
         return [s["snapshot_id"] for s in dropped]
+
+    def _bloom_prune(
+        self,
+        spark: SparkSession,
+        table: str,
+        snap: dict,
+        files: list[dict],
+        eq: dict,
+        stat_name_fn,
+    ) -> list[dict]:
+        """Drop files whose Bloom sidecar proves an ``eq`` value absent.
+        Purely an optimization: a missing/unreadable sidecar, a column
+        without a bloom, or a value type whose string form could drift
+        from Spark's CAST (bytes/float/datetime) keeps the file.  Reads
+        ≤ k sidecar words per (dir, col) via parquet predicate pushdown;
+        no data file is opened."""
+        import pyarrow.parquet as pq
+
+        blooms = snap.get("blooms") or {}
+        pos_cache: dict = {}
+        side_cache: dict = {}
+        out = []
+        for frec in files:
+            cfg = blooms.get(frec["dir"])
+            drop = False
+            if cfg:
+                for c, v in eq.items():
+                    if not isinstance(v, (str, int)) or isinstance(v, bool):
+                        continue  # str(v) may differ from CAST AS STRING
+                    wname = stat_name_fn(frec, c)
+                    if wname is None or wname not in cfg["cols"]:
+                        continue
+                    pkey = (cfg["bits"], cfg["k"], str(v))
+                    pts = pos_cache.get(pkey)
+                    if pts is None:
+                        pts = pos_cache[pkey] = _bloom_positions(
+                            spark, str(v), cfg["bits"], cfg["k"]
+                        )
+                    skey = (frec["dir"], wname, pkey)
+                    if skey not in side_cache:
+                        sidecar = _bloom_sidecar(
+                            os.path.join(self._tdir(table), frec["dir"])
+                        )
+                        try:
+                            tbl = pq.read_table(
+                                sidecar,
+                                filters=[
+                                    ("col", "=", wname),
+                                    (
+                                        "word",
+                                        "in",
+                                        sorted({w for w, _ in pts}),
+                                    ),
+                                ],
+                            )
+                            side_cache[skey] = dict(
+                                zip(
+                                    zip(
+                                        tbl["fname"].to_pylist(),
+                                        tbl["word"].to_pylist(),
+                                    ),
+                                    tbl["bits"].to_pylist(),
+                                )
+                            )
+                        except (FileNotFoundError, OSError):
+                            side_cache[skey] = None  # sidecar gone: keep
+                    words = side_cache[skey]
+                    if words is None:
+                        continue
+                    for w, b in pts:
+                        bits = words.get((frec["name"], w), 0)
+                        # python ints are two's-complement under >>, so
+                        # the sign bit of the stored long extracts fine
+                        if not (bits >> b) & 1:
+                            drop = True
+                            break
+                    if drop:
+                        break
+            if not drop:
+                out.append(frec)
+        return out
 
     def scan(
         self,
         spark: SparkSession,
         table: str,
-        ranges: dict[str, tuple],
+        ranges: dict[str, tuple] | None = None,
         snapshot_id: int | None = None,
+        eq: dict | None = None,
     ) -> DataFrame:
         """Manifest-pruned scan — ≡ Iceberg's manifest-level file
         skipping, the capability that makes a 100 TB table queryable
@@ -1828,7 +2071,31 @@ class SnapshotCatalog:
 
         Files with no recorded stats for a column are kept
         (conservative, like Iceberg's null-stats behavior).
+
+        ``eq`` maps column → value for POINT LOOKUPS.  Each equality
+        contributes a degenerate (v, v) range to the min/max pass AND —
+        when the table was written with ``bloom_cols`` — consults the
+        per-file Bloom sidecars: a file whose bloom provably lacks the
+        value is skipped even though its [min, max] covers it, which on
+        a high-cardinality unsorted key (url) is the difference between
+        opening k words per file and opening every file.  False
+        positives only cost a read (the residual filter still applies);
+        false negatives cannot happen (probe and build share Spark's
+        ``xxhash64``).  NULL is not a value — use a filter on the read.
         """
+        ranges = dict(ranges or {})
+        eq = dict(eq or {})
+        for c, v in eq.items():
+            if v is None:
+                raise ValueError(
+                    f"eq[{c!r}] is None — equality probes need a value; "
+                    "filter IS NULL on read() instead"
+                )
+            if c in ranges:
+                raise ValueError(
+                    f"column {c!r} appears in both ranges and eq"
+                )
+            ranges[c] = (v, v)
         man = self._load_manifest(table)  # ONE load → one consistent view
         if not man["snapshots"]:
             raise FileNotFoundError(f"no snapshots for table {table}")
@@ -1930,6 +2197,10 @@ class SnapshotCatalog:
                         break
                 if ok:
                     keep.append(frec)
+            if eq and (snap.get("blooms") or {}):
+                keep = self._bloom_prune(
+                    spark, table, snap, keep, eq, _stat_name
+                )
             if not keep:
                 from pyspark.sql import functions as F
 
@@ -1986,6 +2257,7 @@ class SnapshotCatalog:
         self._commit_manifest(table, man)
         for s in dropped:
             shutil.rmtree(s["path"], ignore_errors=True)
+            shutil.rmtree(_bloom_sidecar(s["path"]), ignore_errors=True)
 
 
 def write_bucketed(

@@ -1913,3 +1913,127 @@ def test_drop_column_guards_retained_snapshots(spark, tmp_path):
     # the tagged snapshot stays readable with the column intact
     out = {r["k"] for r in cat.read(spark, "t", tag="train-v1").collect()}
     assert out == {1, 3}
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    """Per-file Bloom sidecars prune equality scans on a
+    high-cardinality unsorted key where min/max stats cannot: every
+    file's [min, max] covers the probe, but the bloom proves absence."""
+    from eodal_spark.sources.catalog import _bloom_sidecar
+
+    cat = SnapshotCatalog(str(tmp_path))
+    # keys interleave so every file spans ["k_00..", "k_99.."] — min/max
+    # pruning alone keeps ALL files for any probe in range
+    df = spark.range(0, 400).selectExpr(
+        "concat('k_', lpad(CAST(id % 100 AS STRING), 2, '0'), '_', id) AS k",
+        "id AS v",
+    )
+    cat.write(df, "t", sort_by=("v",), n_files=4, bloom_cols=("k",))
+    snap = cat.current_snapshot("t")
+    assert len(snap["files"]) == 4
+    dname = snap["files"][0]["dir"]
+    assert snap["blooms"][dname]["cols"] == ["k"]
+    import os
+    assert os.path.isdir(
+        _bloom_sidecar(os.path.join(str(tmp_path), "t", dname))
+    )
+
+    # present key → exactly its row
+    out = cat.scan(spark, "t", eq={"k": "k_07_7"}).collect()
+    assert [(r["k"], r["v"]) for r in out] == [("k_07_7", 7)]
+    # absent key INSIDE the global min/max span → zero rows, and the
+    # bloom pass provably drops every file (min/max alone keeps all 4)
+    files = cat._snap_files(snap)
+    # k is NOT a sort column → no min/max stats recorded for it, so the
+    # min/max pass can never prune an equality probe on k: only the
+    # bloom can
+    assert all("k" not in f["stats"] for f in files)
+    kept = cat._bloom_prune(
+        spark, "t", snap, files, {"k": "k_50_miss"}, lambda f, c: c
+    )
+    assert kept == []
+    assert cat.scan(spark, "t", eq={"k": "k_50_miss"}).count() == 0
+
+    # append WITHOUT blooms: its files are never bloom-pruned (kept
+    # conservatively), and lookups across generations stay correct
+    cat.write(
+        spark.createDataFrame([("new_key", 999)], "k string, v bigint"),
+        "t",
+        mode="append",
+    )
+    assert cat.scan(spark, "t", eq={"k": "new_key"}).count() == 1
+    assert cat.scan(spark, "t", eq={"k": "k_07_7"}).count() == 1
+    # integer eq values probe as their string cast
+    assert cat.scan(spark, "t", eq={"v": 999}).count() == 1
+    with pytest.raises(ValueError, match="eq"):
+        cat.scan(spark, "t", eq={"k": None})
+
+
+def test_bloom_sidecar_lifecycle(spark, tmp_path):
+    """Sidecars follow their data dirs: compact re-blooms the rewritten
+    files, expire removes dead sidecars, rollback removes the dropped
+    commit's, and orphan vacuum never reaps a live sidecar."""
+    import os
+
+    from eodal_spark.sources.catalog import _bloom_sidecar
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS k", "id AS v")
+    cat.write(df, "t", n_files=2, bloom_cols=("k",))
+    d1 = cat.current_snapshot("t")["files"][0]["dir"]
+    cat.write(
+        spark.range(50, 60).selectExpr("CAST(id AS STRING) AS k", "id AS v"),
+        "t", mode="append", bloom_cols=("k",),
+    )
+    # compact inherits the bloom config and re-blooms the new layout
+    cat.compact(spark, "t", n_files=1)
+    snap = cat.current_snapshot("t")
+    d3 = snap["files"][0]["dir"]
+    assert snap["blooms"][d3]["cols"] == ["k"]
+    assert os.path.isdir(_bloom_sidecar(os.path.join(str(tmp_path), "t", d3)))
+    assert cat.scan(spark, "t", eq={"k": "55"}).count() == 1
+    # orphan vacuum with age rail 0: live sidecar survives
+    cat.remove_orphan_files("t", older_than_seconds=0)
+    assert os.path.isdir(_bloom_sidecar(os.path.join(str(tmp_path), "t", d3)))
+    # expire reclaims the old dirs AND their sidecars
+    cat.expire_snapshots("t", keep_last=1)
+    assert not os.path.isdir(
+        _bloom_sidecar(os.path.join(str(tmp_path), "t", d1))
+    )
+    # rollback removes the dropped commit's sidecar
+    sid = cat.current_snapshot("t")["snapshot_id"]
+    cat.write(df, "t", mode="append", bloom_cols=("k",))
+    d4 = os.path.basename(cat.current_snapshot("t")["path"])
+    cat.rollback("t", sid)
+    assert not os.path.isdir(
+        _bloom_sidecar(os.path.join(str(tmp_path), "t", d4))
+    )
+    assert cat.scan(spark, "t", eq={"k": "55"}).count() == 1
+
+
+def test_bloom_pruning_across_rename(spark, tmp_path):
+    """Equality probes on a RENAMED column translate to each file's
+    write-time name before consulting its bloom (same field-id path as
+    the min/max stats)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 100).selectExpr(
+        "concat('u', CAST(id AS STRING)) AS url", "id AS v"
+    )
+    cat.write(df, "t", n_files=2, bloom_cols=("url",))
+    cat.rename_column(spark, "t", "url", "link")
+    assert cat.scan(spark, "t", eq={"link": "u42"}).count() == 1
+    assert cat.scan(spark, "t", eq={"link": "u_missing"}).count() == 0
+    snap = cat.current_snapshot("t")
+    # and the bloom still PRUNES under the new name (not just filters)
+    st = cat._load_manifest("t").get("schema")
+    files = cat._snap_files(snap)
+
+    def tr(frec, col):
+        then = cat._fields_for_sid(st, cat._dir_sid(frec["dir"]))
+        cur = {f["name"]: f["id"] for f in st["fields"]}
+        return {x["id"]: x["name"] for x in then}.get(cur.get(col))
+
+    kept = cat._bloom_prune(
+        spark, "t", snap, files, {"link": "u_missing"}, tr
+    )
+    assert kept == []
