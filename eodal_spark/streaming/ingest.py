@@ -347,3 +347,42 @@ def drain_to_catalog(
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_enrich(
+    pages_stream: DataFrame,
+    meta_stream: DataFrame,
+    tolerance: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join: enrich the live pages
+    stream with a crawl-metadata stream (CDX/fetch-log shape) on url,
+    accepting a metadata record whose ``fetch_ts`` lies within
+    ±``tolerance`` of the page's ``warc_ts`` — the streaming form of
+    the reference's ±60-minute metadata-matching tolerance
+    (`eodal/mapper/mapper.py:655-663`), which the as-of operator
+    (`operators/asof.py`) expresses for batch.
+
+    Both inputs carry event-time watermarks AND the join condition
+    bounds the event-time distance, so Spark's state store evicts a
+    buffered row as soon as the other side's watermark passes its
+    event time + tolerance — state is O(rows within the watermark
+    horizon), never unbounded (the documented requirement for
+    stream-stream inner joins; without the time-range condition Spark
+    would buffer both streams forever).  State is hash-partitioned by
+    the join key (url), so a 1000-executor cluster shards it; inner
+    matches emit as soon as both sides arrive — no watermark delay on
+    the output path."""
+    meta_cols = [c for c in meta_stream.columns if c != "url"]
+    a = pages_stream.withWatermark("warc_ts", watermark)
+    b = meta_stream.withColumnRenamed("url", "m_url").withWatermark(
+        "fetch_ts", watermark
+    )
+    iv = F.expr(f"INTERVAL {tolerance}")
+    joined = a.join(
+        b,
+        (F.col("url") == F.col("m_url"))
+        & (F.col("fetch_ts") >= F.col("warc_ts") - iv)
+        & (F.col("fetch_ts") <= F.col("warc_ts") + iv),
+    )
+    return joined.select(*pages_stream.columns, *meta_cols)

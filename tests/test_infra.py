@@ -2037,3 +2037,75 @@ def test_bloom_pruning_across_rename(spark, tmp_path):
         spark, "t", snap, files, {"link": "u_missing"}, tr
     )
     assert kept == []
+
+
+def test_stream_stream_enrich_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream inner join == the equivalent batch
+    join once fully drained: only metadata within ±tolerance of the
+    page's warc_ts enriches it, and the join condition's event-time
+    bound keeps state finite."""
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "pages")
+    msrc = str(tmp_path / "meta")
+    P.synth_pages(spark, 1500).write.parquet(src)
+    pages = spark.read.parquet(src)
+    pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    # offsets 0/20/40/60 min: with 30 min tolerance, ids ≡ 0,1 (mod 4)
+    # match and ids ≡ 2,3 are dropped
+    meta = pages.select(
+        "url",
+        (
+            F.col("warc_ts")
+            + F.make_interval(mins=(pid % 4).cast("int") * 20)
+        ).alias("fetch_ts"),
+        (200 + (pid % 3) * 100).cast("int").alias("http_status"),
+    )
+    meta.write.parquet(msrc)
+
+    ps = spark.readStream.schema(pages.schema).parquet(src)
+    ms = spark.readStream.schema(
+        spark.read.parquet(msrc).schema
+    ).parquet(msrc)
+    out = ingest.stream_stream_enrich(
+        ps, ms, tolerance="30 minutes", watermark="1 hour"
+    )
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir)
+    expect = (
+        pages.join(
+            spark.read.parquet(msrc).withColumnRenamed("url", "m_url"),
+            (F.col("url") == F.col("m_url"))
+            & (
+                F.col("fetch_ts")
+                >= F.col("warc_ts") - F.expr("INTERVAL 30 minutes")
+            )
+            & (
+                F.col("fetch_ts")
+                <= F.col("warc_ts") + F.expr("INTERVAL 30 minutes")
+            ),
+        )
+        .select(*pages.columns, "fetch_ts", "http_status")
+    )
+    assert got.count() == expect.count()
+    # matched ids are exactly ≡ 0,1 (mod 4); every match carries its
+    # metadata columns
+    ids_got = {r[0] for r in got.select(pid.alias("i")).collect()}
+    assert ids_got and all(i % 4 in (0, 1) for i in ids_got)
+    mism = (
+        got.select("url", "fetch_ts", "http_status")
+        .exceptAll(expect.select("url", "fetch_ts", "http_status"))
+        .count()
+    )
+    assert mism == 0
