@@ -688,6 +688,35 @@ def _q_docs_repetition(spark, sf_dir):
     return TX.repetition_signals(docs.select("doc_id", "text")).drop("text")
 
 
+def _q_docs_pii_scrub(spark, sf_dir):
+    """PII scrub (C4/CCNet-style privacy pass): per-doc email/IPv4/
+    phone counts + typed-sentinel redaction, all native chained regexp
+    (one pass, no shuffle).  PII is PLANTED into every 5th document
+    (deterministic concat — identical SQL on the oracle side), but the
+    gate does not depend on the plant: the oracle re-runs the same
+    RE2/Java-identical patterns over the same text, so natural matches
+    (if any) agree too.  Output hashes the redacted text (md5) so the
+    replacement semantics — not just the counts — are value-gated."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" mail user"), d, F.lit("@example.com or +1234567"),
+                d, F.lit(" from 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = TX.scrub_pii(planted, mode="redact")
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "pii_total",
+        F.md5("text").alias("scrub_md5"),
+    )
+
+
 def _q_docs_line_scrub(spark, sf_dir):
     """Corpus-level boilerplate-line scrub (CCNet/RefinedWeb line
     dedup — public method): lines ≥ 10 chars appearing in ≥ 2 distinct
@@ -1590,14 +1619,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 78 registered queries and
+    previous round and untouched this round.  With 79 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 5: positions 1-22 are the never-driver-checked queries
-    (snapshot_range_delete, docs_curation_pipeline, and emb_semantic_dedup —
-    new this round) plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
+    Round 5: positions 1-24 are the never-driver-checked queries
+    (snapshot_range_delete, docs_curation_pipeline, and the three new this
+    round: emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub)
+    plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
     round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
     docs_line_scrub) and the r4-green queries
     whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
@@ -1611,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curation_pipeline": _q_docs_curation_pipeline,
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
+        "docs_pii_scrub": _q_docs_pii_scrub,
         # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
@@ -2256,6 +2287,36 @@ def oracle_sql() -> dict[str, str]:
         # corpus-level boilerplate line scrub: lines >=10 chars in >=2
         # distinct docs dropped everywhere, order preserved (zipped
         # unnest gives (pos, line); string_agg ORDER BY pos rebuilds)
+        "docs_pii_scrub": """
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0 THEN
+                       text || ' mail user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1234567'
+                            || CAST(doc_id AS VARCHAR)
+                            || ' from 10.0.0.'
+                            || CAST(doc_id % 256 AS VARCHAR)
+                     ELSE text END AS text
+              FROM documents
+            ), c AS (
+              SELECT doc_id, text,
+                len(regexp_extract_all(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+'))
+                  AS n_email,
+                len(regexp_extract_all(text,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ipv4,
+                len(regexp_extract_all(text, '\\+\\d{7,15}\\b')) AS n_phone
+              FROM planted
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone,
+                   n_email + n_ipv4 + n_phone AS pii_total,
+                   md5(regexp_replace(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)+',
+                     '<EMAIL>', 'g'),
+                     '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                     '\\+\\d{7,15}\\b', '<PHONE>', 'g')) AS scrub_md5
+            FROM c
+        """,
         "docs_line_scrub": """
             WITH docl AS (
               SELECT doc_id,

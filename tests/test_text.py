@@ -261,3 +261,52 @@ def test_decontaminate_plan_is_native_and_broadcast(spark):
     # side never shuffles) — and never as a nested-loop product
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_pii_scrub_modes_and_ordering(spark):
+    import eodal_spark.operators.text as TX
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact me at alice@example.com or +12345678 today"),
+            (2, "server at 10.0.0.1 and 192.168.1.255 up"),
+            (3, "login user@10.0.0.1 now"),   # email SUBSUMES the ip
+            (4, "clean document with no identifiers"),
+            (5, "a@b.com c@d.org 1.2.3.4 +99999999"),
+        ],
+        "doc_id bigint, text string",
+    )
+    red = {r["doc_id"]: r for r in TX.scrub_pii(df, mode="redact").collect()}
+    assert red[1]["n_email"] == 1 and red[1]["n_phone"] == 1
+    assert red[1]["text"] == "contact me at <EMAIL> or <PHONE> today"
+    assert red[2]["n_ipv4"] == 2
+    assert red[2]["text"] == "server at <IP> and <IP> up"
+    # ordering contract: the email pattern eats "user@10.0.0.1" whole,
+    # so no <IP> sentinel appears inside the redaction
+    assert red[3]["text"] == "login <EMAIL> now"
+    assert red[4]["pii_total"] == 0 and red[4]["text"].startswith("clean")
+    assert red[5]["pii_total"] == 4
+    assert (
+        red[5]["text"] == "<EMAIL> <EMAIL> <IP> <PHONE>"
+    )
+    # drop mode: any PII drops the doc at max_total=0
+    kept = TX.scrub_pii(df, mode="drop", max_total=0)
+    assert [r["doc_id"] for r in kept.select("doc_id").collect()] == [4]
+    # flag mode keeps text untouched
+    flag = {r["doc_id"]: r for r in TX.scrub_pii(df, mode="flag").collect()}
+    assert flag[1]["text"].startswith("contact me at alice@")
+    with pytest.raises(ValueError):
+        TX.scrub_pii(df, mode="nope")
+
+
+def test_pii_scrub_plan_is_native(spark):
+    import eodal_spark.operators.text as TX
+
+    df = spark.createDataFrame([(1, "x@y.com")], "doc_id bigint, text string")
+    plan = (
+        TX.scrub_pii(df, mode="redact")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+    assert "Exchange" not in plan  # one pass, no shuffle
