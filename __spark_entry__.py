@@ -864,6 +864,34 @@ def _q_snapshot_bloom_lookup(spark, sf_dir):
     return out.select("url", "cell_id")
 
 
+def _q_snapshot_zorder_scan(spark, sf_dir):
+    """Z-order clustered commit (≡ Delta OPTIMIZE ZORDER BY / Iceberg
+    z-curve sort orders): pages land clustered in TWO independent
+    derived dimensions at once, so a predicate on the SECOND dimension
+    — hopeless for any linear sort — still prunes files via per-file
+    min/max on both z columns (file-skip asserted in tests/test_infra).
+    Result ≡ read+filter (residual applied)."""
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_zcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if not cat.snapshots("pages_z"):
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        df = _pages_geo(spark).select(
+            "url",
+            (pid % 1000).alias("x"),
+            ((pid * 2654435761) % 1000).alias("y"),
+        )
+        cat.write(df, "pages_z", zorder=("x", "y"), n_files=16)
+    return cat.scan(spark, "pages_z", {"y": (300, 350)}).select(
+        "url", "x", "y"
+    )
+
+
 def _q_snapshot_deletes(spark, sf_dir):
     """Equality deletes, merge-on-read (≡ Iceberg v2 delete files —
     the corpus-curation primitive: purge urls without rewriting data).
@@ -1619,14 +1647,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 79 registered queries and
+    previous round and untouched this round.  With 80 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
     Round 5: positions 1-24 are the never-driver-checked queries
     (snapshot_range_delete, docs_curation_pipeline, and the three new this
-    round: emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub)
+    round: emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub,
+    snapshot_zorder_scan)
     plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
     round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
     docs_line_scrub) and the r4-green queries
@@ -1642,6 +1671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": _q_emb_semantic_dedup,
         "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
         "docs_pii_scrub": _q_docs_pii_scrub,
+        "snapshot_zorder_scan": _q_snapshot_zorder_scan,
         # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
@@ -2494,6 +2524,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   IN (10, 20, 30)
+        """,
+        "snapshot_zorder_scan": f"""
+            SELECT url,
+                   pid % 1000 AS x,
+                   (pid * 2654435761) % 1000 AS y
+            FROM (
+              SELECT url,
+                     CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                       AS pid
+              FROM {pages}
+            )
+            WHERE (pid * 2654435761) % 1000 BETWEEN 300 AND 350
         """,
         "snapshot_pruned_scan": f"""
             SELECT url, {cell} AS cell_id FROM {pages}

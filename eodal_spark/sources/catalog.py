@@ -327,6 +327,8 @@ class SnapshotCatalog:
         bloom_cols: tuple[str, ...] = (),
         bloom_bits: int = 1 << 17,
         bloom_k: int = 7,
+        zorder: tuple[str, str] | tuple = (),
+        zorder_bits: int = 16,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -351,6 +353,16 @@ class SnapshotCatalog:
         """
         if mode not in ("overwrite", "append"):
             raise ValueError(f"unknown write mode {mode!r}")
+        if zorder and sort_by:
+            raise ValueError(
+                "pass sort_by OR zorder — one clustering layout per "
+                "snapshot"
+            )
+        if zorder and len(zorder) != 2:
+            raise ValueError(
+                "zorder takes exactly two numeric columns (the 2-D "
+                "z-curve; chain more dims via cell encoding)"
+            )
         man = self._load_manifest(table)
         # max+1, NOT len+1: expire_snapshots truncates the front of the
         # list, and len+1 would then collide with (and clobber the
@@ -369,7 +381,36 @@ class SnapshotCatalog:
         data_dir = os.path.join(
             self._tdir(table), f"v{sid}-{uuid.uuid4().hex[:8]}"
         )
-        if sort_by:
+        if zorder:
+            from pyspark.sql import functions as F
+
+            from eodal_spark import grid
+
+            za, zb = zorder
+            # ONE tiny agg for the global bounds the uniform bucketing
+            # needs — same cost class as the footer-stats read
+            b = df.agg(
+                F.min(za), F.max(za), F.min(zb), F.max(zb)
+            ).first()
+            zk = grid.zorder_key_2d(
+                F.col(za), F.col(zb),
+                b[0] if b[0] is not None else 0.0,
+                b[1] if b[1] is not None else 1.0,
+                b[2] if b[2] is not None else 0.0,
+                b[3] if b[3] is not None else 1.0,
+                bits=zorder_bits,
+            )
+            parts = (n_files,) if n_files else ()
+            # the projection DROPS the key after the sort — files carry
+            # only the user schema; clustering shows up purely in the
+            # per-file min/max stats of BOTH zorder columns
+            out = (
+                df.withColumn("_zorder_key", zk)
+                .repartitionByRange(*parts, "_zorder_key")
+                .sortWithinPartitions("_zorder_key")
+                .drop("_zorder_key")
+            )
+        elif sort_by:
             parts = (n_files,) if n_files else ()
             out = df.repartitionByRange(*parts, *sort_by).sortWithinPartitions(
                 *sort_by
@@ -389,8 +430,9 @@ class SnapshotCatalog:
         finally:
             spark.conf.set(ts_conf, prev_ts)
         dname = os.path.basename(data_dir)
+        stat_cols = tuple(sort_by) if sort_by else tuple(zorder)
         files = [
-            {**f, "dir": dname} for f in _file_stats(data_dir, sort_by)
+            {**f, "dir": dname} for f in _file_stats(data_dir, stat_cols)
         ]
         if bloom_cols:
             # ONE extra job over the NEW files only — O(new data), like
@@ -450,6 +492,7 @@ class SnapshotCatalog:
             "path": data_dir,
             "row_count": n,
             "sort_by": list(sort_by),
+            "zorder": list(zorder),
             "mode": mode,
             "files": files,
             "delete_files": delete_files,
@@ -1799,6 +1842,7 @@ class SnapshotCatalog:
             self.read(spark, table),
             table,
             sort_by=tuple(snap.get("sort_by") or ()),
+            zorder=tuple(snap.get("zorder") or ()),
             n_files=n_files,
             meta=meta,
             bloom_cols=tuple(bcfg["cols"]) if bcfg else (),

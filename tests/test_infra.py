@@ -2109,3 +2109,89 @@ def test_stream_stream_enrich_matches_batch(spark, tmp_path):
         .count()
     )
     assert mism == 0
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Z-order clustering: a 2-D box predicate prunes files on BOTH
+    columns, where a linear sort on x keeps every file for the y
+    constraint; results stay exactly read+filter; files carry only the
+    user schema (the z key is dropped before the write)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    # x and y independent pseudo-uniform in [0, 1000)
+    df = spark.range(0, 200_000).selectExpr(
+        "id",
+        "id % 1000 AS x",
+        "CAST(pmod(id * 2654435761, 1000) AS BIGINT) AS y",
+    )
+    cat.write(df, "zt", zorder=("x", "y"), n_files=16)
+    cat.write(df, "lin", sort_by=("x",), n_files=16)
+    snap_z = cat.current_snapshot("zt")
+    assert snap_z["zorder"] == ["x", "y"]
+    # schema untouched
+    assert cat.read(spark, "zt").columns == ["id", "x", "y"]
+
+    box = {"x": (100, 150), "y": (300, 350)}
+
+    def kept(table):
+        snap = cat.current_snapshot(table)
+        files = cat._snap_files(snap)
+        n = 0
+        for f in files:
+            ok = True
+            for c, (lo, hi) in box.items():
+                st = f["stats"].get(c)
+                if st is None or st["min"] is None:
+                    continue
+                if not (st["min"] <= hi and st["max"] >= lo):
+                    ok = False
+            n += ok
+        return n, len(files)
+
+    kz, nz = kept("zt")
+    kl, nl = kept("lin")
+    # 2-D box: z-order is at least as selective as the linear sort
+    # (both prune hard on x at this granularity)
+    assert kz <= kl, (kz, kl)
+    assert kz <= nz // 2, (kz, nz)
+    # the separating case: a y-ONLY predicate.  The x-sorted layout has
+    # no y stats (every file spans all of y) → keeps ALL files; the
+    # z-ordered layout is clustered in y too → prunes most of them.
+    ybox = {"y": (300, 350)}
+
+    def kept_box(table, bx):
+        snap = cat.current_snapshot(table)
+        files = cat._snap_files(snap)
+        n = 0
+        for f in files:
+            ok = True
+            for c, (lo, hi) in bx.items():
+                st = f["stats"].get(c)
+                if st is None or st["min"] is None:
+                    continue
+                if not (st["min"] <= hi and st["max"] >= lo):
+                    ok = False
+            n += ok
+        return n, len(files)
+
+    kzy, nzy = kept_box("zt", ybox)
+    kly, nly = kept_box("lin", ybox)
+    assert kly == nly  # linear layout cannot prune y at all
+    assert kzy <= nzy // 2, (kzy, nzy)
+    exp_y = df.filter("y BETWEEN 300 AND 350").count()
+    assert cat.scan(spark, "zt", ybox).count() == exp_y
+    assert cat.scan(spark, "lin", ybox).count() == exp_y
+    # correctness: scan == read+filter on both layouts
+    exp = (
+        df.filter("x BETWEEN 100 AND 150 AND y BETWEEN 300 AND 350")
+        .count()
+    )
+    assert cat.scan(spark, "zt", box).count() == exp
+    assert cat.scan(spark, "lin", box).count() == exp
+    # compact inherits the z-order layout
+    cat.compact(spark, "zt", n_files=8)
+    assert cat.current_snapshot("zt")["zorder"] == ["x", "y"]
+    assert cat.scan(spark, "zt", box).count() == exp
+    with pytest.raises(ValueError, match="one clustering layout"):
+        cat.write(df, "bad", sort_by=("x",), zorder=("x", "y"))
+    with pytest.raises(ValueError, match="two numeric columns"):
+        cat.write(df, "bad", zorder=("x",))
