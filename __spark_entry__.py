@@ -892,6 +892,41 @@ def _q_snapshot_zorder_scan(spark, sf_dir):
     )
 
 
+def _q_snapshot_partition_scan(spark, sf_dir):
+    """Hidden partitioning (≡ Iceberg partition transforms): pages
+    commit hive-partitioned by day(warc_ts) × bucket(8, lang) — derived
+    columns the USER NEVER SEES (the logical schema stays url/warc_ts/
+    lang; partition values live in dir names + the manifest).  A plain
+    timestamp-range predicate is translated into the day-transform
+    space and prunes whole partition dirs before any stats/file I/O
+    (file-skip asserted in tests/test_infra).  Result ≡ read+filter;
+    timestamps round-trip as epoch seconds for the tz-free oracle."""
+    import datetime as dt
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_pcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if not cat.snapshots("pages_part"):
+        pg = P.synth_pages(spark, N_PAGES).select("url", "warc_ts", "lang")
+        cat.write(
+            pg,
+            "pages_part",
+            partition_by=[["day", "warc_ts"], ["bucket", 8, "lang"]],
+        )
+    day = (
+        dt.datetime(2019, 6, 15, 0, 0, 0),
+        dt.datetime(2019, 6, 15, 23, 59, 59),
+    )
+    out = cat.scan(spark, "pages_part", {"warc_ts": day})
+    return out.select(
+        "url", F.unix_timestamp("warc_ts").alias("ts_sec"), "lang"
+    )
+
+
 def _q_snapshot_deletes(spark, sf_dir):
     """Equality deletes, merge-on-read (≡ Iceberg v2 delete files —
     the corpus-curation primitive: purge urls without rewriting data).
@@ -1647,7 +1682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 80 registered queries and
+    previous round and untouched this round.  With 81 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1655,7 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Round 5: positions 1-24 are the never-driver-checked queries
     (snapshot_range_delete, docs_curation_pipeline, and the three new this
     round: emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub,
-    snapshot_zorder_scan)
+    snapshot_zorder_scan, snapshot_partition_scan)
     plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
     round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
     docs_line_scrub) and the r4-green queries
@@ -1672,6 +1707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
         "docs_pii_scrub": _q_docs_pii_scrub,
         "snapshot_zorder_scan": _q_snapshot_zorder_scan,
+        "snapshot_partition_scan": _q_snapshot_partition_scan,
         # -- r3-green, parked in r4 — rotate back in ------------------------
         "indices_battery": _q_indices_battery,
         "lang_histogram": _q_lang_histogram,
@@ -2524,6 +2560,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   IN (10, 20, 30)
+        """,
+        "snapshot_partition_scan": f"""
+            SELECT url, ts_sec, lang FROM {pages}
+            WHERE ts_sec BETWEEN 1560556800 AND 1560643199
         """,
         "snapshot_zorder_scan": f"""
             SELECT url,

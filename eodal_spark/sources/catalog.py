@@ -49,9 +49,16 @@ def _file_stats(data_dir: str, cols: tuple[str, ...]) -> list[dict]:
         return v
 
     out = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".parquet"):
-            continue
+    names = []
+    for root, _dirs, fnames in os.walk(data_dir):
+        rel = os.path.relpath(root, data_dir)
+        for n in fnames:
+            if n.endswith(".parquet"):
+                # hive-partitioned writes nest files under pv= subdirs;
+                # the recorded name is the dir-relative path so every
+                # read path joins (table, dir, name) unchanged
+                names.append(n if rel == "." else os.path.join(rel, n))
+    for name in sorted(names):
         md = pq.read_metadata(os.path.join(data_dir, name))
         idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
         stats: dict[str, dict] = {}
@@ -98,6 +105,78 @@ def _stat_bound(v):
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+# Iceberg-style partition transforms (spec §"Partition Transforms"):
+# ("year"|"month"|"day"|"hour", col) — temporal truncation, range-prunable;
+# ("bucket", n, col) — xxhash64 mod n, eq-prunable (point lookups);
+# ("truncate", w, col) — string prefix, eq- and range-prunable;
+# ("identity", col) — raw value, eq-prunable.
+_TIME_FMT = {
+    "year": ("yyyy", 4),
+    "month": ("yyyy-MM", 7),
+    "day": ("yyyy-MM-dd", 10),
+    "hour": ("yyyy-MM-dd'T'HH", 13),
+}
+
+
+def _partition_cols(spec: list) -> list:
+    """(pv_name, Column) per spec entry — the HIDDEN derived columns the
+    physical layout partitions by.  Users never see them: partitionBy
+    strips them from the file data and reads go through explicit file
+    paths, so the logical schema stays untouched (the 'hidden' in
+    Iceberg's hidden partitioning)."""
+    from pyspark.sql import functions as F
+
+    out = []
+    for i, entry in enumerate(spec):
+        t = entry[0]
+        name = f"_pv{i}"
+        if t in _TIME_FMT:
+            fmt, _w = _TIME_FMT[t]
+            out.append((name, F.date_format(F.col(entry[1]), fmt)))
+        elif t == "bucket":
+            _t, n, c = entry
+            # hash the CAST(col AS STRING) form — same contract as the
+            # bloom sidecars: the scan-time probe hashes str(value), so
+            # int and string keys bucket identically on both sides
+            out.append(
+                (
+                    name,
+                    F.pmod(
+                        F.xxhash64(F.col(c).cast("string")), F.lit(int(n))
+                    ),
+                )
+            )
+        elif t == "truncate":
+            _t, w, c = entry
+            out.append((name, F.substring(F.col(c), 1, int(w))))
+        elif t == "identity":
+            out.append((name, F.col(entry[1]).cast("string")))
+        else:
+            raise ValueError(
+                f"unknown partition transform {t!r} — supported: "
+                f"{sorted(_TIME_FMT)} + ['bucket', 'truncate', 'identity']"
+            )
+    return out
+
+
+def _spec_source_col(entry) -> str:
+    return entry[-1]
+
+
+def _parse_partition(relname: str) -> dict[str, str]:
+    """Hive ``k=v`` components of a file's dir-relative path."""
+    from urllib.parse import unquote
+
+    out = {}
+    for part in relname.split(os.sep)[:-1]:
+        if "=" in part:
+            k, v = part.split("=", 1)
+            out[k] = unquote(v)
+    return out
 
 
 BLOOM_SUFFIX = "-bloom"
@@ -329,6 +408,7 @@ class SnapshotCatalog:
         bloom_k: int = 7,
         zorder: tuple[str, str] | tuple = (),
         zorder_bits: int = 16,
+        partition_by: list | None = None,
     ) -> dict:
         """Commit a new snapshot.
 
@@ -363,6 +443,8 @@ class SnapshotCatalog:
                 "zorder takes exactly two numeric columns (the 2-D "
                 "z-curve; chain more dims via cell encoding)"
             )
+        partition_by = list(partition_by or [])
+        pv = _partition_cols(partition_by)  # validates the spec
         man = self._load_manifest(table)
         # max+1, NOT len+1: expire_snapshots truncates the front of the
         # list, and len+1 would then collide with (and clobber the
@@ -426,7 +508,22 @@ class SnapshotCatalog:
         prev_ts = spark.conf.get(ts_conf)
         try:
             spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
-            out.write.mode("overwrite").parquet(data_dir)
+            if pv:
+                # hidden partitioning: derive the transform columns,
+                # hive-partition the physical layout by them, and let
+                # partitionBy strip them from the file bytes — the
+                # logical schema never changes (≡ Iceberg hidden
+                # partitioning; users query ts/host, never day/bucket)
+                withpv = out
+                for name, col_ in pv:
+                    withpv = withpv.withColumn(name, col_)
+                if n_files and not sort_by and not zorder:
+                    withpv = withpv.repartition(n_files, *[n for n, _ in pv])
+                withpv.write.mode("overwrite").partitionBy(
+                    *[n for n, _ in pv]
+                ).parquet(data_dir)
+            else:
+                out.write.mode("overwrite").parquet(data_dir)
         finally:
             spark.conf.set(ts_conf, prev_ts)
         dname = os.path.basename(data_dir)
@@ -434,6 +531,9 @@ class SnapshotCatalog:
         files = [
             {**f, "dir": dname} for f in _file_stats(data_dir, stat_cols)
         ]
+        if pv:
+            for f in files:
+                f["partition"] = _parse_partition(f["name"])
         if bloom_cols:
             # ONE extra job over the NEW files only — O(new data), like
             # the footer stats; appends never re-bloom the parent's dirs
@@ -481,6 +581,12 @@ class SnapshotCatalog:
                 "bits": int(bloom_bits),
                 "k": int(bloom_k),
             }
+        pspecs = dict(carry.get("partition_specs") or {})
+        if pv:
+            # spec recorded PER DIR: partition EVOLUTION is just a later
+            # write with a different spec — old dirs keep theirs, scan
+            # consults each file's own dir spec (≡ Iceberg spec-id)
+            pspecs[dname] = [list(e) for e in partition_by]
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -499,6 +605,7 @@ class SnapshotCatalog:
             "delete_ranges": delete_ranges,
             "pos_delete_files": pos_delete_files,
             "blooms": blooms,
+            "partition_specs": pspecs,
             "meta": meta or {},
         }
         self._register_new_columns(man, df)
@@ -981,6 +1088,7 @@ class SnapshotCatalog:
             "delete_ranges": list(parent.get("delete_ranges") or []),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "blooms": dict(parent.get("blooms") or {}),
+            "partition_specs": dict(parent.get("partition_specs") or {}),
             "meta": {},
         }
         man["snapshots"].append(snap)
@@ -1151,6 +1259,7 @@ class SnapshotCatalog:
             "delete_ranges": list(parent.get("delete_ranges") or []),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "blooms": dict(parent.get("blooms") or {}),
+            "partition_specs": dict(parent.get("partition_specs") or {}),
             "meta": meta or {},
         }
         self._register_new_columns(man, df)
@@ -1297,6 +1406,7 @@ class SnapshotCatalog:
             ),
             "pos_delete_files": list(parent.get("pos_delete_files") or []),
             "blooms": dict(parent.get("blooms") or {}),
+            "partition_specs": dict(parent.get("partition_specs") or {}),
             "meta": {"dropped_files": len(parent_files) - len(kept)},
         }
         man["snapshots"].append(snap)
@@ -1398,6 +1508,7 @@ class SnapshotCatalog:
                 list(parent.get("pos_delete_files") or []) + new_pdels
             ),
             "blooms": dict(parent.get("blooms") or {}),
+            "partition_specs": dict(parent.get("partition_specs") or {}),
             "meta": {},
         }
         man["snapshots"].append(snap)
@@ -2005,6 +2116,109 @@ class SnapshotCatalog:
             )
         return [s["snapshot_id"] for s in dropped]
 
+    def _partition_prune(
+        self,
+        spark: SparkSession,
+        snap: dict,
+        files: list[dict],
+        norm: dict,
+        eq: dict,
+        stat_name_fn,
+    ) -> list[dict]:
+        """Drop files whose hive partition value provably excludes the
+        predicate — hidden-partition pruning (≡ Iceberg's transform-
+        aware file filtering): the user predicates on ts/host; each
+        file's dir spec says which transform of which write-time column
+        produced its partition value, and the predicate is translated
+        into that transform's value space.  Time transforms prune
+        ranges (+the folded eq points), truncate prunes string ranges,
+        bucket and identity prune equality probes.  Purely an
+        optimization: unknown specs, type mismatches, or missing values
+        keep the file (the residual filter still applies).  A
+        ``__HIVE_DEFAULT_PARTITION__`` file holds only NULL rows for
+        the source column, which no concrete predicate can match."""
+        pspecs = snap.get("partition_specs") or {}
+        if not pspecs or (not norm and not eq):
+            return files
+        from pyspark.sql import functions as F
+
+        bcache: dict = {}
+
+        def bucket_of(v, n: int) -> int:
+            key = (str(v), n)
+            if key not in bcache:
+                bcache[key] = int(
+                    spark.range(1)
+                    .select(
+                        F.pmod(F.xxhash64(F.lit(str(v))), F.lit(n))
+                    )
+                    .first()[0]
+                )
+            return bcache[key]
+
+        pred_cols = set(norm) | set(eq)
+        out = []
+        for frec in files:
+            spec = pspecs.get(frec["dir"])
+            pvals = frec.get("partition") or {}
+            if not spec or not pvals:
+                out.append(frec)
+                continue
+            keep = True
+            for i, entry in enumerate(spec):
+                t, wcol = entry[0], entry[-1]
+                pvs = pvals.get(f"_pv{i}")
+                if pvs is None:
+                    continue
+                cols = [
+                    c for c in pred_cols if stat_name_fn(frec, c) == wcol
+                ]
+                if not cols:
+                    continue
+                col = cols[0]
+                if t in _TIME_FMT:
+                    w = _TIME_FMT[t][1]
+                    rs = [
+                        (_iso_t(lo)[:w], _iso_t(hi)[:w])
+                        for lo, hi in (norm.get(col) or [])
+                        if isinstance(lo, str) and isinstance(hi, str)
+                    ]
+                    if rs and (
+                        pvs == _HIVE_NULL
+                        or not any(lo <= pvs <= hi for lo, hi in rs)
+                    ):
+                        keep = False
+                elif t == "truncate":
+                    w = entry[1]
+                    rs = [
+                        (lo[:w], hi[:w])
+                        for lo, hi in (norm.get(col) or [])
+                        if isinstance(lo, str) and isinstance(hi, str)
+                    ]
+                    if rs and (
+                        pvs == _HIVE_NULL
+                        or not any(lo <= pvs <= hi for lo, hi in rs)
+                    ):
+                        keep = False
+                elif t == "bucket":
+                    v = eq.get(col)
+                    if v is not None and (
+                        pvs == _HIVE_NULL
+                        or int(pvs) != bucket_of(v, int(entry[1]))
+                    ):
+                        keep = False
+                elif t == "identity":
+                    v = eq.get(col)
+                    if v is not None and (
+                        pvs == _HIVE_NULL or str(v) != pvs
+                    ):
+                        keep = False
+                if not keep:
+                    break
+            if keep:
+                out.append(frec)
+        return out
+
     def _bloom_prune(
         self,
         spark: SparkSession,
@@ -2074,7 +2288,13 @@ class SnapshotCatalog:
                     if words is None:
                         continue
                     for w, b in pts:
-                        bits = words.get((frec["name"], w), 0)
+                        # sidecars record basenames (input_file_name);
+                        # partitioned dirs prepend pv= subpaths to the
+                        # manifest name — part-file uuids keep basenames
+                        # unique within a dir
+                        bits = words.get(
+                            (os.path.basename(frec["name"]), w), 0
+                        )
                         # python ints are two's-complement under >>, so
                         # the sign bit of the stored long extracts fine
                         if not (bits >> b) & 1:
@@ -2200,6 +2420,9 @@ class SnapshotCatalog:
             return by_id.get(cur_id_by_name.get(col))
 
         if files:
+            files = self._partition_prune(
+                spark, snap, files, norm, eq, _stat_name
+            )
             keep = []
             for frec in files:
                 stats = frec.get("stats", {})

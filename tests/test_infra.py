@@ -2195,3 +2195,95 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
         cat.write(df, "bad", sort_by=("x",), zorder=("x", "y"))
     with pytest.raises(ValueError, match="two numeric columns"):
         cat.write(df, "bad", zorder=("x",))
+
+
+def test_hidden_partitioning_transforms(spark, tmp_path):
+    """Iceberg-style hidden partitioning: users query ts/host, the
+    layout partitions by day(ts)/bucket(host); predicates translate to
+    the transform space and prune whole partition dirs; the logical
+    schema never shows the derived columns; results == read+filter."""
+    import datetime as dt
+
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 2000).selectExpr(
+        "id",
+        "timestamp'2021-03-01 00:00:00' + make_interval(0,0,0,0,0,0,id*90) AS ts",
+        "concat('host', CAST(id % 7 AS STRING)) AS host",
+    )
+    # 2000 * 90s = 50 hours ≈ 3 days
+    cat.write(df, "t", partition_by=[["day", "ts"], ["bucket", 4, "host"]])
+    snap = cat.current_snapshot("t")
+    dname = snap["files"][0]["dir"]
+    assert snap["partition_specs"][dname] == [["day", "ts"], ["bucket", 4, "host"]]
+    # hidden: logical schema untouched, partition values in the manifest
+    assert cat.read(spark, "t").columns == ["id", "ts", "host"]
+    assert all("_pv0" in f["partition"] for f in snap["files"])
+
+    # day-range predicate prunes partition dirs
+    day2 = (dt.datetime(2021, 3, 2), dt.datetime(2021, 3, 2, 23, 59, 59))
+    files = cat._snap_files(snap)
+
+    def tr(frec, col):
+        return col  # no schema evolution in this table
+
+    kept = cat._partition_prune(
+        spark, snap, files, {"ts": [(day2[0].isoformat(), day2[1].isoformat())]}, {}, tr
+    )
+    assert 0 < len(kept) < len(files)
+    assert all(f["partition"]["_pv0"] == "2021-03-02" for f in kept)
+    exp = df.filter(
+        "ts BETWEEN timestamp'2021-03-02 00:00:00' AND timestamp'2021-03-02 23:59:59'"
+    ).count()
+    assert cat.scan(spark, "t", {"ts": day2}).count() == exp
+
+    # bucket eq predicate prunes to one bucket per day
+    kept_b = cat._partition_prune(
+        spark, snap, files, {}, {"host": "host3"}, tr
+    )
+    assert 0 < len(kept_b) <= len(files) // 2
+    assert cat.scan(spark, "t", eq={"host": "host3"}).count() == (
+        df.filter("host = 'host3'").count()
+    )
+    # combined: day range + host eq
+    got = cat.scan(spark, "t", {"ts": day2}, eq={"host": "host3"})
+    assert got.count() == df.filter(
+        "host = 'host3' AND ts BETWEEN timestamp'2021-03-02 00:00:00' "
+        "AND timestamp'2021-03-02 23:59:59'"
+    ).count()
+
+
+def test_partition_evolution_per_dir_specs(spark, tmp_path):
+    """Partition evolution: an append under a NEW spec keeps old dirs on
+    their old spec — scan consults each file's own dir spec and both
+    generations prune correctly (no rewrite of old data)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    base = spark.range(0, 500).selectExpr(
+        "id",
+        "timestamp'2021-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id*600) AS ts",
+        "concat('h', CAST(id % 5 AS STRING)) AS host",
+    )
+    cat.write(base, "t", partition_by=[["day", "ts"]])
+    more = spark.range(500, 1000).selectExpr(
+        "id",
+        "timestamp'2021-06-10 00:00:00' + make_interval(0,0,0,0,0,0,(id-500)*600) AS ts",
+        "concat('h', CAST(id % 5 AS STRING)) AS host",
+    )
+    cat.write(
+        more, "t", mode="append", partition_by=[["truncate", 2, "host"]]
+    )
+    snap = cat.current_snapshot("t")
+    assert len(snap["partition_specs"]) == 2
+    full = base.unionByName(more)
+    # day range hits only generation 1 + conservative keep of gen 2
+    day = ("2021-06-01T00:00:00", "2021-06-01T23:59:59")
+    exp = full.filter(
+        "ts BETWEEN timestamp'2021-06-01 00:00:00' AND "
+        "timestamp'2021-06-01 23:59:59'"
+    ).count()
+    assert cat.scan(spark, "t", {"ts": day}).count() == exp
+    # host prefix range prunes generation 2 (truncate transform)
+    exp_h = full.filter("host BETWEEN 'h1' AND 'h2'").count()
+    assert cat.scan(spark, "t", {"host": ("h1", "h2")}).count() == exp_h
+    # identity guard: unknown transform rejected at write
+    with pytest.raises(ValueError, match="unknown partition transform"):
+        cat.write(base, "bad", partition_by=[["nope", "host"]])
