@@ -1883,6 +1883,39 @@ class SnapshotCatalog:
             spark, table, new, state=man.get("schema")
         )
 
+    def count(
+        self,
+        spark: SparkSession,
+        table: str,
+        snapshot_id: int | None = None,
+        ranges: dict | None = None,
+        eq: dict | None = None,
+    ) -> int:
+        """COUNT(*) with a manifest fast path (≡ Iceberg metadata
+        aggregate pushdown): a snapshot with no merge-on-read deletes
+        answers from its recorded ``row_count`` — ZERO data I/O, O(1)
+        on a 100 TB table.  Any delete tier in play (equality /
+        position deletes, or range deletes whose residuals the
+        row_count cannot see) or any predicate falls back to the exact
+        pruned-scan count."""
+        snap = self._get_snap(table, snapshot_id)
+        mor = (
+            (snap.get("delete_files") or [])
+            or (snap.get("pos_delete_files") or [])
+            or (snap.get("delete_ranges") or [])
+        )
+        if not ranges and not eq:
+            if not mor:
+                return int(snap["row_count"])
+            return self.read(spark, table, snap["snapshot_id"]).count()
+        return self.scan(
+            spark,
+            table,
+            ranges,
+            snapshot_id=snap["snapshot_id"],
+            eq=eq,
+        ).count()
+
     def file_metrics(
         self, spark: SparkSession, table: str, snapshot_id: int | None = None
     ) -> DataFrame:

@@ -386,3 +386,19 @@ def stream_stream_enrich(
         & (F.col("fetch_ts") <= F.col("warc_ts") + iv),
     )
     return joined.select(*pages_stream.columns, *meta_cols)
+
+
+def streaming_url_dedup(
+    pages_stream: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming exactly-once url dedup via
+    ``dropDuplicatesWithinWatermark``: re-crawled/duplicate pages
+    arriving within the watermark horizon of each other emit ONCE —
+    the streaming twin of the batch first-wins mosaic dedup, with the
+    state store bounded by the watermark (a plain dropDuplicates on a
+    stream would keep every url key forever; the within-watermark
+    variant evicts keys once the horizon passes — the only state
+    contract that survives an unbounded crawl)."""
+    return pages_stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])

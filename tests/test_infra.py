@@ -2287,3 +2287,57 @@ def test_partition_evolution_per_dir_specs(spark, tmp_path):
     # identity guard: unknown transform rejected at write
     with pytest.raises(ValueError, match="unknown partition transform"):
         cat.write(base, "bad", partition_by=[["nope", "host"]])
+
+
+def test_manifest_count_pushdown(spark, tmp_path):
+    """count() answers from the manifest when no merge-on-read deletes
+    exist (zero data I/O) and stays exact through appends, deletes
+    (fallback), and predicates (pruned-scan count)."""
+    cat = SnapshotCatalog(str(tmp_path))
+    df = spark.range(0, 1000).selectExpr("id", "id % 10 AS g")
+    cat.write(df, "t", sort_by=("id",), n_files=4)
+    assert cat.count(spark, "t") == 1000
+    cat.write(
+        spark.range(1000, 1300).selectExpr("id", "id % 10 AS g"),
+        "t", mode="append",
+    )
+    assert cat.count(spark, "t") == 1300
+    assert cat.count(spark, "t", ranges={"id": (100, 199)}) == 100
+    # equality deletes force the exact merge-on-read path
+    cat.delete_keys(spark, "t", spark.createDataFrame([(5,), (6,)], "id bigint"))
+    assert cat.count(spark, "t") == 1298
+    # range delete: residual-filtered files make row_count unusable
+    cat.compact(spark, "t", n_files=2)
+    cat.delete_range("t", "id", (0, 99))
+    # 1298 survivors minus ids 0..99 (5 and 6 already gone) = 1200
+    assert cat.count(spark, "t") == 1200
+
+
+def test_streaming_url_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicated urls inside the
+    watermark horizon emit exactly once; state is watermark-bounded."""
+    from eodal_spark.sources import pages as P
+    from eodal_spark.streaming import ingest
+
+    src = str(tmp_path / "src")
+    base = P.synth_pages(spark, 500)
+    # each url appears twice, seconds apart (same horizon)
+    dup = base.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 5 seconds")
+    )
+    base.unionByName(dup).write.parquet(src)
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    out_dir, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+    q = (
+        ingest.streaming_url_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 500
+    assert got.select("url").distinct().count() == 500
