@@ -1643,6 +1643,23 @@ def _q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+def _q_emb_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ ANN (Jégou et al. 2011 product quantization): coarse
+    inverted lists + m-byte PQ codes + ADC shortlist + exact re-rank.
+    On the planted fixture the top-10 per query is {self} ∪ {9 scaled
+    copies}: all land in the query's probed lists with near-zero ADC
+    estimates, survive any rerank ≥ 10, and the exact q7 re-rank makes
+    the output hash-identical to the brute oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    uni = _emb_with_planted(emb)
+    q = emb.filter("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    return SIM.ivfpq_topk(
+        q, uni, k=10, n_centroids=8, n_probe=4, m=8, n_codes=16, rerank=64
+    ).select("query_id", "vec_id", "sqdist", "rank")
+
+
 def _q_emb_ann_srp(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     uni = _emb_with_planted(emb)
@@ -1682,7 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 81 registered queries and
+    previous round and untouched this round.  With 82 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1700,6 +1717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- never driver-checked (new this round / registered after 50) ----
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "docs_decontaminate": _q_docs_decontaminate,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
@@ -2544,6 +2562,7 @@ def oracle_sql() -> dict[str, str]:
         FROM nq
         """,
         "emb_ivf_topk": _emb_topk_planted_oracle(),
+        "emb_ivfpq_topk": _emb_topk_planted_oracle(),
         "emb_ann_srp": _emb_topk_planted_oracle(),
         "emb_cosine_topk": _emb_cosine_planted_oracle(),
         "multimodal_bytes": """

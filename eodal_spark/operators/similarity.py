@@ -650,3 +650,220 @@ def semantic_dedup(
         .withColumn("keep", F.col("comp") == F.col("vec_id"))
     )
     return out
+
+
+# -- IVF-PQ: product-quantized ANN -----------------------------------
+#
+# Jégou, Douze, Schmid, "Product Quantization for Nearest Neighbor
+# Search" (TPAMI 2011): split the embedding space into m orthogonal
+# subspaces, k-means each, and store per vector only the m code ids —
+# the index the large-scale systems (FAISS IVFPQ) actually ship.  At
+# 10^12 vectors × 64 float32 dims the raw corpus is ~256 TB; the
+# m=8/n_codes=256 code table is ~8 TB — the difference between "scan
+# embeddings" and "fits in cluster page cache".  The candidate join
+# here ships ONLY (vec_id, ivf_list, codes); full vectors are fetched
+# for the top-``rerank`` candidates per query alone.
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    n_codes: int = 16,
+    sample: int = 10_000,
+    iters: int = 10,
+    seed: int = 42,
+) -> list:
+    """Per-subspace k-means codebooks: ``m`` entries of
+    ``(dim_indices, centroids[n_codes, sub_dim])``.  Trained on the
+    same hash-spread driver sample as :func:`ivf_train_centroids` —
+    a model artifact (a few KB), not a data pass; every executor gets
+    it as a closure constant."""
+    rows = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample)
+        .collect()
+    )
+    if not rows:
+        raise ValueError(
+            "empty corpus sample; cannot train PQ codebooks — the "
+            "corpus DataFrame has no rows (or no embedding values)"
+        )
+    mtx = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    dim = mtx.shape[1]
+    if m > dim:
+        raise ValueError(f"m={m} subspaces > {dim} dims")
+    splits = np.array_split(np.arange(dim), m)
+    k = min(n_codes, len(mtx))  # tiny corpora: one code per sample row
+    rng = np.random.RandomState(seed)
+    books = []
+    for idx in splits:
+        sub = mtx[:, idx]
+        cent = sub[rng.choice(len(sub), k, replace=False)].copy()
+        for _ in range(iters):
+            d = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            assign = d.argmin(1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cent[c] = members.mean(0)
+        books.append((idx, cent))
+    return books
+
+
+def pq_encode_udf(books: list):
+    """Arrow-batched PQ encoder: embedding → ``array<int>`` of ``m``
+    code ids (nearest codebook entry per subspace, numpy matmul).
+    One map-side pass over the corpus — the compression step."""
+    idxs = [np.asarray(i) for i, _ in books]
+    cents = [c.astype(np.float64) for _, c in books]
+    cent_sqs = [(c**2).sum(1) for c in cents]
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        mtx = np.stack(vecs.to_numpy()).astype(np.float64)
+        codes = np.empty((len(mtx), len(idxs)), dtype=np.int32)
+        for j, (idx, cent, csq) in enumerate(zip(idxs, cents, cent_sqs)):
+            sub = mtx[:, idx]
+            d = (sub**2).sum(1)[:, None] - 2 * (sub @ cent.T) + csq[None, :]
+            codes[:, j] = d.argmin(1).astype(np.int32)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def _pq_lut(books: list, qvec: np.ndarray) -> list:
+    """ADC lookup table for ONE query: flat ``m·k`` doubles, entry
+    ``j·k + c`` = squared L2 distance from the query's j-th subvector
+    to codebook entry c."""
+    out = []
+    for idx, cent in books:
+        sub = qvec[idx]
+        out.extend(((cent - sub[None, :]) ** 2).sum(1).tolist())
+    return out
+
+
+def pq_lut_udf(books: list):
+    """Arrow-batched LUT builder — the relational (executor-side) form
+    of the per-query ADC table, for query sides too large to collect."""
+    idxs = [np.asarray(i) for i, _ in books]
+    cents = [c.astype(np.float64) for _, c in books]
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(vecs: pd.Series) -> pd.Series:
+        mtx = np.stack(vecs.to_numpy()).astype(np.float64)
+        out = []
+        for row in mtx:
+            flat = []
+            for idx, cent in zip(idxs, cents):
+                flat.extend(((cent - row[idx][None, :]) ** 2).sum(1).tolist())
+            out.append(flat)
+        return pd.Series(out)
+
+    return lut
+
+
+def adc_dist(codes: Column, lut: Column, m: int, k: int) -> Column:
+    """Asymmetric-distance estimate: sum of ``m`` LUT entries selected
+    by the vector's codes — pure Catalyst (aggregate over a constant
+    sequence + element_at), whole-stage-codegen'd, no Python in the
+    per-candidate hot path."""
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(lut, j * k + F.element_at(codes, j + 1) + 1),
+    )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    rerank: int = 64,
+    seed: int = 42,
+    probe_query_cap: int = 16_384,
+) -> DataFrame:
+    """IVF-PQ ANN: coarse inverted lists bound the candidate space
+    (≡ :func:`ivf_topk`), per-candidate distance is ESTIMATED from the
+    m-byte PQ codes via the query's ADC lookup table (no embedding
+    shipped), the top ``rerank`` estimates per query are re-ranked
+    EXACTLY against their true vectors, and the final top-``k`` uses
+    the same integer-quantized metric as the brute baseline.
+
+    Scale shape: the only full-corpus pass is the map-side
+    encode/assign projection; the probe join ships codes (m ints), not
+    embeddings; exact vectors are fetched for |Q|·rerank rows via an
+    equi-join on vec_id.  Probe planning follows the bounded-collect
+    discipline of :func:`ivf_topk` (``probe_query_cap`` + relational
+    fallback), so neither side can OOM the driver."""
+    if rerank < k:
+        rerank = k
+    cent = ivf_train_centroids(corpus, n_centroids, seed=seed)
+    books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, seed=seed)
+    k_codes = len(books[0][1])
+    assign = ivf_assign_udf(cent)
+    encode = pq_encode_udf(books)
+    # the compact index relation: at scale this is the ONLY thing the
+    # candidate join scans (codes ≈ m small ints vs dim floats)
+    encoded = corpus.select(
+        "vec_id",
+        assign(F.col("embedding")).alias("ivf_list"),
+        encode(F.col("embedding")).alias("codes"),
+    )
+
+    qrows = queries.limit(probe_query_cap + 1).collect()
+    if len(qrows) <= probe_query_cap:
+        probe_rows = []
+        for r in qrows:
+            qv = np.asarray(r["qvec"], dtype=np.float64)
+            d = ((cent - qv) ** 2).sum(1)
+            flat = _pq_lut(books, qv)
+            for c in np.argsort(d)[:n_probe]:
+                probe_rows.append((int(r["query_id"]), int(c), flat))
+        spark = queries.sparkSession
+        probe_schema = T.StructType(
+            [
+                T.StructField("query_id", T.LongType(), False),
+                T.StructField("ivf_list", T.IntegerType(), False),
+                T.StructField("lut", T.ArrayType(T.DoubleType()), False),
+            ]
+        )
+        probes = F.broadcast(spark.createDataFrame(probe_rows, probe_schema))
+    else:
+        plan = ivf_probe_udf(cent, n_probe)
+        lut = pq_lut_udf(books)
+        probes = queries.select(
+            "query_id",
+            F.explode(plan(F.col("qvec"))).alias("ivf_list"),
+            lut(F.col("qvec")).alias("lut"),
+        )
+
+    cand = encoded.join(probes, "ivf_list").select(
+        "query_id",
+        "vec_id",
+        adc_dist(F.col("codes"), F.col("lut"), m, k_codes).alias("adc"),
+    )
+    wadc = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        cand.withColumn("adc_rank", F.row_number().over(wadc))
+        .filter(F.col("adc_rank") <= rerank)
+        .select("query_id", "vec_id")
+    )
+    # exact re-rank: fetch true vectors for the shortlist only
+    rr = (
+        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
+        .join(queries.select("query_id", "qvec"), "query_id")
+        .withColumn(
+            "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
+        )
+    )
+    return _rank_topk(rr, k, "sqdist", asc=True).select(
+        "query_id", "vec_id", "sqdist", "rank"
+    )

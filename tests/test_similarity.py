@@ -347,3 +347,97 @@ def test_semantic_dedup_no_duplicates_is_identity(spark):
                            sample=10)
     assert out.filter("keep").count() == 3
     assert out.count() == 3
+
+
+def test_ivfpq_exact_on_self_queries(spark, corpus, queries):
+    """With generous rerank the PQ shortlist retains the true top-k of
+    the probed lists; the exact re-rank then reproduces IVF's answer —
+    on self-queries the nearest hit is the query itself at distance 0."""
+    got = S.ivfpq_topk(
+        queries, corpus, 1, n_centroids=8, n_probe=8, m=8, n_codes=16
+    ).collect()
+    assert len(got) == 5
+    for r in got:
+        assert r["vec_id"] == r["query_id"] and int(r["sqdist"]) == 0
+
+
+def test_ivfpq_full_probe_generous_rerank_matches_brute(spark, corpus, queries):
+    """Probing EVERY list with rerank >= corpus size degrades IVF-PQ to
+    exact brute force — the recall knobs, not the mechanism, are the
+    only approximation."""
+    k = 10
+    exact = S.brute_force_topk_l2(queries, corpus, k).orderBy(
+        "query_id", "rank"
+    ).collect()
+    got = S.ivfpq_topk(
+        queries, corpus, k, n_centroids=8, n_probe=8, m=8, n_codes=16,
+        rerank=10_000,
+    ).orderBy("query_id", "rank").collect()
+    t = lambda rs: [
+        (r["query_id"], r["vec_id"], int(r["sqdist"]), r["rank"]) for r in rs
+    ]
+    assert t(got) == t(exact)
+
+
+def test_ivfpq_relational_path_matches_driver_path(spark, corpus, queries):
+    """probe_query_cap=0 forces the executor-side LUT/probe plan; both
+    paths must agree row-for-row."""
+    kw = dict(n_centroids=8, n_probe=8, m=8, n_codes=16, rerank=10_000)
+    drv = S.ivfpq_topk(queries, corpus, 5, **kw).orderBy(
+        "query_id", "rank"
+    ).collect()
+    rel = S.ivfpq_topk(
+        queries, corpus, 5, probe_query_cap=0, **kw
+    ).orderBy("query_id", "rank").collect()
+    t = lambda rs: [
+        (r["query_id"], r["vec_id"], int(r["sqdist"]), r["rank"]) for r in rs
+    ]
+    assert t(drv) == t(rel)
+
+
+def test_ivfpq_codes_are_compact(spark, corpus):
+    """The encoded relation carries m small ints per vector — the 32x
+    compression that lets a 10^12-vector index fit the cluster."""
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=16, seed=42)
+    assert len(books) == 8
+    enc = S.pq_encode_udf(books)
+    row = corpus.select(enc(F.col("embedding")).alias("codes")).first()
+    assert len(row["codes"]) == 8
+    assert all(0 <= c < 16 for c in row["codes"])
+
+
+def test_ivfpq_adc_estimates_track_distance(spark, corpus):
+    """ADC is an estimate, but for a vector vs ITSELF the estimate is
+    the quantization residual — strictly smaller than vs a far vector
+    scaled 10x away.  Sanity-pins the LUT indexing (j*k + code)."""
+    import numpy as np
+
+    books = S.pq_train_codebooks(corpus, m=8, n_codes=16, seed=42)
+    k_codes = len(books[0][1])
+    enc = S.pq_encode_udf(books)
+    base = corpus.orderBy("vec_id").limit(1)
+    qv = np.asarray(base.first()["embedding"], dtype=np.float64)
+    lut_near = S._pq_lut(books, qv)
+    lut_far = S._pq_lut(books, qv * 10.0)
+    df = base.select(enc(F.col("embedding")).alias("codes"))
+    got = df.select(
+        S.adc_dist(F.col("codes"), F.lit(lut_near), 8, k_codes).alias("near"),
+        S.adc_dist(F.col("codes"), F.lit(lut_far), 8, k_codes).alias("far"),
+    ).first()
+    assert got["near"] < got["far"]
+
+
+def test_ivfpq_empty_corpus_raises_actionable(spark):
+    import pyspark.sql.types as T
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
+    )
+    with pytest.raises(ValueError, match="empty corpus sample"):
+        S.pq_train_codebooks(empty)
