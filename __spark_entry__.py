@@ -1000,6 +1000,70 @@ def _q_snapshot_range_delete(spark, sf_dir):
     return cat.read(spark, "pages_rdel").select("url", "cell_id")
 
 
+def _q_snapshot_wap(spark, sf_dir):
+    """Write-audit-publish branches (≡ Iceberg branch refs +
+    fast_forward + cherrypick_snapshot): page-ids ≡ 0-4 (mod 10) land
+    on main; ids ≡ 5,6 then 7 are STAGED on an ``audit`` branch (main
+    readers see none of them) and fast-forward-published; ids ≡ 9 with
+    pid%100 >= 50 are staged on a ``reject`` branch and DROPPED; ids
+    ≡ 8 are staged on a ``late`` branch, main advances past its fork
+    (appending the pid%100 < 50 half of the 9s), so publish is
+    non-fast-forward and the staged append is CHERRY-PICKED onto the
+    moved head instead.  Final relation = ids ≡ 0-8 plus half the 9s —
+    the dropped branch's rows must be absent, every published/picked
+    row present exactly once."""
+    import shutil
+    import tempfile
+
+    from eodal_spark.sources.catalog import SnapshotCatalog
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"eodal_spark_wapcat_{N_PAGES}"
+    )
+    cat = SnapshotCatalog(root)
+    if len(cat.snapshots("pages_wap")) < 5 or cat.branches("pages_wap"):
+        shutil.rmtree(root, ignore_errors=True)
+        cat = SnapshotCatalog(root)
+        geo = _pages_geo(spark).select("url", "cell_id")
+        pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+        cat.write(
+            geo.filter(pid % 10 < 5), "pages_wap",
+            sort_by=("cell_id",), n_files=4,
+        )
+        cat.create_branch("pages_wap", "audit")
+        for sel in (pid % 10).isin(5, 6), (pid % 10) == 7:
+            cat.write(
+                geo.filter(sel), "pages_wap",
+                sort_by=("cell_id",), n_files=1,
+                mode="append", branch="audit",
+            )
+        cat.create_branch("pages_wap", "reject")
+        cat.write(
+            geo.filter((pid % 10 == 9) & (pid % 100 >= 50)), "pages_wap",
+            sort_by=("cell_id",), n_files=1,
+            mode="append", branch="reject",
+        )
+        cat.drop_branch("pages_wap", "reject")
+        cat.publish_branch("pages_wap", "audit")
+        cat.create_branch("pages_wap", "late")
+        staged = cat.write(
+            geo.filter(pid % 10 == 8), "pages_wap",
+            sort_by=("cell_id",), n_files=1,
+            mode="append", branch="late",
+        )
+        cat.write(  # main moves past the fork → late is non-FF
+            geo.filter((pid % 10 == 9) & (pid % 100 < 50)), "pages_wap",
+            sort_by=("cell_id",), n_files=1, mode="append",
+        )
+        try:
+            cat.publish_branch("pages_wap", "late")
+            raise AssertionError("publish must refuse non-FF")
+        except ValueError:
+            cat.cherrypick_snapshot("pages_wap", staged["snapshot_id"])
+        cat.drop_branch("pages_wap", "late")
+    return cat.read(spark, "pages_wap").select("url", "cell_id")
+
+
 def _q_snapshot_upsert(spark, sf_dir):
     """Atomic MERGE INTO (merge-on-read upsert — ≡ Iceberg MERGE
     compiled to equality deletes + appended data files in ONE commit):
@@ -1699,7 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 82 registered queries and
+    previous round and untouched this round.  With 83 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1718,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- never driver-checked (new this round / registered after 50) ----
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
+        "snapshot_wap": _q_snapshot_wap,
         "docs_decontaminate": _q_docs_decontaminate,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
@@ -2642,6 +2707,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   % 10 NOT IN (1, 2)
+        """,
+        # WAP branches: ids 0-4 on main; 5,6,7 staged on a branch and
+        # published; 8 cherry-picked after a non-FF; the lower half of
+        # the 9s appended straight to main; the upper half staged on a
+        # DROPPED branch — absent is the proof the drop dropped
+        "snapshot_wap": f"""
+            SELECT url, {cell} AS cell_id FROM (
+              SELECT url, lon_centi, lat_centi,
+                     CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
+                       AS pid
+              FROM {pages}
+            ) WHERE NOT (pid % 10 = 9 AND pid % 100 >= 50)
         """,
         "morton_bbox_scan": f"""
             SELECT url, {cell} AS cell_id, lat_centi, lon_centi

@@ -409,8 +409,15 @@ class SnapshotCatalog:
         zorder: tuple[str, str] | tuple = (),
         zorder_bits: int = 16,
         partition_by: list | None = None,
+        branch: str | None = None,
     ) -> dict:
         """Commit a new snapshot.
+
+        ``branch`` targets a named branch created with
+        :meth:`create_branch` instead of main (≡ Iceberg branch writes
+        / the WAP staging step): the commit's parent is the branch
+        head, main is untouched, and readers only see the rows after
+        :meth:`publish_branch` fast-forwards them onto main.
 
         ``mode="overwrite"`` — the snapshot is exactly ``df``.
         ``mode="append"``    — the snapshot is the parent's data files
@@ -446,11 +453,32 @@ class SnapshotCatalog:
         partition_by = list(partition_by or [])
         pv = _partition_cols(partition_by)  # validates the spec
         man = self._load_manifest(table)
+        branch_snaps = man.get("branch_snapshots") or []
+        if branch is not None:
+            b = (man.get("branches") or {}).get(branch)
+            if b is None:
+                raise KeyError(
+                    f"no branch {branch!r} on table {table!r} — "
+                    "create_branch() first"
+                )
+            parent_snap = next(
+                s
+                for s in man["snapshots"] + branch_snaps
+                if s["snapshot_id"] == b["head"]
+            )
+        else:
+            parent_snap = man["snapshots"][-1] if man["snapshots"] else None
         # max+1, NOT len+1: expire_snapshots truncates the front of the
         # list, and len+1 would then collide with (and clobber the
-        # v-dir of) a surviving snapshot
+        # v-dir of) a surviving snapshot.  Branch snapshots share the
+        # sid space — ids stay globally monotonic so equality-delete
+        # sequence semantics survive a later publish/cherry-pick.
         sid = max(
-            (s["snapshot_id"] for s in man["snapshots"]), default=0
+            (
+                s["snapshot_id"]
+                for s in man["snapshots"] + branch_snaps
+            ),
+            default=0,
         ) + 1
         # unique dir per COMMIT ATTEMPT: two racing writers both compute
         # sid N, but only the manifest CAS decides the winner — a shared
@@ -543,8 +571,8 @@ class SnapshotCatalog:
         # row count from the same footer reads that produced the stats —
         # no second Spark job per commit
         n = sum(f["rows"] for f in files)
-        if mode == "append" and man["snapshots"]:
-            parent = man["snapshots"][-1]
+        if mode == "append" and parent_snap is not None:
+            parent = parent_snap
             parent_files = self._snap_files(parent)
             if not parent_files:
                 # legacy pre-stats snapshot: reconstruct its file list
@@ -567,8 +595,8 @@ class SnapshotCatalog:
             files = parent_files + files
             n += parent["row_count"]
         carry = (
-            man["snapshots"][-1]
-            if mode == "append" and man["snapshots"]
+            parent_snap
+            if mode == "append" and parent_snap is not None
             else {}
         )
         delete_files = list(carry.get("delete_files") or [])
@@ -590,8 +618,8 @@ class SnapshotCatalog:
         snap = {
             "snapshot_id": sid,
             "parent_id": (
-                man["snapshots"][-1]["snapshot_id"]
-                if man["snapshots"]
+                parent_snap["snapshot_id"]
+                if parent_snap is not None
                 else None
             ),
             "committed_at": time.time(),
@@ -609,7 +637,11 @@ class SnapshotCatalog:
             "meta": meta or {},
         }
         self._register_new_columns(man, df)
-        man["snapshots"].append(snap)
+        if branch is not None:
+            man.setdefault("branch_snapshots", []).append(snap)
+            man["branches"][branch]["head"] = sid
+        else:
+            man["snapshots"].append(snap)
         try:
             self._commit_manifest(table, man)  # atomic commit
         except ConcurrentCommitError:
@@ -1783,13 +1815,16 @@ class SnapshotCatalog:
         snapshot_id: int | None = None,
         as_of=None,
         tag: str | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
         """Time-travel read — ≡ Iceberg ``VERSION AS OF`` by snapshot
-        id, ``TIMESTAMP AS OF`` via ``as_of``, or a named ref via
-        ``tag`` (equality deletes applied merge-on-read, see
-        :meth:`delete_keys`)."""
-        if sum(x is not None for x in (snapshot_id, as_of, tag)) > 1:
-            raise ValueError("pass only one of snapshot_id / as_of / tag")
+        id, ``TIMESTAMP AS OF`` via ``as_of``, a named ref via ``tag``,
+        or a branch head via ``branch`` — the WAP audit read (equality
+        deletes applied merge-on-read, see :meth:`delete_keys`)."""
+        if sum(x is not None for x in (snapshot_id, as_of, tag, branch)) > 1:
+            raise ValueError(
+                "pass only one of snapshot_id / as_of / tag / branch"
+            )
         # ONE manifest load for ref/snapshot/schema resolution — a
         # second load anywhere below would be a TOCTOU against
         # concurrent expiry/rollback/rename
@@ -1800,6 +1835,11 @@ class SnapshotCatalog:
             if tag not in refs:
                 raise KeyError(f"no tag {tag!r} on table {table!r}")
             snapshot_id = refs[tag]
+        if branch is not None:
+            b = (man.get("branches") or {}).get(branch)
+            if b is None:
+                raise KeyError(f"no branch {branch!r} on table {table!r}")
+            snapshot_id = b["head"]
         if as_of is not None:
             ts = as_of.timestamp() if hasattr(as_of, "timestamp") else as_of
             eligible = [
@@ -1811,7 +1851,14 @@ class SnapshotCatalog:
                 )
             snap = eligible[-1]
         else:
-            snap = self._get_snap(table, snapshot_id, snaps)
+            # explicit-id lookups also resolve branch snapshots (the
+            # audit-by-id path); the default head stays main's
+            lookup = (
+                snaps
+                if snapshot_id is None
+                else snaps + (man.get("branch_snapshots") or [])
+            )
+            snap = self._get_snap(table, snapshot_id, lookup)
         files = self._snap_files(snap)
         if files:
             merge = len({f["dir"] for f in files}) > 1
@@ -2030,6 +2077,178 @@ class SnapshotCatalog:
     def tags(self, table: str) -> dict[str, int]:
         return dict(self._load_manifest(table).get("refs") or {})
 
+    # -- branches (≡ Iceberg branch refs / write-audit-publish) --------
+    #
+    # The WAP workflow for a training-data pipeline: stage a day's
+    # ingest on an ``audit`` branch (``write(..., branch="audit")``),
+    # run validation queries against ``read(branch="audit")`` — main
+    # readers never see a row — then ``publish_branch`` fast-forwards
+    # main to the audited head, or ``drop_branch`` discards the lot
+    # (data dirs reclaimed by :meth:`remove_orphan_files`).  Every
+    # mutation is one manifest CAS, so branch commits inherit the
+    # optimistic-concurrency protocol.
+
+    def create_branch(
+        self, table: str, name: str, snapshot_id: int | None = None
+    ) -> dict:
+        """Fork a named branch from a MAIN snapshot (default: current
+        head).  Returns ``{"head": sid, "fork": sid}``."""
+        man = self._load_manifest(table)
+        branches = man.setdefault("branches", {})
+        if name in branches:
+            raise ValueError(
+                f"branch {name!r} already exists (head "
+                f"{branches[name]['head']}) — drop_branch() first"
+            )
+        snap = self._get_snap(table, snapshot_id, man["snapshots"])
+        branches[name] = {
+            "head": snap["snapshot_id"],
+            "fork": snap["snapshot_id"],
+        }
+        self._commit_manifest(table, man)
+        return dict(branches[name])
+
+    def branches(self, table: str) -> dict[str, dict]:
+        return {
+            n: dict(b)
+            for n, b in (
+                self._load_manifest(table).get("branches") or {}
+            ).items()
+        }
+
+    def _branch_chain(self, man: dict, name: str) -> list[dict]:
+        """The branch's own snapshots, fork-exclusive, in commit order."""
+        b = (man.get("branches") or {}).get(name)
+        if b is None:
+            raise KeyError(f"no branch {name!r}")
+        by_id = {
+            s["snapshot_id"]: s
+            for s in man.get("branch_snapshots") or []
+        }
+        chain, cur = [], b["head"]
+        while cur is not None and cur != b["fork"]:
+            s = by_id.get(cur)
+            if s is None:
+                raise ValueError(
+                    f"branch {name!r} chain broken at snapshot {cur}"
+                )
+            chain.append(s)
+            cur = s.get("parent_id")
+        chain.reverse()
+        return chain
+
+    def publish_branch(self, table: str, name: str) -> list[int]:
+        """Fast-forward main to the branch head (≡ Iceberg
+        ``fast_forward`` / the WAP publish step) and delete the branch
+        ref.  Requires main's head to still be the branch's fork point;
+        if main advanced, raises — re-stage on a fresh branch or apply
+        individual appends with :meth:`cherrypick_snapshot`.  Returns
+        the published snapshot ids."""
+        man = self._load_manifest(table)
+        b = (man.get("branches") or {}).get(name)
+        if b is None:
+            raise KeyError(f"no branch {name!r} on table {table!r}")
+        main = man["snapshots"]
+        if not main or main[-1]["snapshot_id"] != b["fork"]:
+            head = main[-1]["snapshot_id"] if main else None
+            raise ValueError(
+                f"non-fast-forward: main head is {head} but branch "
+                f"{name!r} forked at {b['fork']} — re-branch from the "
+                "current head or cherrypick_snapshot() each append"
+            )
+        chain = self._branch_chain(man, name)
+        ids = {s["snapshot_id"] for s in chain}
+        man["snapshots"] = main + chain
+        man["branch_snapshots"] = [
+            s
+            for s in man.get("branch_snapshots") or []
+            if s["snapshot_id"] not in ids
+        ]
+        del man["branches"][name]
+        self._commit_manifest(table, man)
+        return sorted(ids)
+
+    def drop_branch(self, table: str, name: str) -> list[int]:
+        """Discard a branch and its snapshots (the WAP reject step).
+        Data dirs are NOT deleted here — a concurrent cherry-pick may
+        reference them; :meth:`remove_orphan_files` reclaims anything
+        truly unreferenced after its age rail.  Returns dropped ids."""
+        man = self._load_manifest(table)
+        chain = self._branch_chain(man, name)  # KeyError if absent
+        ids = {s["snapshot_id"] for s in chain}
+        man["branch_snapshots"] = [
+            s
+            for s in man.get("branch_snapshots") or []
+            if s["snapshot_id"] not in ids
+        ]
+        del man["branches"][name]
+        self._commit_manifest(table, man)
+        return sorted(ids)
+
+    def cherrypick_snapshot(self, table: str, snapshot_id: int) -> dict:
+        """Apply ONE append snapshot's own files onto the CURRENT main
+        head (≡ Iceberg ``cherrypick_snapshot`` — the publish primitive
+        when main moved past the branch's fork).  The new snapshot
+        carries main head's delete state; the picked files keep their
+        write-time sequence number, so equality deletes committed after
+        the original write still remove their rows (Iceberg v2
+        sequence semantics)."""
+        man = self._load_manifest(table)
+        all_snaps = man["snapshots"] + (man.get("branch_snapshots") or [])
+        src = next(
+            (s for s in all_snaps if s["snapshot_id"] == snapshot_id), None
+        )
+        if src is None:
+            raise KeyError(
+                f"no snapshot {snapshot_id} for table {table!r}"
+            )
+        if src.get("mode") != "append":
+            raise ValueError(
+                f"snapshot {snapshot_id} is mode={src.get('mode')!r} — "
+                "only append snapshots compose onto a moved head "
+                "(overwrite/delete commits don't cherry-pick)"
+            )
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        head = man["snapshots"][-1]
+        own_dir = os.path.basename(src["path"])
+        head_files = self._snap_files(head)
+        if any(f["dir"] == own_dir for f in head_files):
+            raise ValueError(
+                f"snapshot {snapshot_id}'s files are already referenced "
+                "by main — cherry-pick would double-count its rows"
+            )
+        own = [f for f in self._snap_files(src) if f["dir"] == own_dir]
+        sid = max(s["snapshot_id"] for s in all_snaps) + 1
+        blooms = dict(head.get("blooms") or {})
+        if own_dir in (src.get("blooms") or {}):
+            blooms[own_dir] = src["blooms"][own_dir]
+        pspecs = dict(head.get("partition_specs") or {})
+        if own_dir in (src.get("partition_specs") or {}):
+            pspecs[own_dir] = src["partition_specs"][own_dir]
+        snap = {
+            "snapshot_id": sid,
+            "parent_id": head["snapshot_id"],
+            "committed_at": time.time(),
+            # metadata-only commit: the picked files live in the source
+            # snapshot's dir; this v-dir is named but never created
+            "path": os.path.join(self._tdir(table), f"v{sid}-meta"),
+            "row_count": head["row_count"]
+            + sum(int(f.get("rows") or 0) for f in own),
+            "sort_by": list(head.get("sort_by") or ()),
+            "mode": "append",
+            "files": head_files + own,
+            "delete_files": list(head.get("delete_files") or []),
+            "delete_ranges": list(head.get("delete_ranges") or []),
+            "pos_delete_files": list(head.get("pos_delete_files") or []),
+            "blooms": blooms,
+            "partition_specs": pspecs,
+            "meta": {"cherrypicked_from": snapshot_id},
+        }
+        man["snapshots"].append(snap)
+        self._commit_manifest(table, man)
+        return snap
+
     def remove_orphan_files(
         self,
         table: str,
@@ -2061,7 +2280,7 @@ class SnapshotCatalog:
             fcntl.flock(fd, fcntl.LOCK_EX)
             man = self._load_manifest(table)
             live: set[str] = set()
-            for s in man["snapshots"]:
+            for s in man["snapshots"] + (man.get("branch_snapshots") or []):
                 live.add(os.path.basename(s["path"]))
                 live |= {f["dir"] for f in self._snap_files(s)}
                 live |= {d["dir"] for d in (s.get("delete_files") or [])}
@@ -2119,14 +2338,17 @@ class SnapshotCatalog:
         ]
         if not dropped:
             return []
-        live_dirs = {f["dir"] for s in kept for f in self._snap_files(s)}
+        # branch snapshots share data dirs with their (possibly
+        # expired) main ancestors — their references keep dirs alive
+        alive = kept + (man.get("branch_snapshots") or [])
+        live_dirs = {f["dir"] for s in alive for f in self._snap_files(s)}
         live_dirs |= {
-            d["dir"] for s in kept for d in (s.get("delete_files") or [])
+            d["dir"] for s in alive for d in (s.get("delete_files") or [])
         }
         live_dirs |= {
-            d["dir"] for s in kept for d in (s.get("pos_delete_files") or [])
+            d["dir"] for s in alive for d in (s.get("pos_delete_files") or [])
         }
-        live_dirs |= {os.path.basename(s["path"]) for s in kept}
+        live_dirs |= {os.path.basename(s["path"]) for s in alive}
         man["snapshots"] = kept
         self._commit_manifest(table, man)
         dead_dirs = {
@@ -2549,6 +2771,19 @@ class SnapshotCatalog:
             raise ValueError(
                 f"rollback past tagged snapshot(s) {dangling} would "
                 "dangle the tag(s) — remove_tag() first"
+            )
+        forked = {
+            n: b["fork"]
+            for n, b in (man.get("branches") or {}).items()
+            if b["fork"] > snapshot_id
+        }
+        if forked:
+            # the branch's appends re-reference its fork ancestors'
+            # data dirs — rmtree'ing them below would corrupt the branch
+            raise ValueError(
+                f"rollback past branch fork point(s) {forked} would "
+                "orphan the branch(es) — publish_branch()/drop_branch() "
+                "first"
             )
         dropped = [s for s in man["snapshots"] if s["snapshot_id"] > snapshot_id]
         man["snapshots"] = [

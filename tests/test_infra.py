@@ -2149,10 +2149,14 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
 
     kz, nz = kept("zt")
     kl, nl = kept("lin")
-    # 2-D box: z-order is at least as selective as the linear sort
-    # (both prune hard on x at this granularity)
-    assert kz <= kl, (kz, kl)
-    assert kz <= nz // 2, (kz, nz)
+    # 2-D box: both layouts prune hard (the 50/1000-per-dim box is
+    # ~0.25% of the z-space).  NOT asserted: kz <= kl — at 16 files a
+    # linear x-sort can keep 2 while z-order keeps 3, and
+    # repartitionByRange samples its boundaries with a nondeterministic
+    # seed, so the head-to-head flips run to run.  The separating claim
+    # is the y-only predicate below.
+    assert kz <= nz // 4, (kz, nz)
+    assert kl <= nl // 4, (kl, nl)
     # the separating case: a y-ONLY predicate.  The x-sorted layout has
     # no y stats (every file spans all of y) → keeps ALL files; the
     # z-ordered layout is clustered in y too → prunes most of them.
@@ -2341,3 +2345,115 @@ def test_streaming_url_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 500
     assert got.select("url").distinct().count() == 500
+
+
+# -- branches: write-audit-publish ------------------------------------
+
+
+def test_wap_branch_stage_audit_publish(spark, tmp_path):
+    """The full WAP loop: stage appends on a branch (main readers see
+    nothing), audit the branch head, fast-forward publish."""
+    cat = SnapshotCatalog(str(tmp_path / "wap"))
+    cat.write(spark.range(10), "t")
+    ref = cat.create_branch("t", "audit")
+    assert ref == {"head": 1, "fork": 1}
+    cat.write(spark.range(10, 15), "t", mode="append", branch="audit")
+    cat.write(spark.range(15, 18), "t", mode="append", branch="audit")
+    # main is untouched; the branch sees base + both staged appends
+    assert cat.read(spark, "t").count() == 10
+    assert cat.read(spark, "t", branch="audit").count() == 18
+    assert cat.branches("t")["audit"] == {"head": 3, "fork": 1}
+    published = cat.publish_branch("t", "audit")
+    assert published == [2, 3]
+    assert cat.read(spark, "t").count() == 18
+    assert cat.branches("t") == {}
+    # publish is a pure ref move: the same snapshots, now on main
+    assert [s["snapshot_id"] for s in cat.snapshots("t")] == [1, 2, 3]
+
+
+def test_wap_branch_drop_discards_staged_rows(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wapd"))
+    cat.write(spark.range(10), "t")
+    cat.create_branch("t", "audit")
+    cat.write(spark.range(10, 99), "t", mode="append", branch="audit")
+    dropped = cat.drop_branch("t", "audit")
+    assert dropped == [2]
+    assert cat.read(spark, "t").count() == 10
+    with pytest.raises(KeyError, match="no branch"):
+        cat.read(spark, "t", branch="audit")
+
+
+def test_wap_publish_refuses_non_fast_forward_cherrypick_applies(
+    spark, tmp_path
+):
+    """Main advances past the fork → publish refuses; cherry-picking
+    the staged append composes its files onto the NEW head instead."""
+    cat = SnapshotCatalog(str(tmp_path / "wapc"))
+    cat.write(spark.range(10), "t")
+    cat.create_branch("t", "audit")
+    staged = cat.write(
+        spark.range(100, 107), "t", mode="append", branch="audit"
+    )
+    cat.write(spark.range(10, 30), "t", mode="append")  # main moves on
+    with pytest.raises(ValueError, match="non-fast-forward"):
+        cat.publish_branch("t", "audit")
+    picked = cat.cherrypick_snapshot("t", staged["snapshot_id"])
+    assert picked["meta"]["cherrypicked_from"] == staged["snapshot_id"]
+    got = cat.read(spark, "t")
+    assert got.count() == 37  # 30 main rows + 7 picked
+    assert got.filter("id >= 100").count() == 7
+    cat.drop_branch("t", "audit")
+    # the picked rows survive the branch drop (main references the dir)
+    assert cat.read(spark, "t").count() == 37
+
+
+def test_wap_cherrypick_guards(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wapg"))
+    s1 = cat.write(spark.range(10), "t")
+    with pytest.raises(ValueError, match="only append"):
+        cat.cherrypick_snapshot("t", s1["snapshot_id"])
+    with pytest.raises(KeyError, match="no snapshot 99"):
+        cat.cherrypick_snapshot("t", 99)
+    s2 = cat.write(spark.range(10, 12), "t", mode="append")
+    with pytest.raises(ValueError, match="already referenced"):
+        cat.cherrypick_snapshot("t", s2["snapshot_id"])
+
+
+def test_wap_branch_dirs_survive_expire_and_vacuum(spark, tmp_path):
+    """A live branch keeps its data dirs through expire_snapshots and
+    remove_orphan_files; dropping the branch releases them."""
+    import os
+
+    cat = SnapshotCatalog(str(tmp_path / "wapv"))
+    cat.write(spark.range(10), "t")
+    cat.create_branch("t", "audit")
+    staged = cat.write(
+        spark.range(10, 20), "t", mode="append", branch="audit"
+    )
+    staged_dir = os.path.basename(staged["path"])
+    # vacuum with the age rail off: the branch dir must still be live
+    assert cat.remove_orphan_files("t", older_than_seconds=0.0) == []
+    for _ in range(3):
+        cat.write(spark.range(5), "t")  # overwrites: old dirs die
+    cat.expire_snapshots("t", keep_last=1)
+    tdir = os.path.join(str(tmp_path / "wapv"), "t")
+    assert staged_dir in os.listdir(tdir)  # branch kept it alive
+    assert cat.read(spark, "t", branch="audit").count() == 20
+    cat.drop_branch("t", "audit")
+    swept = cat.remove_orphan_files("t", older_than_seconds=0.0)
+    assert staged_dir in swept
+    assert staged_dir not in os.listdir(tdir)
+
+
+def test_wap_rollback_refuses_past_branch_fork(spark, tmp_path):
+    cat = SnapshotCatalog(str(tmp_path / "wapr"))
+    cat.write(spark.range(10), "t")
+    cat.write(spark.range(20), "t", mode="append")
+    cat.create_branch("t", "audit")  # fork at snapshot 2
+    cat.write(spark.range(30, 33), "t", mode="append", branch="audit")
+    with pytest.raises(ValueError, match="branch fork"):
+        cat.rollback("t", 1)
+    # rollback NOT past the fork is fine and leaves the branch intact
+    cat.write(spark.range(40), "t", mode="append")
+    cat.rollback("t", 2)
+    assert cat.read(spark, "t", branch="audit").count() == 33
