@@ -36,6 +36,7 @@ from eodal_spark.operators import graph as GR
 from eodal_spark.operators import knn as K
 from eodal_spark.operators import multimodal as MM
 from eodal_spark.operators import resample as RS
+from eodal_spark.operators import retrieval as RET
 from eodal_spark.operators import similarity as SIM
 from eodal_spark.operators import spatial_join as SJ
 from eodal_spark.operators import text as TX
@@ -1707,6 +1708,23 @@ def _q_emb_ivf_topk(spark, sf_dir):
     )
 
 
+BM25_QUERIES = [
+    (0, "spark vector hash"),
+    (1, "customer query window window"),
+    (2, "stream batch"),
+]
+
+
+def _q_docs_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval over the documents inverted index
+    (Robertson/Okapi, k1=6/5 b=3/4) — integer-exact micro-scaled
+    scoring (see operators/retrieval.py), so the per-doc scores and
+    the tie-broken ranking hash-match the DuckDB twin exactly."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = spark.createDataFrame(BM25_QUERIES, ["query_id", "qtext"])
+    return RET.bm25_topk(docs, q, k=10)
+
+
 def _q_emb_ivfpq_topk(spark, sf_dir):
     """IVF-PQ ANN (Jégou et al. 2011 product quantization): coarse
     inverted lists + m-byte PQ codes + ADC shortlist + exact re-rank.
@@ -1763,7 +1781,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 83 registered queries and
+    previous round and untouched this round.  With 84 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
@@ -1783,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- never driver-checked (new this round / registered after 50) ----
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "snapshot_wap": _q_snapshot_wap,
+        "docs_bm25_topk": _q_docs_bm25_topk,
         "docs_decontaminate": _q_docs_decontaminate,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "docs_curation_pipeline": _q_docs_curation_pipeline,
@@ -2707,6 +2726,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT url, {cell} AS cell_id FROM {pages}
             WHERE CAST(regexp_extract(url, '/p/(\\d+)$', 1) AS BIGINT)
                   % 10 NOT IN (1, 2)
+        """,
+        # BM25: same whitespace tokenization, same integer formula —
+        # micro-scaled Robertson idf surrogate (2(N-df)+1)e6 // (2df+1)
+        # times the k1=6/5 b=3/4 tf norm multiplied through by 20T
+        "docs_bm25_topk": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(text, '\\s+'),
+                       w -> w <> '')) AS term
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+            tf AS (SELECT doc_id, term, count(*) AS tf
+                   FROM tok GROUP BY doc_id, term),
+            st AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            g AS (SELECT (SELECT count(*) FROM documents) AS n,
+                         (SELECT count(*) FROM tok) AS t),
+            q(query_id, qtext) AS (VALUES {", ".join(
+                f"({i}, '{s}')" for i, s in BM25_QUERIES)}),
+            qt AS (SELECT DISTINCT query_id,
+                     unnest(list_filter(
+                       regexp_split_to_array(qtext, '\\s+'),
+                       w -> w <> '')) AS term
+                   FROM q),
+            scored AS (
+              SELECT qt.query_id, tf.doc_id,
+                CAST(SUM( ((((2 * (n - df) + 1) * CAST(1000000 AS BIGINT))
+                       // (2 * df + 1)) * (44 * t * tf))
+                     // (20 * t * tf + 6 * t + 18 * dl.dl * n)
+                ) AS BIGINT) AS score_micro
+              FROM qt JOIN st USING(term) JOIN tf USING(term)
+              JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN g
+              GROUP BY 1, 2
+              HAVING score_micro >= 1
+            )
+            SELECT query_id, doc_id, score_micro, rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY score_micro DESC, doc_id) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         # WAP branches: ids 0-4 on main; 5,6,7 staged on a branch and
         # published; 8 cherry-picked after a non-FF; the lower half of
