@@ -301,6 +301,55 @@ def _q_spatial_join_buffered(spark, sf_dir):
     ).select("poly_id", "url")
 
 
+def _q_polygon_overlay(spark, sf_dir):
+    """Polygon × polygon overlay — the vector-overlay analogue of the
+    raster mosaic path (clip composed twice, ref `eodal/core/raster.py`
+    clip + `band.py:1058-1072` rasterize): the convex layer against the
+    holed/multipart WKT layer at JOIN_RES.  ``cells`` is the exact
+    integer intersection measure (count of cover cells whose centroid
+    lies in BOTH polygons) — deterministic, hence hash-gateable where a
+    float area would not be.  Disjoint pairs never appear (the pairing
+    is an equi-join on cell_id, never polygon all-pairs)."""
+    a = _polys_spark(spark)
+    b = geometry.polygons_df(spark, HOLED_POLYS)
+    return SJ.polygon_overlay(a, b, JOIN_RES, mode="centroid")
+
+
+def _overlay_oracle() -> str:
+    """polygon_overlay as DuckDB SQL: enumerate the full JOIN_RES grid,
+    keep cells whose centroid is inside each layer's polygons (convex
+    half-plane test for layer A, even-odd ring parity for layer B —
+    the SAME sql_pip_* expressions the spatial-join gates already
+    proved bit-identical to the engine's covers), join on the cell and
+    count.  Full-grid enumeration equals the engine's bbox-bounded
+    enumeration because a centroid-inside cell is always inside the
+    polygon's bbox."""
+    n = 1 << JOIN_RES
+    clon = f"((g.x + 0.5) / {n} * 360.0 - 180.0)"
+    clat = f"((g.y + 0.5) / {n} * 180.0 - 90.0)"
+    pip_a = geometry.sql_pip_convex(clon, clat, "polys.xs", "polys.ys", "duckdb")
+    pip_b = geometry.sql_pip_even_odd_rings(
+        clon, clat, "polys.rings_x", "polys.rings_y", "duckdb"
+    )
+    return f"""
+        WITH g AS (
+          SELECT gx.range AS x, gy.range AS y
+          FROM range({n}) gx, range({n}) gy
+        ),
+        a_cells AS (
+          SELECT polys.poly_id AS a_id, g.x, g.y
+          FROM g, {_polys_duck()} WHERE {pip_a}
+        ),
+        b_cells AS (
+          SELECT polys.poly_id AS b_id, g.x, g.y
+          FROM g, {_holed_polys_duck()} WHERE {pip_b}
+        )
+        SELECT a_id, b_id, count(*) AS cells
+        FROM a_cells JOIN b_cells USING (x, y)
+        GROUP BY a_id, b_id
+    """
+
+
 def _q_zonal_stats(spark, sf_dir):
     geo = _pages_geo(spark).withColumn("n_chars", F.length("text"))
     joined = SJ.spatial_join(
@@ -1781,24 +1830,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 84 registered queries and
+    previous round and untouched this round.  With 85 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 5: positions 1-24 are the never-driver-checked queries
-    (snapshot_range_delete, docs_curation_pipeline, and the three new this
-    round: emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub,
-    snapshot_zorder_scan, snapshot_partition_scan)
-    plus the 19 r3-green entries parked in r4; positions 22-50 are the two queries NEW this
-    round (snapshot_upsert, snapshot_pos_delete, docs_repetition,
-    docs_line_scrub) and the r4-green queries
-    whose code was touched in round 5 (catalog deletes, kNN fusing, LSH
-    hot-bucket pre-collapse, IVF query cap, spatial-join probe) plus the
-    flagship set; all 25 parked entries have fresh r4-green rows.
+    Round 5 (85 registered): positions 1-16 are the 16 never-driver-checked
+    queries (the round-5 additions: polygon_overlay, emb_ivfpq_topk,
+    snapshot_wap, docs_bm25_topk, docs_decontaminate, emb_semantic_dedup,
+    snapshot_bloom_lookup, docs_pii_scrub, snapshot_zorder_scan,
+    snapshot_partition_scan, snapshot_upsert, snapshot_pos_delete,
+    docs_repetition, docs_line_scrub, plus the two registered after slot 50
+    in r4: snapshot_range_delete, docs_curation_pipeline); positions 17-35
+    are the 19 r3-green entries parked in r4; positions 36-50 are r4-green
+    queries whose code paths were touched in round 5 (catalog deletes, kNN
+    fusing, LSH hot-bucket pre-collapse, IVF query cap, spatial-join probe)
+    plus flagship slots.  All 35 parked entries have fresh r4-green rows.
     """
     return {
         # -- never driver-checked (new this round / registered after 50) ----
+        "polygon_overlay": _q_polygon_overlay,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "snapshot_wap": _q_snapshot_wap,
         "docs_bm25_topk": _q_docs_bm25_topk,
@@ -2139,6 +2190,7 @@ def oracle_sql() -> dict[str, str]:
                 plon, plat, "polys.rings_x", "polys.rings_y", "duckdb")}
         """,
         "spatial_join_buffered": _buffered_oracle(),
+        "polygon_overlay": _overlay_oracle(),
         "zonal_stats": f"""
             SELECT polys.poly_id,
                    count(*) AS cnt,

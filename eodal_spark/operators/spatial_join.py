@@ -228,3 +228,44 @@ def sample_points(
     return pts.join(
         pages_side.select("_join_cell", *value_cols), "_join_cell", how
     ).drop("_join_cell")
+
+
+def polygon_overlay(
+    layer_a: DataFrame,
+    layer_b: DataFrame,
+    res: int,
+    mode: str = "centroid",
+) -> DataFrame:
+    """Polygon × polygon overlay by shared cover cells — the
+    vector-overlay analogue of the raster mosaicking path
+    (`eodal/core/raster.py` clip + `band.py:1058-1072` rasterize
+    composed twice): each layer rasterizes to its covering cells at
+    ``res`` and the intersection measure of every (a, b) pair is the
+    count of cells whose centroid lies in BOTH polygons.
+
+    Output: ``(a_id, b_id, cells)`` — inner join, so only genuinely
+    intersecting pairs appear; ``cells`` is the exact integer measure
+    under the engine's pinned centroid membership rule (deterministic,
+    oracle-checkable — a float intersection area would not be).
+
+    Scale shape: each layer explodes to covers independently
+    (O(bbox cells) per polygon, driver-side for small layers and
+    Arrow-batched ``mapInPandas`` for large ones — see
+    :func:`eodal_spark.geometry.polygon_cover_cells`); the pairing is
+    one equi-join on ``cell_id`` (never all-pairs of polygons —
+    disjoint pairs cost nothing), and the count is a
+    map-side-combinable aggregate.  Two country-scale layers at
+    10^6 polygons each join on the cell key like any other big×big
+    spatial join; skewed mega-polygons are bounded by the cover's
+    ``MAX_COVER_CELLS_PER_POLY`` rail."""
+    ca = geometry.polygon_cover_cells(layer_a, res, mode).select(
+        F.col("poly_id").alias("a_id"), "cell_id"
+    )
+    cb = geometry.polygon_cover_cells(layer_b, res, mode).select(
+        F.col("poly_id").alias("b_id"), "cell_id"
+    )
+    return (
+        ca.join(cb, "cell_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cells"))
+    )

@@ -198,3 +198,75 @@ def test_bucketed_cover_spatial_join_zero_exchange(spark, tmp_path):
         geo, polys, RES
     ).select("url", "poly_id").collect()))
     assert got == want and len(got) > 0
+
+
+def test_polygon_overlay_self_is_cover_size(spark):
+    """Overlaying a layer with itself returns each polygon's full cover
+    count on the diagonal."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import polygon_overlay
+
+    polys = geometry.polygons_df(
+        spark, [(1, [(7.0, 45.0), (10.0, 45.0), (10.0, 49.0), (7.0, 49.0)])]
+    )
+    cover_n = geometry.polygon_cover_cells(polys, 8).count()
+    got = polygon_overlay(polys, polys, 8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a_id"], r["b_id"], r["cells"]) == (1, 1, cover_n)
+
+
+def test_polygon_overlay_disjoint_empty_and_partial_counts(spark):
+    """Disjoint pairs never appear (inner join on cells); a half-
+    overlapping box counts exactly the shared cells."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import polygon_overlay
+
+    a = geometry.polygons_df(
+        spark, [(1, [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])]
+    )
+    b = geometry.polygons_df(
+        spark,
+        [
+            (2, [(5.0, 0.0), (15.0, 0.0), (15.0, 10.0), (5.0, 10.0)]),
+            (3, [(50.0, 50.0), (60.0, 50.0), (60.0, 60.0), (50.0, 60.0)]),
+        ],
+    )
+    got = {
+        (r["a_id"], r["b_id"]): r["cells"]
+        for r in polygon_overlay(a, b, 8).collect()
+    }
+    assert set(got) == {(1, 2)}  # poly 3 is disjoint → absent
+    # python twin: count cells whose centroid lies in both boxes
+    import numpy as np
+
+    n = 1 << 8
+    gx, gy = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    clon = (gx + 0.5) / n * 360.0 - 180.0
+    clat = (gy + 0.5) / n * 180.0 - 90.0
+    in_a = (clon >= 0) & (clon <= 10) & (clat >= 0) & (clat <= 10)
+    in_b = (clon >= 5) & (clon <= 15) & (clat >= 0) & (clat <= 10)
+    assert got[(1, 2)] == int((in_a & in_b).sum())
+
+
+def test_polygon_overlay_holed_multipart(spark):
+    """Ring-aware covers flow through: a hole region contributes no
+    shared cells."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import polygon_overlay
+
+    outer = [(0.0, 0.0), (20.0, 0.0), (20.0, 20.0), (0.0, 20.0)]
+    hole = (
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0), "
+        "(5 5, 15 5, 15 15, 5 15, 5 5))"
+    )
+    a = geometry.polygons_df(spark, [(1, hole)])
+    # b sits entirely inside the hole → zero shared cells
+    b = geometry.polygons_df(
+        spark, [(2, [(7.0, 7.0), (13.0, 7.0), (13.0, 13.0), (7.0, 13.0)])]
+    )
+    assert polygon_overlay(a, b, 8).count() == 0
+    # the solid version of the same outer ring does overlap b
+    solid = geometry.polygons_df(spark, [(3, outer)])
+    got = polygon_overlay(solid, b, 8).collect()
+    assert len(got) == 1 and got[0]["cells"] > 0
