@@ -315,13 +315,27 @@ def _q_polygon_overlay(spark, sf_dir):
     return SJ.polygon_overlay(a, b, JOIN_RES, mode="centroid")
 
 
-def _overlay_oracle() -> str:
-    """polygon_overlay as DuckDB SQL: enumerate the full JOIN_RES grid,
-    keep cells whose centroid is inside each layer's polygons (convex
-    half-plane test for layer A, even-odd ring parity for layer B —
-    the SAME sql_pip_* expressions the spatial-join gates already
-    proved bit-identical to the engine's covers), join on the cell and
-    count.  Full-grid enumeration equals the engine's bbox-bounded
+def _q_areal_interpolate(spark, sf_dir):
+    """Areal interpolation: per-polygon quantities on the convex layer
+    (deterministic ``poly_id * 1000 + 37``) re-apportioned onto the
+    holed/multipart layer by exact shared-cover-cell proportion
+    (bigint milli-units — no float drift; see
+    `spatial_join.areal_interpolate`)."""
+    a = _polys_spark(spark)
+    vals = a.select(
+        "poly_id", (F.col("poly_id") * 1000 + 37).alias("value")
+    )
+    b = geometry.polygons_df(spark, HOLED_POLYS)
+    return SJ.areal_interpolate(a, vals, b, JOIN_RES)
+
+
+def _overlay_ctes() -> str:
+    """Shared DuckDB CTE prefix for the overlay-family oracles:
+    enumerate the full JOIN_RES grid, keep cells whose centroid is
+    inside each layer's polygons (convex half-plane test for layer A,
+    even-odd ring parity for layer B — the SAME sql_pip_* expressions
+    the spatial-join gates already proved bit-identical to the engine's
+    covers).  Full-grid enumeration equals the engine's bbox-bounded
     enumeration because a centroid-inside cell is always inside the
     polygon's bbox."""
     n = 1 << JOIN_RES
@@ -344,9 +358,37 @@ def _overlay_oracle() -> str:
           SELECT polys.poly_id AS b_id, g.x, g.y
           FROM g, {_holed_polys_duck()} WHERE {pip_b}
         )
+    """
+
+
+def _overlay_oracle() -> str:
+    """polygon_overlay as DuckDB SQL — join the two layers' cell sets
+    and count per pair."""
+    return f"""
+        {_overlay_ctes()}
         SELECT a_id, b_id, count(*) AS cells
         FROM a_cells JOIN b_cells USING (x, y)
         GROUP BY a_id, b_id
+    """
+
+
+def _areal_oracle() -> str:
+    """areal_interpolate as DuckDB SQL — the same bigint floor
+    apportionment: value_a * shared_cells * 1000 // total_cells_a,
+    summed per target."""
+    return f"""
+        {_overlay_ctes()},
+        tot AS (SELECT a_id, count(*) AS a_cells FROM a_cells GROUP BY a_id),
+        ov AS (
+          SELECT a_id, b_id, count(*) AS cells
+          FROM a_cells JOIN b_cells USING (x, y)
+          GROUP BY a_id, b_id
+        )
+        SELECT b_id,
+               CAST(sum((a_id * 1000 + 37) * cells * 1000 // a_cells)
+                    AS BIGINT) AS value_scaled
+        FROM ov JOIN tot USING (a_id)
+        GROUP BY b_id
     """
 
 
@@ -1830,26 +1872,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 85 registered queries and
+    previous round and untouched this round.  With 86 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 5 (85 registered): positions 1-16 are the 16 never-driver-checked
-    queries (the round-5 additions: polygon_overlay, emb_ivfpq_topk,
-    snapshot_wap, docs_bm25_topk, docs_decontaminate, emb_semantic_dedup,
-    snapshot_bloom_lookup, docs_pii_scrub, snapshot_zorder_scan,
-    snapshot_partition_scan, snapshot_upsert, snapshot_pos_delete,
-    docs_repetition, docs_line_scrub, plus the two registered after slot 50
-    in r4: snapshot_range_delete, docs_curation_pipeline); positions 17-35
-    are the 19 r3-green entries parked in r4; positions 36-50 are r4-green
-    queries whose code paths were touched in round 5 (catalog deletes, kNN
-    fusing, LSH hot-bucket pre-collapse, IVF query cap, spatial-join probe)
-    plus flagship slots.  All 35 parked entries have fresh r4-green rows.
+    Round 5 (86 registered): positions 1-17 are the 17 never-driver-checked
+    queries (the round-5 additions: polygon_overlay, areal_interpolate,
+    emb_ivfpq_topk, snapshot_wap, docs_bm25_topk, docs_decontaminate,
+    emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub,
+    snapshot_zorder_scan, snapshot_partition_scan, snapshot_upsert,
+    snapshot_pos_delete, docs_repetition, docs_line_scrub, plus the two
+    registered after slot 50 in r4: snapshot_range_delete,
+    docs_curation_pipeline); positions 18-36 are the 19 r3-green entries
+    parked in r4; positions 37-50 are r4-green queries whose code paths
+    were touched in round 5 (catalog deletes, kNN fusing, LSH hot-bucket
+    pre-collapse, IVF query cap, spatial-join probe) plus flagship slots.
+    All 36 parked entries have fresh r4-green rows.
     """
     return {
         # -- never driver-checked (new this round / registered after 50) ----
         "polygon_overlay": _q_polygon_overlay,
+        "areal_interpolate": _q_areal_interpolate,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "snapshot_wap": _q_snapshot_wap,
         "docs_bm25_topk": _q_docs_bm25_topk,
@@ -2191,6 +2235,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "spatial_join_buffered": _buffered_oracle(),
         "polygon_overlay": _overlay_oracle(),
+        "areal_interpolate": _areal_oracle(),
         "zonal_stats": f"""
             SELECT polys.poly_id,
                    count(*) AS cnt,

@@ -269,3 +269,62 @@ def polygon_overlay(
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("cells"))
     )
+
+
+def areal_interpolate(
+    layer_a: DataFrame,
+    values_a: DataFrame,
+    layer_b: DataFrame,
+    res: int,
+    value_col: str = "value",
+    mode: str = "centroid",
+    scale: int = 1000,
+) -> DataFrame:
+    """Areal interpolation: transfer a per-polygon quantity from layer A
+    onto layer B proportionally to intersection measure — the zonal
+    re-aggregation the reference expresses as rasterize-then-reduce over
+    a new zone layer (`eodal/core/band.py:1058-1072` rasterize +
+    `band.py:1341-1435` reduce, composed).
+
+    Each source polygon's ``value_col`` is split across the target
+    polygons it intersects in proportion to shared cover cells, using
+    integer milli-unit arithmetic so the result is deterministic and
+    hash-gateable: a pair's contribution is
+    ``value_a * cells(a∩b) * scale div cells(a)`` (bigint floor), summed
+    per target.  A target that fully contains a source receives exactly
+    ``value_a * scale`` — no float drift anywhere.
+
+    Output: ``(b_id, value_scaled)``, inner — targets intersecting no
+    source are absent.
+
+    Scale shape: both covers explode independently (bounded by the
+    cover rails), the pairing is the :func:`polygon_overlay` equi-join
+    on ``cell_id``, and per-source totals reuse layer A's cover with a
+    map-side-combinable count.  The two dimension joins on ``a_id``
+    (totals, values) are small-side broadcasts for any realistic zone
+    layer; everything downstream is one shuffle on ``b_id``."""
+    ca = geometry.polygon_cover_cells(layer_a, res, mode).select(
+        F.col("poly_id").alias("a_id"), "cell_id"
+    )
+    cb = geometry.polygon_cover_cells(layer_b, res, mode).select(
+        F.col("poly_id").alias("b_id"), "cell_id"
+    )
+    tot = ca.groupBy("a_id").agg(F.count("*").alias("a_cells"))
+    ov = (
+        ca.join(cb, "cell_id")
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("cells"))
+    )
+    vals = values_a.select(F.col("poly_id").alias("a_id"), value_col)
+    part = (
+        ov.join(F.broadcast(tot), "a_id")
+        .join(F.broadcast(vals), "a_id")
+        .withColumn(
+            "_part",
+            F.expr(
+                f"CAST({value_col} AS BIGINT) * cells * {int(scale)}"
+                " div a_cells"
+            ),
+        )
+    )
+    return part.groupBy("b_id").agg(F.sum("_part").alias("value_scaled"))

@@ -270,3 +270,63 @@ def test_polygon_overlay_holed_multipart(spark):
     solid = geometry.polygons_df(spark, [(3, outer)])
     got = polygon_overlay(solid, b, 8).collect()
     assert len(got) == 1 and got[0]["cells"] > 0
+
+
+def test_areal_interpolate_full_containment_is_exact(spark):
+    """A target that fully contains a source receives exactly
+    value * scale — the integer-arithmetic no-drift guarantee."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import areal_interpolate
+
+    a = geometry.polygons_df(
+        spark,
+        [
+            (1, [(7.0, 45.0), (10.0, 45.0), (10.0, 49.0), (7.0, 49.0)]),
+            (2, [(-75.0, 39.0), (-73.0, 39.0), (-73.0, 42.0), (-75.0, 42.0)]),
+        ],
+    )
+    vals = spark.createDataFrame(
+        [(1, 37), (2, 11)], "poly_id long, value long"
+    )
+    b = geometry.polygons_df(
+        spark, [(9, [(-170.0, -80.0), (170.0, -80.0), (170.0, 80.0), (-170.0, 80.0)])]
+    )
+    got = areal_interpolate(a, vals, b, 8).collect()
+    assert len(got) == 1
+    assert (got[0]["b_id"], got[0]["value_scaled"]) == (9, (37 + 11) * 1000)
+
+
+def test_areal_interpolate_proportional_split(spark):
+    """A source partitioned by two disjoint targets splits its value in
+    exact cover-cell proportion (bigint floor per pair)."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import areal_interpolate
+
+    a = geometry.polygons_df(
+        spark, [(1, [(0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0)])]
+    )
+    vals = spark.createDataFrame([(1, 1001)], "poly_id long, value long")
+    b = geometry.polygons_df(
+        spark,
+        [
+            (1, [(-0.5, -0.5), (4.0, -0.5), (4.0, 10.5), (-0.5, 10.5)]),
+            (2, [(4.0, -0.5), (10.5, -0.5), (10.5, 10.5), (4.0, 10.5)]),
+        ],
+    )
+    cov = geometry.polygon_cover_cells(a, 8)
+    n_a = cov.count()
+    got = {
+        r["b_id"]: r["value_scaled"]
+        for r in areal_interpolate(a, vals, b, 8).collect()
+    }
+    # python twin: per-target shared-cell counts over the source cover
+    from eodal_spark.operators.spatial_join import polygon_overlay
+
+    shares = {
+        r["b_id"]: r["cells"] for r in polygon_overlay(a, b, 8).collect()
+    }
+    assert sum(shares.values()) == n_a  # b partitions a's cover
+    want = {bid: 1001 * c * 1000 // n_a for bid, c in shares.items()}
+    assert got == want
+    # floor loss bounded by one unit per (a, b) pair
+    assert 0 <= 1001 * 1000 - sum(got.values()) < len(got)
