@@ -361,6 +361,45 @@ def polygons_df(
     return df
 
 
+def boxes_df(
+    df: DataFrame,
+    id_col: str = "poly_id",
+    xmin: str = "xmin",
+    ymin: str = "ymin",
+    xmax: str = "xmax",
+    ymax: str = "ymax",
+) -> DataFrame:
+    """Axis-aligned box layer from bbox *columns* — the fully native
+    big-layer constructor: 10⁸ parcel/tile bboxes already sitting in a
+    relation become a POLY_SCHEMA polygon layer with ONE projection (no
+    driver-side list, no Python stage — unlike :func:`polygons_df`,
+    which materializes the layer on the driver and is meant for small
+    dimension layers).  Rings are emitted CCW (the engine's pinned
+    orientation, ≡ `eodal/core/utils/geometry.py:106-136`
+    normalization) and boxes are convex by construction, so the
+    zero-Python Catalyst PIP fast path applies downstream."""
+    xs = F.array(
+        F.col(xmin).cast("double"), F.col(xmax).cast("double"),
+        F.col(xmax).cast("double"), F.col(xmin).cast("double"),
+    )
+    ys = F.array(
+        F.col(ymin).cast("double"), F.col(ymin).cast("double"),
+        F.col(ymax).cast("double"), F.col(ymax).cast("double"),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("poly_id"),
+        xs.alias("xs"),
+        ys.alias("ys"),
+        F.array(xs).alias("rings_x"),
+        F.array(ys).alias("rings_y"),
+        F.col(xmin).cast("double").alias("xmin"),
+        F.col(ymin).cast("double").alias("ymin"),
+        F.col(xmax).cast("double").alias("xmax"),
+        F.col(ymax).cast("double").alias("ymax"),
+        F.lit(True).alias("is_convex"),
+    )
+
+
 def explode_multipoints(df: DataFrame, xs_col: str = "mxs", ys_col: str = "mys") -> DataFrame:
     """MultiPoint → single-part points (≡ multi_to_single_points,
     `eodal/core/utils/geometry.py:139-154`): a row carrying coordinate

@@ -330,3 +330,40 @@ def test_areal_interpolate_proportional_split(spark):
     assert got == want
     # floor loss bounded by one unit per (a, b) pair
     assert 0 <= 1001 * 1000 - sum(got.values()) < len(got)
+
+
+def test_boxes_df_cover_parity_both_paths(spark):
+    """The native box-layer constructor covers identically to the
+    driver-side polygons_df layer — on the driver-side AND the
+    distributed mapInPandas cover path."""
+    from eodal_spark import geometry
+
+    boxes = [
+        (1, 7.25, 45.1, 9.75, 48.9),
+        (2, -74.9, 39.2, -73.1, 41.8),
+        (3, 139.1, 34.2, 141.9, 37.1),
+    ]
+    native = geometry.boxes_df(
+        spark.createDataFrame(
+            boxes, "poly_id long, xmin double, ymin double, xmax double, ymax double"
+        )
+    )
+    legacy = geometry.polygons_df(
+        spark,
+        [
+            (pid, [(x0, y0), (x1, y0), (x1, y1), (x0, y1)])
+            for pid, x0, y0, x1, y1 in boxes
+        ],
+    )
+    for dist in (False, True):
+        got = sorted(
+            map(tuple, geometry.polygon_cover_cells(
+                native, 8, distributed=dist
+            ).select("poly_id", "cell_id", "full").collect())
+        )
+        want = sorted(
+            map(tuple, geometry.polygon_cover_cells(
+                legacy, 8, distributed=dist
+            ).select("poly_id", "cell_id", "full").collect())
+        )
+        assert got == want and len(got) > 0
