@@ -1803,17 +1803,31 @@ BM25_QUERIES = [
     (0, "spark vector hash"),
     (1, "customer query window window"),
     (2, "stream batch"),
+    # stopword-laden: table/merge/batch sit ABOVE the df cap and are
+    # pruned from the index — only 'dup' (df ≈ 5%) and the sub-cap
+    # commons score, so this query hash-gates the defense itself
+    (3, "a the table merge batch dup"),
 ]
+# the synthetic corpus has a near-FLAT df distribution (29 of 31 terms
+# at ~0.78 doc frequency) — the production default 0.5 would empty the
+# whole index here, proving nothing.  25/32 is exact in binary (no
+# float-floor ambiguity between engines) and splits this vocabulary:
+# ~half the terms are pruned as stopwords, ~half still score, so BOTH
+# the capped and the surviving paths carry hash signal.
+BM25_DF_CAP = 25 / 32
 
 
 def _q_docs_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval over the documents inverted index
     (Robertson/Okapi, k1=6/5 b=3/4) — integer-exact micro-scaled
     scoring (see operators/retrieval.py), so the per-doc scores and
-    the tie-broken ranking hash-match the DuckDB twin exactly."""
+    the tie-broken ranking hash-match the DuckDB twin exactly.  The
+    df-cap hot-bucket defense is ACTIVE (see BM25_DF_CAP): terms above
+    the cap leave the index, and query 3's stopword-heavy text proves
+    the pruned path end to end."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     q = spark.createDataFrame(BM25_QUERIES, ["query_id", "qtext"])
-    return RET.bm25_topk(docs, q, k=10)
+    return RET.bm25_topk(docs, q, k=10, max_df_frac=BM25_DF_CAP)
 
 
 def _q_emb_ivfpq_topk(spark, sf_dir):
@@ -2826,7 +2840,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BM25: same whitespace tokenization, same integer formula —
         # micro-scaled Robertson idf surrogate (2(N-df)+1)e6 // (2df+1)
-        # times the k1=6/5 b=3/4 tf norm multiplied through by 20T
+        # times the k1=6/5 b=3/4 tf norm multiplied through by 20T.
+        # micro = 1e6 is the envelope-checked value bm25_micro_scale
+        # derives for this corpus (if the engine ever stepped it down
+        # the scores would hash-MISMATCH here — a loud failure, never a
+        # silent pass).  The df cap mirrors BM25_DF_CAP: terms in more
+        # than 25/32 of docs leave the index before scoring.
         "docs_bm25_topk": f"""
             WITH tok AS (
               SELECT doc_id,
@@ -2838,7 +2857,10 @@ def oracle_sql() -> dict[str, str]:
             dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
             tf AS (SELECT doc_id, term, count(*) AS tf
                    FROM tok GROUP BY doc_id, term),
-            st AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            st AS (SELECT term, count(*) AS df FROM tf GROUP BY term
+                   HAVING count(*) <= CAST(
+                     floor((25.0 / 32.0)
+                           * (SELECT count(*) FROM documents)) AS BIGINT)),
             g AS (SELECT (SELECT count(*) FROM documents) AS n,
                          (SELECT count(*) FROM tok) AS t),
             q(query_id, qtext) AS (VALUES {", ".join(

@@ -377,25 +377,31 @@ def boxes_df(
     dimension layers).  Rings are emitted CCW (the engine's pinned
     orientation, ≡ `eodal/core/utils/geometry.py:106-136`
     normalization) and boxes are convex by construction, so the
-    zero-Python Catalyst PIP fast path applies downstream."""
-    xs = F.array(
-        F.col(xmin).cast("double"), F.col(xmax).cast("double"),
-        F.col(xmax).cast("double"), F.col(xmin).cast("double"),
-    )
-    ys = F.array(
-        F.col(ymin).cast("double"), F.col(ymin).cast("double"),
-        F.col(ymax).cast("double"), F.col(ymax).cast("double"),
-    )
+    zero-Python Catalyst PIP fast path applies downstream.
+
+    Inverted bounds (xmin > xmax / ymin > ymax) are NORMALIZED with
+    least/greatest: a reversed box is still an unambiguous box, but
+    emitting its ring verbatim would be CLOCKWISE — breaking the pinned
+    CCW orientation the convex PIP fast path assumes and silently
+    producing empty covers.  Normalization keeps the constructor fully
+    native (no validation job) while guaranteeing the orientation
+    invariant for every input."""
+    x_lo = F.least(F.col(xmin).cast("double"), F.col(xmax).cast("double"))
+    x_hi = F.greatest(F.col(xmin).cast("double"), F.col(xmax).cast("double"))
+    y_lo = F.least(F.col(ymin).cast("double"), F.col(ymax).cast("double"))
+    y_hi = F.greatest(F.col(ymin).cast("double"), F.col(ymax).cast("double"))
+    xs = F.array(x_lo, x_hi, x_hi, x_lo)
+    ys = F.array(y_lo, y_lo, y_hi, y_hi)
     return df.select(
         F.col(id_col).cast("long").alias("poly_id"),
         xs.alias("xs"),
         ys.alias("ys"),
         F.array(xs).alias("rings_x"),
         F.array(ys).alias("rings_y"),
-        F.col(xmin).cast("double").alias("xmin"),
-        F.col(ymin).cast("double").alias("ymin"),
-        F.col(xmax).cast("double").alias("xmax"),
-        F.col(ymax).cast("double").alias("ymax"),
+        x_lo.alias("xmin"),
+        y_lo.alias("ymin"),
+        x_hi.alias("xmax"),
+        y_hi.alias("ymax"),
         F.lit(True).alias("is_convex"),
     )
 

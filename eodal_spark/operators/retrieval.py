@@ -60,13 +60,48 @@ def term_stats(postings: DataFrame) -> DataFrame:
     return postings.groupBy("term").agg(F.count("*").alias("df"))
 
 
+def bm25_micro_scale(n: int, t: int, dl_max: int) -> int:
+    """The idf micro-scale the corpus envelope admits — the largest
+    power-of-ten factor ≤ 10^6 keeping every per-term product inside
+    int64 (the binding product is ``idf_micro * 44*T*tf`` with
+    ``idf_micro ≤ (2N+1)·micro`` and ``tf ≤ dl_max``).  Derived at
+    runtime from the collected corpus scalars instead of trusting a
+    docstring bound; raises when even micro = 1 cannot fit — at that
+    point the scoring needs a corpus split or a 128-bit engine, and a
+    silent wraparound (ANSI off) or a runtime ANSI failure mid-query
+    are both worse than failing here with the numbers in hand.
+
+    Power-of-ten steps keep the scale a round, explainable constant
+    (10^6 except on astronomically large corpora) and make the oracle
+    twin's arithmetic trivially identical."""
+    term2_max = 44 * t * dl_max
+    denom_max = 20 * t * dl_max + 6 * t + 18 * dl_max * n
+    if term2_max >= 2**63 or denom_max >= 2**63:
+        raise ValueError(
+            f"BM25 integer envelope exceeded: corpus N={n}, T={t}, "
+            f"max dl={dl_max} puts 44*T*tf at {term2_max} "
+            f"(denominator {denom_max}) — beyond int64 even unscaled. "
+            "Split the corpus or score per-shard and merge."
+        )
+    micro = 10**6
+    while micro > 1 and (2 * n + 1) * micro * term2_max >= 2**62:
+        micro //= 10
+    if (2 * n + 1) * micro * term2_max >= 2**62:
+        raise ValueError(
+            f"BM25 integer envelope exceeded: (2N+1)*44*T*dl_max = "
+            f"{(2 * n + 1) * term2_max} leaves no idf headroom in "
+            "int64. Split the corpus or score per-shard and merge."
+        )
+    return micro
+
+
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
     k: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df_frac: float = 1.0,
+    max_df_frac: float = 0.5,
     min_score: int = 1,
 ) -> DataFrame:
     """Top-``k`` docs per query by integer-exact BM25
@@ -78,27 +113,40 @@ def bm25_topk(
 
         idf_micro * 44*T*tf  div  (20*T*tf + 6*T + 18*dl*N)
 
-    summed per (query, doc) — bigint-safe to ~10^10 corpus tokens
-    (idf_micro ≤ 2N·10^6; keep N·T·tf below 2^63 or rescale).
-    Docs scoring 0 on every query term (possible when idf_micro
-    floors to 0 for corpus-wide terms) are dropped via ``min_score``
-    so ties among zero-relevance docs can't enter the ranking.
+    summed per (query, doc).  ``idf_micro`` uses the largest
+    power-of-ten scale the corpus admits (:func:`bm25_micro_scale` —
+    10^6 until ~10^10 corpus tokens, then stepped down), derived from
+    the SAME one-pass corpus scalars, so the arithmetic provably fits
+    int64 instead of relying on a docstring bound; an envelope no
+    scale can satisfy raises with the numbers in hand.  Docs scoring
+    0 on every query term (possible when idf_micro floors to 0 for
+    corpus-wide terms) are dropped via ``min_score`` so ties among
+    zero-relevance docs can't enter the ranking.
 
-    Scale shape: corpus stats (N, T) are ONE two-scalar aggregate;
-    query terms are exploded and joined against the postings relation
-    on ``term`` — with postings bucketed by term this is a co-located
-    probe of |query terms| lists; the final sum + rank shuffles only
-    candidate (query, doc) pairs."""
+    ``max_df_frac`` (default 0.5, ON) is the hot-bucket defense: a
+    term in more than half the corpus is a stopword whose posting
+    list would dominate the term join (at 10^12 docs, "the" joins a
+    list covering the whole corpus) while contributing near-zero idf —
+    it is dropped from the index, the same trade Lucene's stopword
+    filters make.  Pass 1.0 to disable.
+
+    Scale shape: corpus stats (N, T, max dl) are ONE three-scalar
+    aggregate; query terms are exploded and joined against the
+    postings relation on ``term`` — with postings bucketed by term
+    this is a co-located probe of |query terms| lists; the final sum
+    + rank shuffles only candidate (query, doc) pairs."""
     postings = build_postings(docs, id_col, text_col)
     stats = term_stats(postings)
     g = docs.select(
         F.count("*").alias("n"),
         F.sum(F.size(_words(F.col(text_col)))).alias("t"),
+        F.max(F.size(_words(F.col(text_col)))).alias("dl_max"),
     ).first()
     n = int(g["n"])
     if n == 0:
         raise ValueError("empty corpus — no documents to index")
     t = int(g["t"])
+    micro = bm25_micro_scale(n, t, int(g["dl_max"]))
     if max_df_frac < 1.0:
         # stopword pruning = hot-bucket defense: the df cap removes
         # exactly the posting lists that would dominate the term join
@@ -107,14 +155,14 @@ def bm25_topk(
         "query_id", F.explode(_words(F.col("qtext"))).alias("term")
     ).dropDuplicates(["query_id", "term"])
     # micro-scaled integer idf surrogate: the Robertson ratio
-    # (N - df + 0.5)/(df + 0.5) as exact bigint (2(N-df)+1)·10^6 DIV
+    # (N - df + 0.5)/(df + 0.5) as exact bigint (2(N-df)+1)·micro DIV
     # (2df+1) — monotonic in df, same ranking family, zero float ops
     # (a log idf would hit libm-vs-Java last-ulp flips at DIV floors).
     # SQL DIV is the bigint floor division both engines share.
     nl = f"CAST({n} AS BIGINT)"
     tl = f"CAST({t} AS BIGINT)"
     contrib = F.expr(
-        f"((((2 * ({nl} - df) + 1) * CAST(1000000 AS BIGINT)) "
+        f"((((2 * ({nl} - df) + 1) * CAST({micro} AS BIGINT)) "
         f"DIV (2 * df + 1)) * (44 * {tl} * tf)) "
         f"DIV (20 * {tl} * tf + 6 * {tl} + 18 * CAST(dl AS BIGINT) * {nl})"
     )

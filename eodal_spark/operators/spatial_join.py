@@ -301,30 +301,57 @@ def areal_interpolate(
     cover rails), the pairing is the :func:`polygon_overlay` equi-join
     on ``cell_id``, and per-source totals reuse layer A's cover with a
     map-side-combinable count.  The two dimension joins on ``a_id``
-    (totals, values) are small-side broadcasts for any realistic zone
-    layer; everything downstream is one shuffle on ``b_id``."""
+    (totals, values) broadcast only when the SOURCE layer is provably
+    small (bounded probe, same rail as the spatial join's layer
+    decision); a 10⁸-polygon source layer instead shuffles on ``a_id``
+    and AQE picks the physical strategy from the real runtime sizes.
+    Everything downstream is one shuffle on ``b_id``."""
+    vtype = dict(values_a.dtypes).get(value_col)
+    if vtype is None:
+        raise ValueError(
+            f"values_a has no column {value_col!r} "
+            f"(columns: {values_a.columns})"
+        )
+    if vtype not in ("tinyint", "smallint", "int", "bigint", "long"):
+        # a float value would silently truncate under the bigint
+        # apportionment — the operator's contract is integer units
+        # (pre-scale fractional quantities to milli-units upstream)
+        raise ValueError(
+            f"value column {value_col!r} is {vtype} — areal_interpolate "
+            "apportions exact integers; pre-scale fractional values to "
+            "an integer unit (e.g. milli-units) before transfer"
+        )
     ca = geometry.polygon_cover_cells(layer_a, res, mode).select(
         F.col("poly_id").alias("a_id"), "cell_id"
     )
     cb = geometry.polygon_cover_cells(layer_b, res, mode).select(
         F.col("poly_id").alias("b_id"), "cell_id"
     )
+    # the two a_id dimensions (totals, values) are one row per SOURCE
+    # polygon: broadcast only when layer A is provably under the
+    # broadcast rail (bounded limit+count probe — no full count job);
+    # above it, fall through to shuffle joins and let AQE re-plan from
+    # observed sizes (forcing a broadcast of O(|A|) rows would OOM on
+    # the large layers the mapInPandas cover path exists for)
+    n_a = layer_a.select("poly_id").limit(BROADCAST_LAYER_MAX_POLYS + 1).count()
+    dim = F.broadcast if n_a <= BROADCAST_LAYER_MAX_POLYS else (lambda d: d)
     tot = ca.groupBy("a_id").agg(F.count("*").alias("a_cells"))
     ov = (
         ca.join(cb, "cell_id")
         .groupBy("a_id", "b_id")
         .agg(F.count("*").alias("cells"))
     )
-    vals = values_a.select(F.col("poly_id").alias("a_id"), value_col)
+    vals = values_a.select(
+        F.col("poly_id").alias("a_id"),
+        F.col(value_col).cast("long").alias("_value"),
+    )
     part = (
-        ov.join(F.broadcast(tot), "a_id")
-        .join(F.broadcast(vals), "a_id")
-        .withColumn(
-            "_part",
-            F.expr(
-                f"CAST({value_col} AS BIGINT) * cells * {int(scale)}"
-                " div a_cells"
-            ),
-        )
+        ov.join(dim(tot), "a_id")
+        .join(dim(vals), "a_id")
+        # bigint floor apportionment built from Column ops (no string
+        # SQL → arbitrary column names are safe); `div` is the integral
+        # division both engines share
+        .withColumn("_num", F.col("_value") * F.col("cells") * F.lit(int(scale)))
+        .withColumn("_part", F.expr("_num div a_cells"))
     )
     return part.groupBy("b_id").agg(F.sum("_part").alias("value_scaled"))

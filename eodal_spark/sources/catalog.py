@@ -462,10 +462,20 @@ class SnapshotCatalog:
                     "create_branch() first"
                 )
             parent_snap = next(
-                s
-                for s in man["snapshots"] + branch_snaps
-                if s["snapshot_id"] == b["head"]
+                (
+                    s
+                    for s in man["snapshots"] + branch_snaps
+                    if s["snapshot_id"] == b["head"]
+                ),
+                None,
             )
+            if parent_snap is None:
+                raise RuntimeError(
+                    f"branch {branch!r} on table {table!r} points at "
+                    f"snapshot {b['head']} which no longer exists — the "
+                    "ref is corrupted (expired past a branch head?); "
+                    "drop_branch() and re-stage"
+                )
         else:
             parent_snap = man["snapshots"][-1] if man["snapshots"] else None
         # max+1, NOT len+1: expire_snapshots truncates the front of the
@@ -2315,8 +2325,12 @@ class SnapshotCatalog:
         """Drop all but the last ``keep_last`` snapshots and delete the
         data dirs no surviving snapshot references (append snapshots
         share files with their parents — sharing is refcounted at the
-        dir level).  TAGGED snapshots are always retained (≡ Iceberg
-        ref-aware expiry).  Returns the expired snapshot ids."""
+        dir level).  TAGGED and BRANCH-REFERENCED snapshots are always
+        retained (≡ Iceberg ref-aware expiry): a branch's head/fork may
+        be a MAIN snapshot (a branch with no commits yet), and expiring
+        it would rmtree data dirs the branch ref still points at —
+        a later write(branch=) would then hit a corrupted-ref error.
+        Returns the expired snapshot ids."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         man = self._load_manifest(table)
@@ -2324,6 +2338,8 @@ class SnapshotCatalog:
         if len(snaps) <= keep_last:
             return []
         tagged = set((man.get("refs") or {}).values())
+        for b in (man.get("branches") or {}).values():
+            tagged |= {b["head"], b["fork"]}
         horizon = {s["snapshot_id"] for s in snaps[-keep_last:]}
         kept = [
             s

@@ -2457,3 +2457,28 @@ def test_wap_rollback_refuses_past_branch_fork(spark, tmp_path):
     cat.write(spark.range(40), "t", mode="append")
     cat.rollback("t", 2)
     assert cat.read(spark, "t", branch="audit").count() == 33
+
+
+def test_expire_retains_commit_less_branch_head(spark, tmp_path):
+    """A branch whose head/fork is a MAIN snapshot (created, never
+    written to) must pin that snapshot through expire_snapshots —
+    otherwise its data dirs are rmtree'd while the ref persists and a
+    later write(branch=) / read(branch=) hits a corrupted ref
+    (≡ Iceberg's ref-aware expiry covering branch refs, not just
+    tags)."""
+    cat = SnapshotCatalog(str(tmp_path / "exp_branch"))
+    cat.write(spark.range(10), "t")
+    cat.create_branch("t", "audit")  # head == fork == main snapshot 1
+    for i in range(3):
+        cat.write(spark.range(5 + i), "t")  # main advances past the fork
+    cat.expire_snapshots("t", keep_last=1)
+    # the branch head snapshot (and its data) survived
+    assert cat.read(spark, "t", branch="audit").count() == 10
+    # and the branch is still writable
+    cat.write(spark.range(10, 14), "t", mode="append", branch="audit")
+    assert cat.read(spark, "t", branch="audit").count() == 14
+    # dropping the branch releases the pin on the next expiry
+    cat.drop_branch("t", "audit")
+    cat.write(spark.range(99), "t")
+    expired = cat.expire_snapshots("t", keep_last=1)
+    assert 1 in expired

@@ -56,7 +56,9 @@ def test_bm25_matches_hand_formula(spark, tiny):
         got = [
             (r["doc_id"], r["score_micro"], r["rank"])
             for r in R.bm25_topk(
-                tiny, spark.createDataFrame([(q, qtext)], ["query_id", "qtext"])
+                tiny,
+                spark.createDataFrame([(q, qtext)], ["query_id", "qtext"]),
+                max_df_frac=1.0,  # formula test: score every term
             )
             .orderBy("rank")
             .collect()
@@ -67,8 +69,39 @@ def test_bm25_matches_hand_formula(spark, tiny):
 def test_bm25_rare_term_outranks_common(spark, tiny):
     """'shuffle' (df=1) must pull doc 1 above the df=2 'scan' docs."""
     q = spark.createDataFrame([(0, "shuffle scan")], ["query_id", "qtext"])
-    top = R.bm25_topk(tiny, q, k=1).first()
+    top = R.bm25_topk(tiny, q, k=1, max_df_frac=1.0).first()
     assert top["doc_id"] == 1
+
+
+def test_bm25_default_cap_is_on(spark, tiny):
+    """The hot-bucket defense defaults ON (max_df_frac=0.5): 'spark'
+    and 'scan' (df=2 of 3) are pruned from the index without opting
+    in, while df=1 terms still score."""
+    q = spark.createDataFrame(
+        [(0, "spark"), (1, "shuffle")], ["query_id", "qtext"]
+    )
+    rows = R.bm25_topk(tiny, q).collect()
+    assert {r["query_id"] for r in rows} == {1}  # spark pruned by default
+
+
+def test_bm25_micro_scale_envelope():
+    """Micro scale steps down in powers of ten exactly when the int64
+    envelope demands it, and raises when no scale fits."""
+    # small corpus: full 1e6 scale
+    assert R.bm25_micro_scale(3, 11, 5) == 1_000_000
+    # big corpus: (2n+1)*1e6*44*t*dl_max crosses 2^62 → stepped down
+    big = R.bm25_micro_scale(10**4, 10**7, 10)
+    assert 1 <= big < 1_000_000
+    assert (2 * 10**4 + 1) * big * 44 * 10**7 * 10 < 2**62
+    assert (2 * 10**4 + 1) * (big * 10) * 44 * 10**7 * 10 >= 2**62
+    # beyond rescue: 44*T*tf alone exceeds int64
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="envelope"):
+        R.bm25_micro_scale(10**6, 10**18, 10)
+    # no idf headroom even at micro=1
+    with _pt.raises(ValueError, match="envelope"):
+        R.bm25_micro_scale(10**9, 10**13, 10**4)
 
 
 def test_bm25_no_match_returns_empty(spark, tiny):

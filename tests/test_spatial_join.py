@@ -367,3 +367,72 @@ def test_boxes_df_cover_parity_both_paths(spark):
             ).select("poly_id", "cell_id", "full").collect())
         )
         assert got == want and len(got) > 0
+
+
+def test_boxes_df_normalizes_inverted_bounds(spark):
+    """A reversed box (xmin > xmax or ymin > ymax) is normalized with
+    least/greatest — the emitted ring stays CCW so the convex PIP fast
+    path keeps working instead of silently covering nothing."""
+    from eodal_spark import geometry
+
+    ok = geometry.boxes_df(
+        spark.createDataFrame(
+            [(1, 7.25, 45.1, 9.75, 48.9)],
+            "poly_id long, xmin double, ymin double, xmax double, ymax double",
+        )
+    )
+    inverted = geometry.boxes_df(
+        spark.createDataFrame(
+            [(1, 9.75, 48.9, 7.25, 45.1)],  # both axes reversed
+            "poly_id long, xmin double, ymin double, xmax double, ymax double",
+        )
+    )
+    want = sorted(
+        map(tuple, geometry.polygon_cover_cells(ok, 8)
+            .select("poly_id", "cell_id", "full").collect())
+    )
+    got = sorted(
+        map(tuple, geometry.polygon_cover_cells(inverted, 8)
+            .select("poly_id", "cell_id", "full").collect())
+    )
+    assert got == want and len(got) > 0
+    row = inverted.first()
+    assert row["xmin"] < row["xmax"] and row["ymin"] < row["ymax"]
+
+
+def test_areal_interpolate_rejects_float_values(spark):
+    """A fractional value column would silently truncate under the
+    bigint apportionment — the operator must refuse it loudly."""
+    import pytest
+
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import areal_interpolate
+
+    a = geometry.polygons_df(
+        spark, [(1, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])]
+    )
+    vals = spark.createDataFrame([(1, 1.5)], "poly_id long, value double")
+    with pytest.raises(ValueError, match="integer"):
+        areal_interpolate(a, vals, a, 8)
+    with pytest.raises(ValueError, match="no column"):
+        areal_interpolate(
+            a, vals.withColumnRenamed("value", "v2"), a, 8
+        )
+
+
+def test_areal_interpolate_odd_column_name(spark):
+    """Apportionment is built from Column ops, not interpolated SQL —
+    a value column whose name needs backticks must work."""
+    from eodal_spark import geometry
+    from eodal_spark.operators.spatial_join import areal_interpolate
+
+    a = geometry.polygons_df(
+        spark, [(1, [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])]
+    )
+    vals = spark.createDataFrame(
+        [(1, 40)], "poly_id long, `my value (units)` long"
+    )
+    got = areal_interpolate(
+        a, vals, a, 8, value_col="my value (units)"
+    ).collect()
+    assert len(got) == 1 and got[0]["value_scaled"] == 40 * 1000
