@@ -153,15 +153,23 @@ def main() -> None:
     # single-shot driver bench cannot otherwise distinguish "every query
     # regressed" from "the whole window was slow".  The control is a
     # near-zero-compute scan of the same parquet (storage/memory-path
-    # bound); probing it BEFORE and AFTER the suite also exposes
-    # mid-run drift.  Normalized figures divide by the control so a
-    # uniformly-noisy window cancels out.
+    # bound), INTERLEAVED between suite queries (~1 s each): each query
+    # is normalized by the mean of its two ADJACENT control probes, so
+    # drift that moves DURING the run (measured 2.9× within one round-5
+    # window) is attributed row-by-row instead of by argument.  The
+    # endpoint probes still report the whole-window trend.
     scan_control(spark, pages_path).collect()  # warm
-    scan_before = float("inf")
-    for _ in range(repeats):
+    controls: list[float] = []
+
+    def probe_control() -> None:
         t0 = time.time()
         scan_control(spark, pages_path).collect()
-        scan_before = min(scan_before, time.time() - t0)
+        controls.append(time.time() - t0)
+
+    for _ in range(repeats):  # endpoint probe: best-of-N like round 4
+        probe_control()
+    scan_before = min(controls)
+    controls = [scan_before]
 
     # operator suite at the configured scale factor
     suite = [
@@ -180,6 +188,7 @@ def main() -> None:
         "mosaic_dedup",
     ]
     qs = E.queries()
+    normalized: dict[str, float] = {}
     for name in suite:
         best = float("inf")
         for _ in range(2):  # best-of-2: noisy-VM + python-worker warmup
@@ -187,13 +196,14 @@ def main() -> None:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
+        probe_control()  # the probe AFTER this query / BEFORE the next
+        local_ctl = (controls[-2] + controls[-1]) / 2
+        normalized[name] = round(best / local_ctl, 2)
 
-    t0 = time.time()
-    scan_control(spark, pages_path).collect()
-    scan_after = time.time() - t0
+    scan_after = controls[-1]
 
     total = round(sum(timings.values()), 3)
-    scan_sec = min(scan_before, scan_after)
+    scan_sec = min(controls)
     print(
         json.dumps(
             {
@@ -211,13 +221,21 @@ def main() -> None:
                 },
                 # in-run noise control: compare value_over_control /
                 # headline_over_control ACROSS rounds — a noisy VM
-                # window inflates numerator and denominator together
+                # window inflates numerator and denominator together.
+                # `probes_sec` is the full interleaved series (one entry
+                # before the suite + one after each query) so drift is
+                # visible and attributable per row.
                 "scan_control": {
                     "seconds": round(scan_sec, 3),
                     "before_sec": round(scan_before, 3),
                     "after_sec": round(scan_after, 3),
+                    "probes_sec": [round(c, 3) for c in controls],
                     "rows_per_sec": round(BENCH_ROWS / scan_sec),
                 },
+                # per-query seconds / mean(adjacent control probes):
+                # compare THESE across rounds — a drifting window
+                # cancels out row-by-row
+                "queries_over_control": normalized,
                 "value_over_control": round(total / scan_sec, 2),
                 "headline_over_control": round(headline_sec / scan_sec, 2),
             }
