@@ -272,6 +272,20 @@ def _q_spatial_join_exact(spark, sf_dir):
     ).select("poly_id", "url")
 
 
+def _q_spatial_join_biglayer(spark, sf_dir):
+    """The big-layer SHUFFLE spatial join: ``broadcast_layer=False`` is
+    the plan the engine picks when the polygon layer is too large to
+    broadcast (10⁸ parcels) — pages and cover co-partition on the cell
+    key in a shuffle join instead of a broadcast-hash join.  Same
+    exact-rule semantics and the same DuckDB oracle as
+    ``spatial_join_exact``, so the driver row proves the non-broadcast
+    plan's ANSWERS, not just its local parity/plan tests."""
+    return SJ.spatial_join(
+        _pages_geo(spark), _polys_spark(spark), JOIN_RES, rule="exact",
+        page_res=RES, broadcast_layer=False,
+    ).select("poly_id", "url")
+
+
 def _q_spatial_join_holes(spark, sf_dir):
     """Exact join against a holed polygon + a MultiPolygon (WKT-parsed):
     pages in the hole must NOT match; either part of the multi matches.
@@ -1891,91 +1905,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 5 (86 registered): positions 1-17 are the 17 never-driver-checked
-    queries (the round-5 additions: polygon_overlay, areal_interpolate,
-    emb_ivfpq_topk, snapshot_wap, docs_bm25_topk, docs_decontaminate,
-    emb_semantic_dedup, snapshot_bloom_lookup, docs_pii_scrub,
-    snapshot_zorder_scan, snapshot_partition_scan, snapshot_upsert,
-    snapshot_pos_delete, docs_repetition, docs_line_scrub, plus the two
-    registered after slot 50 in r4: snapshot_range_delete,
-    docs_curation_pipeline); positions 18-36 are the 19 r3-green entries
-    parked in r4; positions 37-50 are r4-green queries whose code paths
-    were touched in round 5 (catalog deletes, kNN fusing, LSH hot-bucket
-    pre-collapse, IVF query cap, spatial-join probe) plus flagship slots.
-    All 36 parked entries have fresh r4-green rows.
+    Round 6 (87 registered): position 1 is the one never-driver-checked
+    query (spatial_join_biglayer, new this round — the non-broadcast
+    shuffle spatial-join plan); positions 2-37 are ALL 36 queries parked
+    in round 5 (every one r4-green, rotated back per the policy's
+    half-cycle); positions 38-50 are r5-green queries whose code paths
+    changed in round 6 and must re-prove hash-exactness: docs_bm25_topk
+    (df-cap default + runtime micro-scale), areal_interpolate
+    (conditional dim broadcast + Column-built apportionment),
+    spatial_join_exact (geometry.py constructor edits), and the ten
+    snapshot_* gates (the catalog's manifest tier was re-architected
+    into a root + immutable per-commit segments this round).  The 37
+    entries outside the window are ALL r5-green (stale by exactly one
+    round, never more): the 13 round-5 additions plus 24 untouched
+    r5-proven operators.
     """
     return {
-        # -- never driver-checked (new this round / registered after 50) ----
-        "polygon_overlay": _q_polygon_overlay,
-        "areal_interpolate": _q_areal_interpolate,
-        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
-        "snapshot_wap": _q_snapshot_wap,
-        "docs_bm25_topk": _q_docs_bm25_topk,
-        "docs_decontaminate": _q_docs_decontaminate,
-        "snapshot_range_delete": _q_snapshot_range_delete,
-        "docs_curation_pipeline": _q_docs_curation_pipeline,
-        "emb_semantic_dedup": _q_emb_semantic_dedup,
-        "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
-        "docs_pii_scrub": _q_docs_pii_scrub,
-        "snapshot_zorder_scan": _q_snapshot_zorder_scan,
-        "snapshot_partition_scan": _q_snapshot_partition_scan,
-        # -- r3-green, parked in r4 — rotate back in ------------------------
-        "indices_battery": _q_indices_battery,
-        "lang_histogram": _q_lang_histogram,
-        "bounds": _q_bounds,
-        "part_antijoin": _q_part_antijoin,
-        "orders_rollup": _q_orders_rollup,
-        "segment_mode": _q_segment_mode,
-        "heatmap_grid": _q_heatmap_grid,
-        "setops_except": _q_setops_except,
-        "share_en_per_tile": _q_share_en_per_tile,
-        "rolling_events": _q_rolling_events,
-        "scalar_battery": _q_scalar_battery,
-        "sensor_landsat_qa": _q_sensor_landsat_qa,
-        "scale_mask": _q_scale_mask,
-        "valid_counts": _q_valid_counts,
-        "cell_resample": _q_cell_resample,
-        "cell_upsample": _q_cell_upsample,
-        "value_histogram": _q_value_histogram,
-        "docs_exact_dedup": _q_docs_exact_dedup,
-        "docs_jaccard": _q_docs_jaccard,
-        # -- r4-green, code paths touched in round 5 ------------------------
-        "snapshot_upsert": _q_snapshot_upsert,
-        "snapshot_pos_delete": _q_snapshot_pos_delete,
-        "docs_repetition": _q_docs_repetition,
-        "docs_line_scrub": _q_docs_line_scrub,
-        "snapshot_deletes": _q_snapshot_deletes,
-        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
-        "snapshot_incremental": _q_snapshot_incremental,
-        "knn": _q_knn,
-        "docs_minhash_pairs": _q_docs_minhash_pairs,
-        "docs_simhash_pairs": _q_docs_simhash_pairs,
-        "docs_dup_groups": _q_docs_dup_groups,
-        "emb_ivf_topk": _q_emb_ivf_topk,
-        "emb_ann_srp": _q_emb_ann_srp,
-        "spatial_join_centroid": _q_spatial_join_centroid,
-        "spatial_join_exact": _q_spatial_join_exact,
-        "spatial_join_holes": _q_spatial_join_holes,
-        "spatial_join_buffered": _q_spatial_join_buffered,
-        # -- flagship r4-green, kept in-window ------------------------------
-        "cell_encode": _q_cell_encode,
-        "text_extraction": _q_text_extraction,
-        "warc_roundtrip": _q_warc_roundtrip,
-        "tile_assignment": _q_tile_assignment,
-        "zonal_stats": _q_zonal_stats,
-        "mosaic_dedup": _q_mosaic_dedup,
-        "duplicate_split": _q_duplicate_split,
-        "tile_histogram": _q_tile_histogram,
-        "sample_points": _q_sample_points,
-        "adaptive_cells": _q_adaptive_cells,
-        "asof_join": _q_asof_join,
-        "q5_region_revenue": _q5_region_revenue,
-        # ------------------------------------------------------------------
-        # Entries below are OUTSIDE the driver's 50-row window this round —
-        # every one has a FRESH r4-green driver row (stale by exactly one
-        # round; rotate back in round 6 per the policy above).  All remain
-        # gated by the local DuckDB twin in tests/test_entry_oracles.
-        # ------------------------------------------------------------------
+        # -- never driver-checked (new this round) --------------------------
+        "spatial_join_biglayer": _q_spatial_join_biglayer,
+        # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
         "events_window": _q_events_window,
@@ -2001,6 +1949,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_upsample_bilinear": _q_cell_upsample_bilinear,
         "filter_grammar": _q_filter_grammar,
         "sensor_s2_scale": _q_sensor_s2_scale,
+        "text_extraction": _q_text_extraction,
+        "warc_roundtrip": _q_warc_roundtrip,
+        "tile_assignment": _q_tile_assignment,
+        "zonal_stats": _q_zonal_stats,
+        "mosaic_dedup": _q_mosaic_dedup,
+        "duplicate_split": _q_duplicate_split,
+        "tile_histogram": _q_tile_histogram,
+        "sample_points": _q_sample_points,
+        "adaptive_cells": _q_adaptive_cells,
+        "asof_join": _q_asof_join,
+        "q5_region_revenue": _q5_region_revenue,
+        # -- r5-green, code paths touched in round 6 ------------------------
+        "docs_bm25_topk": _q_docs_bm25_topk,
+        "areal_interpolate": _q_areal_interpolate,
+        "spatial_join_exact": _q_spatial_join_exact,
+        "snapshot_pruned_scan": _q_snapshot_pruned_scan,
+        "snapshot_incremental": _q_snapshot_incremental,
+        "snapshot_deletes": _q_snapshot_deletes,
+        "snapshot_range_delete": _q_snapshot_range_delete,
+        "snapshot_pos_delete": _q_snapshot_pos_delete,
+        "snapshot_upsert": _q_snapshot_upsert,
+        "snapshot_partition_scan": _q_snapshot_partition_scan,
+        "snapshot_zorder_scan": _q_snapshot_zorder_scan,
+        "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
+        "snapshot_wap": _q_snapshot_wap,
+        # ------------------------------------------------------------------
+        # Entries below are OUTSIDE the driver's 50-row window this round —
+        # every one has a FRESH r5-green driver row (stale by exactly one
+        # round; rotate back in round 7 per the policy above).  All remain
+        # gated by the local DuckDB twin in tests/test_entry_oracles.
+        # ------------------------------------------------------------------
+        "polygon_overlay": _q_polygon_overlay,
+        "emb_ivfpq_topk": _q_emb_ivfpq_topk,
+        "docs_decontaminate": _q_docs_decontaminate,
+        "docs_curation_pipeline": _q_docs_curation_pipeline,
+        "emb_semantic_dedup": _q_emb_semantic_dedup,
+        "docs_pii_scrub": _q_docs_pii_scrub,
+        "docs_repetition": _q_docs_repetition,
+        "docs_line_scrub": _q_docs_line_scrub,
+        "indices_battery": _q_indices_battery,
+        "lang_histogram": _q_lang_histogram,
+        "bounds": _q_bounds,
+        "part_antijoin": _q_part_antijoin,
+        "orders_rollup": _q_orders_rollup,
+        "segment_mode": _q_segment_mode,
+        "heatmap_grid": _q_heatmap_grid,
+        "setops_except": _q_setops_except,
+        "share_en_per_tile": _q_share_en_per_tile,
+        "rolling_events": _q_rolling_events,
+        "scalar_battery": _q_scalar_battery,
+        "sensor_landsat_qa": _q_sensor_landsat_qa,
+        "scale_mask": _q_scale_mask,
+        "valid_counts": _q_valid_counts,
+        "cell_resample": _q_cell_resample,
+        "cell_upsample": _q_cell_upsample,
+        "value_histogram": _q_value_histogram,
+        "docs_exact_dedup": _q_docs_exact_dedup,
+        "docs_jaccard": _q_docs_jaccard,
+        "knn": _q_knn,
+        "docs_minhash_pairs": _q_docs_minhash_pairs,
+        "docs_simhash_pairs": _q_docs_simhash_pairs,
+        "docs_dup_groups": _q_docs_dup_groups,
+        "emb_ivf_topk": _q_emb_ivf_topk,
+        "emb_ann_srp": _q_emb_ann_srp,
+        "spatial_join_centroid": _q_spatial_join_centroid,
+        "spatial_join_holes": _q_spatial_join_holes,
+        "spatial_join_buffered": _q_spatial_join_buffered,
+        "cell_encode": _q_cell_encode,
     }
 
 
@@ -2237,6 +2253,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_duck_pip(clon, clat)}
         """,
         "spatial_join_exact": f"""
+            SELECT polys.poly_id, p.url
+            FROM {pages} p, {polys}
+            WHERE {_duck_pip(plon, plat)}
+        """,
+        # identical relation to spatial_join_exact — the gate's value is
+        # that the SPARK side runs the shuffle (non-broadcast) plan
+        "spatial_join_biglayer": f"""
             SELECT polys.poly_id, p.url
             FROM {pages} p, {polys}
             WHERE {_duck_pip(plon, plat)}

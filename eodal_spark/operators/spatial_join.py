@@ -115,7 +115,13 @@ def spatial_join(
                 BROADCAST_LAYER_MAX_POLYS + 1
             ).count()
             broadcast_layer = n <= BROADCAST_LAYER_MAX_POLYS
-    bc = F.broadcast if broadcast_layer else (lambda d: d)
+    # broadcast_layer=False is the caller asserting the layer is HUGE:
+    # pin the shuffle strategy with a plan-local MERGE hint so a stale
+    # or sampled size estimate can never flip the plan back to a doomed
+    # broadcast build (sort-merge spills gracefully at 100 TB; bucketed
+    # covers still plan exchange-free — bucketing satisfies SMJ's
+    # distribution, hint or not)
+    bc = F.broadcast if broadcast_layer else (lambda d: d.hint("merge"))
 
     if page_res is not None and page_res != res:
         pages_geo = pages_geo.withColumn(
