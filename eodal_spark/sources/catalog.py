@@ -88,6 +88,9 @@ class ConcurrentCommitError(RuntimeError):
 
 _ISO_TS = re.compile(r"^\d{4}-\d{2}-\d{2}T")
 
+# segment-file entry cache (segments are immutable once committed)
+_SEG_CACHE: dict[str, list] = {}
+
 
 def _iso_t(v: str) -> str:
     """'YYYY-MM-DD HH:MM:SS' → isoformat 'T' separator (stats form)."""
@@ -625,6 +628,7 @@ class SnapshotCatalog:
             # write with a different spec — old dirs keep theirs, scan
             # consults each file's own dir spec (≡ Iceberg spec-id)
             pspecs[dname] = [list(e) for e in partition_by]
+        segments = self._seal_files(table, sid, files)
         snap = {
             "snapshot_id": sid,
             "parent_id": (
@@ -638,7 +642,7 @@ class SnapshotCatalog:
             "sort_by": list(sort_by),
             "zorder": list(zorder),
             "mode": mode,
-            "files": files,
+            "segments": segments,
             "delete_files": delete_files,
             "delete_ranges": delete_ranges,
             "pos_delete_files": pos_delete_files,
@@ -657,13 +661,199 @@ class SnapshotCatalog:
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)  # orphan loser dir
             shutil.rmtree(_bloom_sidecar(data_dir), ignore_errors=True)
+            self._drop_new_segments(table, segments, sid)
             raise
         return snap
 
+    # -- segmented manifests (≡ Iceberg manifest-list + manifests) -------
+    #
+    # The root manifest.json holds snapshots/schema/refs/branches; each
+    # snapshot's FILE ENTRIES live in immutable per-commit SEGMENT files
+    # under <table>/manifests/.  A snapshot references segments by name
+    # plus coarse per-segment stats (rows, dirs, column bounds), so:
+    #   * a commit appends O(new files) manifest bytes — reused parent
+    #     segments are re-referenced, never rewritten (at 100 TB / 100k
+    #     files the old single-JSON design serialized the whole file
+    #     list per commit and parsed it per query — the last O(table)
+    #     driver cost in the engine);
+    #   * scan() prunes whole SEGMENTS from the ref bounds before
+    #     loading any entry — manifest-level skipping above the
+    #     file-level skipping (Iceberg's manifest-list partition
+    #     summaries).
+    # Legacy snapshots with inline "files" lists keep working; the
+    # first new commit on top of one migrates its entries into a
+    # segment.  Segments are immutable → cached per path.
+
+    @staticmethod
+    def _seg_dir(tdir: str) -> str:
+        return os.path.join(tdir, "manifests")
+
+    def _load_segment(self, tdir: str, name: str) -> list[dict]:
+        path = os.path.join(self._seg_dir(tdir), name)
+        cached = _SEG_CACHE.get(path)
+        if cached is None:
+            with open(path) as f:
+                cached = json.load(f)
+            if len(_SEG_CACHE) > 4096:  # bound driver memory
+                _SEG_CACHE.clear()
+            _SEG_CACHE[path] = cached
+        return cached
+
+    @staticmethod
+    def _seg_ref(name: str, entries: list[dict]) -> dict:
+        """Segment reference for the root manifest: name + the coarse
+        stats segment-level pruning and dir liveness need WITHOUT
+        loading the segment.  A column's bounds are recorded only when
+        every entry has same-typed min/max stats for it (else pruning
+        on that column must fall through to the file level —
+        conservative, like Iceberg's null-stats manifests)."""
+        bounds: dict[str, list] = {}
+        cols: set[str] = set()
+        for e in entries:
+            cols |= set((e.get("stats") or {}).keys())
+        for c in cols:
+            mins, maxs = [], []
+            for e in entries:
+                st = (e.get("stats") or {}).get(c)
+                if st is None or st["min"] is None or st["max"] is None:
+                    mins = []
+                    break
+                mins.append(st["min"])
+                maxs.append(st["max"])
+            if not mins:
+                continue
+            if len({isinstance(v, str) for v in mins + maxs}) > 1:
+                continue  # mixed-type stats: not comparable segment-wide
+            bounds[c] = [min(mins), max(maxs)]
+        return {
+            "name": name,
+            "n_files": len(entries),
+            "rows": sum(int(e.get("rows") or 0) for e in entries),
+            "dirs": sorted({e["dir"] for e in entries}),
+            "bounds": bounds,
+        }
+
+    @staticmethod
+    def _seg_ref_excluded(ref: dict, norm: dict) -> bool:
+        """True iff the segment's coarse bounds PROVABLY exclude every
+        normalized range on some predicate column — the same interval
+        arithmetic as the per-file pass (string/iso coercions included);
+        any doubt (missing bounds, type mismatch) keeps the segment and
+        defers to the file level."""
+        bounds = ref.get("bounds") or {}
+        for col, rs in norm.items():
+            b = bounds.get(col)
+            if b is None:
+                continue
+            mn, mx = b
+            is_str = isinstance(mn, str)
+            if is_str and _ISO_TS.match(mn):
+                rs = [
+                    (
+                        _iso_t(lo) if isinstance(lo, str) else lo,
+                        _iso_t(hi) if isinstance(hi, str) else hi,
+                    )
+                    for lo, hi in rs
+                ]
+            if any(
+                isinstance(lo, str) != is_str or isinstance(hi, str) != is_str
+                for lo, hi in rs
+            ):
+                continue  # mismatched types: the file pass raises for the user
+            if not any(mn <= hi and mx >= lo for lo, hi in rs):
+                return True
+        return False
+
+    def _seal_files(self, table: str, sid: int, files: list[dict]) -> list[dict]:
+        """Turn a new snapshot's resolved file-entry list into segment
+        refs.  Entries still carrying their source segment tag (set by
+        :meth:`_snap_files`) re-reference that segment VERBATIM when the
+        whole segment survives; everything else — brand-new files, or
+        survivors of a partially-deleted segment — is written as ONE new
+        segment named for this commit.  Commit cost in manifest bytes is
+        therefore O(new + rewritten entries), never O(table)."""
+        tdir = self._tdir(table)
+        groups: dict = {}
+        for f in files:
+            groups.setdefault(f.get("_seg"), []).append(f)
+        refs: list[dict] = []
+        leftover: list[dict] = []
+        for name, entries in groups.items():
+            if name is None:
+                leftover.extend(entries)
+                continue
+            seg_full = self._load_segment(tdir, name)
+            same = len(entries) == len(seg_full) and {
+                (e["dir"], e["name"]) for e in entries
+            } == {(s["dir"], s["name"]) for s in seg_full}
+            if same:
+                refs.append(self._seg_ref(name, seg_full))
+            else:
+                leftover.extend(entries)
+        if leftover:
+            import uuid
+
+            segdir = self._seg_dir(tdir)
+            os.makedirs(segdir, exist_ok=True)
+            newname = f"seg-{sid:08d}-{uuid.uuid4().hex[:8]}.json"
+            clean = [
+                {k: v for k, v in e.items() if k != "_seg"} for e in leftover
+            ]
+            tmp = os.path.join(segdir, newname + ".tmp")
+            with open(tmp, "w") as f:
+                json.dump(clean, f)
+            os.replace(tmp, os.path.join(segdir, newname))
+            _SEG_CACHE[os.path.join(segdir, newname)] = clean
+            refs.append(self._seg_ref(newname, clean))
+        return refs
+
+    def _drop_new_segments(self, table: str, refs: list[dict], sid: int) -> None:
+        """Remove segments written by a commit attempt that lost the
+        manifest CAS (reused refs from older commits stay — they are
+        live via the winning history)."""
+        prefix = f"seg-{sid:08d}-"
+        for r in refs:
+            if r["name"].startswith(prefix):
+                p = os.path.join(self._seg_dir(self._tdir(table)), r["name"])
+                _SEG_CACHE.pop(p, None)
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    def _snap_dirs(self, snap: dict) -> set[str]:
+        """Data dirs a snapshot's files live in — from the segment refs
+        when segmented (no segment load), else from the inline list."""
+        segs = snap.get("segments")
+        if segs is not None:
+            out: set[str] = set()
+            for r in segs:
+                out |= set(r.get("dirs") or [])
+            return out
+        return {f["dir"] for f in self._snap_files(snap)}
+
+    def _live_segments(self, snaps: list[dict]) -> set[str]:
+        return {
+            r["name"] for s in snaps for r in (s.get("segments") or [])
+        }
+
     def _snap_files(self, snap: dict) -> list[dict]:
-        """File entries of a snapshot, each tagged with its data dir
+        """File entries of a snapshot.  Segmented snapshots resolve
+        their segment refs (each entry tagged ``_seg`` with its source
+        segment so :meth:`_seal_files` can re-reference intact segments
+        on the next commit); legacy snapshots read the inline list
         (entries written before the append feature lack 'dir' — they
         belong to the snapshot's own v-dir)."""
+        segs = snap.get("segments")
+        if segs is not None:
+            tdir = os.path.dirname(snap["path"])
+            out: list[dict] = []
+            for ref in segs:
+                out.extend(
+                    {**f, "_seg": ref["name"]}
+                    for f in self._load_segment(tdir, ref["name"])
+                )
+            return out
         d = os.path.basename(snap["path"])
         return [
             (f if "dir" in f else {**f, "dir": d})
@@ -1115,6 +1305,7 @@ class SnapshotCatalog:
             }
             for f in _file_stats(ddir, tuple(key_cols))
         ]
+        segments = self._seal_files(table, sid, parent_files)
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -1123,7 +1314,7 @@ class SnapshotCatalog:
             "row_count": parent["row_count"],
             "sort_by": list(parent.get("sort_by") or ()),
             "mode": "delete",
-            "files": parent_files,
+            "segments": segments,
             "delete_files": (
                 list(parent.get("delete_files") or []) + new_dels
             ),
@@ -1138,6 +1329,7 @@ class SnapshotCatalog:
             self._commit_manifest(table, man)
         except ConcurrentCommitError:
             shutil.rmtree(ddir, ignore_errors=True)
+            self._drop_new_segments(table, segments, sid)
             raise
         return snap
 
@@ -1286,6 +1478,7 @@ class SnapshotCatalog:
             }
             for f in _file_stats(kdir, tuple(key_cols))
         ]
+        segments = self._seal_files(table, sid, parent_files + new_files)
         snap = {
             "snapshot_id": sid,
             "parent_id": parent["snapshot_id"],
@@ -1294,7 +1487,7 @@ class SnapshotCatalog:
             "row_count": parent["row_count"] + n_new,
             "sort_by": list(sort_by),
             "mode": "upsert",
-            "files": parent_files + new_files,
+            "segments": segments,
             "delete_files": (
                 list(parent.get("delete_files") or []) + new_dels
             ),
@@ -1311,6 +1504,7 @@ class SnapshotCatalog:
         except ConcurrentCommitError:
             shutil.rmtree(data_dir, ignore_errors=True)
             shutil.rmtree(kdir, ignore_errors=True)
+            self._drop_new_segments(table, segments, sid)
             raise
         return snap
 
@@ -1440,7 +1634,7 @@ class SnapshotCatalog:
             "row_count": parent["row_count"] - dropped_rows,
             "sort_by": list(parent.get("sort_by") or ()),
             "mode": "delete",
-            "files": kept,
+            "segments": self._seal_files(table, sid, kept),
             "delete_files": list(parent.get("delete_files") or []),
             "delete_ranges": (
                 list(parent.get("delete_ranges") or [])
@@ -1452,7 +1646,11 @@ class SnapshotCatalog:
             "meta": {"dropped_files": len(parent_files) - len(kept)},
         }
         man["snapshots"].append(snap)
-        self._commit_manifest(table, man)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            self._drop_new_segments(table, snap["segments"], sid)
+            raise
         return snap
 
     def delete_where(
@@ -1543,7 +1741,7 @@ class SnapshotCatalog:
             "row_count": parent["row_count"],
             "sort_by": list(parent.get("sort_by") or ()),
             "mode": "delete",
-            "files": parent_files,
+            "segments": self._seal_files(table, sid, parent_files),
             "delete_files": list(parent.get("delete_files") or []),
             "delete_ranges": list(parent.get("delete_ranges") or []),
             "pos_delete_files": (
@@ -1558,6 +1756,7 @@ class SnapshotCatalog:
             self._commit_manifest(table, man)
         except ConcurrentCommitError:
             shutil.rmtree(ddir, ignore_errors=True)
+            self._drop_new_segments(table, snap["segments"], sid)
             raise
         return snap
 
@@ -2247,7 +2446,7 @@ class SnapshotCatalog:
             + sum(int(f.get("rows") or 0) for f in own),
             "sort_by": list(head.get("sort_by") or ()),
             "mode": "append",
-            "files": head_files + own,
+            "segments": self._seal_files(table, sid, head_files + own),
             "delete_files": list(head.get("delete_files") or []),
             "delete_ranges": list(head.get("delete_ranges") or []),
             "pos_delete_files": list(head.get("pos_delete_files") or []),
@@ -2256,7 +2455,11 @@ class SnapshotCatalog:
             "meta": {"cherrypicked_from": snapshot_id},
         }
         man["snapshots"].append(snap)
-        self._commit_manifest(table, man)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            self._drop_new_segments(table, snap["segments"], sid)
+            raise
         return snap
 
     def remove_orphan_files(
@@ -2289,10 +2492,11 @@ class SnapshotCatalog:
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             man = self._load_manifest(table)
+            all_snaps = man["snapshots"] + (man.get("branch_snapshots") or [])
             live: set[str] = set()
-            for s in man["snapshots"] + (man.get("branch_snapshots") or []):
+            for s in all_snaps:
                 live.add(os.path.basename(s["path"]))
-                live |= {f["dir"] for f in self._snap_files(s)}
+                live |= self._snap_dirs(s)
                 live |= {d["dir"] for d in (s.get("delete_files") or [])}
                 live |= {d["dir"] for d in (s.get("pos_delete_files") or [])}
             # a live dir's bloom sidecar is live (named <dir>-bloom)
@@ -2317,6 +2521,30 @@ class SnapshotCatalog:
             if not dry_run:
                 for d in orphans:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+            # manifest-tier orphans: segments written by a commit whose
+            # CAS never landed (crash between seal and commit) — same
+            # age rail as data dirs, for the same in-flight-writer race
+            live_segs = self._live_segments(all_snaps)
+            segdir = self._seg_dir(tdir)
+            if os.path.isdir(segdir):
+                for name in sorted(os.listdir(segdir)):
+                    p = os.path.join(segdir, name)
+                    try:
+                        stale = os.path.getmtime(p) <= cutoff
+                    except OSError:
+                        continue
+                    if (
+                        name.startswith("seg-")
+                        and name not in live_segs
+                        and stale
+                    ):
+                        orphans.append(os.path.join("manifests", name))
+                        if not dry_run:
+                            _SEG_CACHE.pop(p, None)
+                            try:
+                                os.unlink(p)
+                            except OSError:
+                                pass
             return orphans
         finally:
             os.close(fd)
@@ -2357,7 +2585,7 @@ class SnapshotCatalog:
         # branch snapshots share data dirs with their (possibly
         # expired) main ancestors — their references keep dirs alive
         alive = kept + (man.get("branch_snapshots") or [])
-        live_dirs = {f["dir"] for s in alive for f in self._snap_files(s)}
+        live_dirs = set().union(*(self._snap_dirs(s) for s in alive))
         live_dirs |= {
             d["dir"] for s in alive for d in (s.get("delete_files") or [])
         }
@@ -2371,7 +2599,7 @@ class SnapshotCatalog:
             d
             for s in dropped
             for d in (
-                {f["dir"] for f in self._snap_files(s)}
+                self._snap_dirs(s)
                 | {df["dir"] for df in (s.get("delete_files") or [])}
                 | {df["dir"] for df in (s.get("pos_delete_files") or [])}
                 | {os.path.basename(s["path"])}
@@ -2385,6 +2613,15 @@ class SnapshotCatalog:
                 os.path.join(self._tdir(table), d + BLOOM_SUFFIX),
                 ignore_errors=True,
             )
+        # manifest-tier GC: segments only expired snapshots referenced
+        dead_segs = self._live_segments(dropped) - self._live_segments(alive)
+        segdir = self._seg_dir(self._tdir(table))
+        for name in dead_segs:
+            _SEG_CACHE.pop(os.path.join(segdir, name), None)
+            try:
+                os.unlink(os.path.join(segdir, name))
+            except OSError:
+                pass
         return [s["snapshot_id"] for s in dropped]
 
     def _partition_prune(
@@ -2662,8 +2899,32 @@ class SnapshotCatalog:
             ]
             for c, r in ranges.items()
         }
-        files = self._snap_files(snap)
-        snap_multi_dir = len({f["dir"] for f in files}) > 1
+        # merge behavior must reflect the SNAPSHOT's layout, not the
+        # post-pruning survivor set — computed before any segment skip
+        snap_multi_dir = len(self._snap_dirs(snap)) > 1
+        schema_log = (man.get("schema") or {}).get("log")
+        segs = snap.get("segments")
+        if segs is not None and not schema_log:
+            # manifest-LIST-level pruning (≡ Iceberg's manifest-list
+            # partition summaries): drop whole segments whose coarse
+            # bounds provably exclude every range BEFORE loading any
+            # file entry — on a 100k-file table a point lookup loads a
+            # handful of segment files, not the whole manifest tier.
+            # Skipped entirely when the schema log is non-empty:
+            # segment bounds are keyed by write-time column names, and
+            # only the per-file pass knows each file's field-id mapping
+            # (kept = conservative, never wrongly pruned).
+            tdir = os.path.dirname(snap["path"])
+            files = []
+            for ref in segs:
+                if self._seg_ref_excluded(ref, norm):
+                    continue
+                files.extend(
+                    {**f, "_seg": ref["name"]}
+                    for f in self._load_segment(tdir, ref["name"])
+                )
+        else:
+            files = self._snap_files(snap)
         # schema evolution: per-file stats are keyed by WRITE-TIME
         # names; a predicate on a renamed column must consult the name
         # its file's schema version bound to the same field id —
@@ -2690,7 +2951,10 @@ class SnapshotCatalog:
             by_id = {f["id"]: f["name"] for f in then}
             return by_id.get(cur_id_by_name.get(col))
 
-        if files:
+        if files or segs is not None:
+            # segs with every segment pruned is "provably empty", NOT a
+            # pre-stats snapshot: flow through to the schema-preserving
+            # empty-relation branch below, never to a full read
             files = self._partition_prune(
                 spark, snap, files, norm, eq, _stat_name
             )
@@ -2743,11 +3007,24 @@ class SnapshotCatalog:
                 from pyspark.sql import functions as F
 
                 # schema-preserving empty: the optimizer folds
-                # filter(false) to an empty LocalRelation — no scan
+                # filter(false) to an empty LocalRelation — no scan.
+                # ONE file per dir suffices for the merged schema (a
+                # dir = one write = one physical schema), so a no-match
+                # scan on a 100k-file table opens n_dirs footers, not
+                # 100k
+                probe, probed = [], set()
+                for frec in self._snap_files(snap):
+                    if frec["dir"] not in probed:
+                        probed.add(frec["dir"])
+                        probe.append(
+                            os.path.join(
+                                self._tdir(table), frec["dir"], frec["name"]
+                            )
+                        )
                 df = self._read_resolved(
                     spark,
                     table,
-                    self._file_paths(table, snap),
+                    probe or self._file_paths(table, snap),
                     merge=snap_multi_dir,
                     state=schema_state,
                 ).where(F.lit(False))
@@ -2809,6 +3086,15 @@ class SnapshotCatalog:
         for s in dropped:
             shutil.rmtree(s["path"], ignore_errors=True)
             shutil.rmtree(_bloom_sidecar(s["path"]), ignore_errors=True)
+        alive = man["snapshots"] + (man.get("branch_snapshots") or [])
+        dead_segs = self._live_segments(dropped) - self._live_segments(alive)
+        segdir = self._seg_dir(self._tdir(table))
+        for name in dead_segs:
+            _SEG_CACHE.pop(os.path.join(segdir, name), None)
+            try:
+                os.unlink(os.path.join(segdir, name))
+            except OSError:
+                pass
 
 
 def write_bucketed(

@@ -388,7 +388,7 @@ def test_manifest_file_stats_recorded(spark, tmp_path):
         F.concat(F.lit("u"), F.col("id")).alias("url"),
     )
     snap = cat.write(df, "t", sort_by=("cell_id",))
-    files = snap["files"]
+    files = cat._snap_files(snap)
     assert files, "manifest must carry per-file entries"
     # bounds cover the domain and are disjoint-ish under range partitioning
     lo = min(f["stats"]["cell_id"]["min"] for f in files)
@@ -398,7 +398,7 @@ def test_manifest_file_stats_recorded(spark, tmp_path):
         s = f["stats"]["cell_id"]
         assert s["min"] <= s["max"]
     # stats survive the JSON round-trip (manifest reread from disk)
-    assert cat.snapshots("t")[-1]["files"] == files
+    assert cat._snap_files(cat.snapshots("t")[-1]) == files
 
 
 def test_manifest_pruned_scan_skips_files(spark, tmp_path):
@@ -411,7 +411,7 @@ def test_manifest_pruned_scan_skips_files(spark, tmp_path):
         (F.col("id") % 1000).alias("cell_id"), F.col("id").alias("v")
     )
     snap = cat.write(df, "t", sort_by=("cell_id",), n_files=10)
-    n_files = len(snap["files"])
+    n_files = len(cat._snap_files(snap))
     assert n_files > 4  # pruning needs something to prune
 
     pruned = cat.scan(spark, "t", {"cell_id": (10, 30)})
@@ -487,7 +487,7 @@ def test_manifest_scan_morton_or_ranges(spark, tmp_path):
     assert {r.url for r in pruned.collect()} == expect
     leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
     read_files = leaves.apply(0).metrics().apply("numFiles").value()
-    assert read_files < len(snap["files"]), (read_files, len(snap["files"]))
+    assert read_files < len(cat._snap_files(snap)), (read_files, len(cat._snap_files(snap)))
 
 
 def test_update_drain_refuses_foreign_checkpoint_batches(spark, tmp_path):
@@ -544,10 +544,10 @@ def test_append_snapshot_reuses_parent_files(spark, tmp_path):
         "t", sort_by=("cell_id",), n_files=2, mode="append",
     )
     assert s2["row_count"] == 1500
-    assert len(s2["files"]) == 6  # 4 inherited + 2 new
+    assert len(cat._snap_files(s2)) == 6  # 4 inherited + 2 new
     # dirs are v{sid}-{uuid}: assert the SEQUENCE prefixes (the uuid
     # suffix exists so racing writers can never share a data dir)
-    assert {f["dir"].split("-")[0] for f in s2["files"]} == {"v1", "v2"}
+    assert {f["dir"].split("-")[0] for f in cat._snap_files(s2)} == {"v1", "v2"}
     # parent bytes untouched
     assert [os.path.getmtime(p) for p in v1_files] == v1_mtimes
 
@@ -638,9 +638,9 @@ def test_compact_preserves_rows_and_restores_layout(spark, tmp_path):
             "t", sort_by=("cell_id",), n_files=2, mode="append",
         )
     before = cat.current_snapshot("t")
-    assert len(before["files"]) == 10  # 4 + 3*2 small files
+    assert len(cat._snap_files(before)) == 10  # 4 + 3*2 small files
     s = cat.compact(spark, "t", n_files=4)
-    assert len(s["files"]) == 4
+    assert len(cat._snap_files(s)) == 4
     assert s["meta"]["compacted_from"] == before["snapshot_id"]
     assert s["row_count"] == 11_500
     a = sorted(r.id for r in cat.read(spark, "t").collect())
@@ -675,6 +675,7 @@ def test_append_onto_legacy_snapshot_reconstructs_files(spark, tmp_path):
     # simulate a legacy manifest: strip the files list
     mp = os.path.join(str(tmp_path / "leg_cat"), "t", "manifest.json")
     man = J.load(open(mp))
+    man["snapshots"][0].pop("segments", None)
     man["snapshots"][0]["files"] = []
     J.dump(man, open(mp, "w"))
     s2 = cat.write(spark.range(100, 150), "t", n_files=1, mode="append")
@@ -753,7 +754,7 @@ def test_manifest_scan_timestamp_ranges(spark, tmp_path):
         F.timestamp_seconds(F.lit(1_583_000_000) + F.col("id") * 60).alias("ts"),
     )
     snap = cat.write(df, "t", sort_by=("ts",), n_files=8)
-    assert len(snap["files"]) > 4
+    assert len(cat._snap_files(snap)) > 4
 
     lo = dt.datetime(2020, 3, 1, 0, 0, 0)
     hi = dt.datetime(2020, 3, 1, 6, 0, 0)
@@ -766,7 +767,7 @@ def test_manifest_scan_timestamp_ranges(spark, tmp_path):
     )
     leaves = pruned._jdf.queryExecution().executedPlan().collectLeaves()
     read_files = leaves.apply(0).metrics().apply("numFiles").value()
-    assert read_files < len(snap["files"])
+    assert read_files < len(cat._snap_files(snap))
 
     with _pytest.raises(TypeError, match="manifest"):
         cat.scan(spark, "t", {"ts": (0, 10)}).collect()
@@ -810,8 +811,8 @@ def test_equality_deletes_merge_on_read(spark, tmp_path):
     kill = spark.range(100).select(F.col("id").alias("cell_id"))
     s2 = cat.delete_keys(spark, "t", kill)
     assert s2["mode"] == "delete"
-    assert [f["name"] for f in s2["files"]] == [
-        f["name"] for f in cat.snapshots("t")[0]["files"]
+    assert [f["name"] for f in cat._snap_files(s2)] == [
+        f["name"] for f in cat._snap_files(cat.snapshots("t")[0])
     ]
     assert cat.read(spark, "t").count() == 900
     assert cat.read(spark, "t").filter("cell_id < 100").count() == 0
@@ -1002,11 +1003,11 @@ def test_metadata_range_delete(spark, tmp_path):
         F.col("id").alias("cell_id"), (F.col("id") * 7).alias("v")
     )
     s1 = cat.write(df, "t", sort_by=("cell_id",), n_files=10)
-    n_files = len(s1["files"])
+    n_files = len(cat._snap_files(s1))
 
     s2 = cat.delete_range("t", "cell_id", (0, 2999))
     assert s2["meta"]["dropped_files"] >= 2  # whole files gone from manifest
-    assert len(s2["files"]) < n_files
+    assert len(cat._snap_files(s2)) < n_files
     assert cat.read(spark, "t").count() == 7_000
     assert cat.read(spark, "t").filter("cell_id < 3000").count() == 0
     # time travel before the purge is intact
@@ -1102,7 +1103,7 @@ def test_range_delete_space_separated_bounds_no_data_loss(spark, tmp_path):
     )
     # the single data file must NOT have been dropped from the manifest
     assert s2["meta"]["dropped_files"] == 0
-    assert len(s2["files"]) == len(s1["files"])
+    assert len(cat._snap_files(s2)) == len(cat._snap_files(s1))
     got = cat.read(spark, "t")
     assert got.count() == 12  # hours 0..11 survive
     assert got.agg(F.max("h")).first()[0] == 11
@@ -1120,7 +1121,7 @@ def test_full_table_range_delete_keeps_table_usable(spark, tmp_path):
     )
     cat.write(df, "t", sort_by=("cell_id",), n_files=4)
     s2 = cat.delete_range("t", "cell_id", (0, 999))
-    assert s2["files"], "schema anchor must survive a full purge"
+    assert cat._snap_files(s2), "schema anchor must survive a full purge"
     assert s2["row_count"] == 0
     got = cat.read(spark, "t")
     assert got.columns == ["cell_id", "v"]
@@ -1643,12 +1644,12 @@ def test_schema_evolution_rename_drop_add(spark, tmp_path):
         sort_by=("a",),
     )
     v1_files = {
-        (f["dir"], f["name"]) for f in cat.current_snapshot("t")["files"]
+        (f["dir"], f["name"]) for f in cat._snap_files(cat.current_snapshot("t"))
     }
     cat.rename_column(spark, "t", "a", "x")
     # metadata-only: same data files, new logical name, values intact
     assert {
-        (f["dir"], f["name"]) for f in cat.current_snapshot("t")["files"]
+        (f["dir"], f["name"]) for f in cat._snap_files(cat.current_snapshot("t"))
     } == v1_files
     out = cat.read(spark, "t")
     assert out.columns == ["x", "b"]
@@ -1930,8 +1931,8 @@ def test_bloom_point_lookup_pruning(spark, tmp_path):
     )
     cat.write(df, "t", sort_by=("v",), n_files=4, bloom_cols=("k",))
     snap = cat.current_snapshot("t")
-    assert len(snap["files"]) == 4
-    dname = snap["files"][0]["dir"]
+    assert len(cat._snap_files(snap)) == 4
+    dname = cat._snap_files(snap)[0]["dir"]
     assert snap["blooms"][dname]["cols"] == ["k"]
     import os
     assert os.path.isdir(
@@ -1980,7 +1981,7 @@ def test_bloom_sidecar_lifecycle(spark, tmp_path):
     cat = SnapshotCatalog(str(tmp_path))
     df = spark.range(0, 50).selectExpr("CAST(id AS STRING) AS k", "id AS v")
     cat.write(df, "t", n_files=2, bloom_cols=("k",))
-    d1 = cat.current_snapshot("t")["files"][0]["dir"]
+    d1 = cat._snap_files(cat.current_snapshot("t"))[0]["dir"]
     cat.write(
         spark.range(50, 60).selectExpr("CAST(id AS STRING) AS k", "id AS v"),
         "t", mode="append", bloom_cols=("k",),
@@ -1988,7 +1989,7 @@ def test_bloom_sidecar_lifecycle(spark, tmp_path):
     # compact inherits the bloom config and re-blooms the new layout
     cat.compact(spark, "t", n_files=1)
     snap = cat.current_snapshot("t")
-    d3 = snap["files"][0]["dir"]
+    d3 = cat._snap_files(snap)[0]["dir"]
     assert snap["blooms"][d3]["cols"] == ["k"]
     assert os.path.isdir(_bloom_sidecar(os.path.join(str(tmp_path), "t", d3)))
     assert cat.scan(spark, "t", eq={"k": "55"}).count() == 1
@@ -2217,11 +2218,11 @@ def test_hidden_partitioning_transforms(spark, tmp_path):
     # 2000 * 90s = 50 hours ≈ 3 days
     cat.write(df, "t", partition_by=[["day", "ts"], ["bucket", 4, "host"]])
     snap = cat.current_snapshot("t")
-    dname = snap["files"][0]["dir"]
+    dname = cat._snap_files(snap)[0]["dir"]
     assert snap["partition_specs"][dname] == [["day", "ts"], ["bucket", 4, "host"]]
     # hidden: logical schema untouched, partition values in the manifest
     assert cat.read(spark, "t").columns == ["id", "ts", "host"]
-    assert all("_pv0" in f["partition"] for f in snap["files"])
+    assert all("_pv0" in f["partition"] for f in cat._snap_files(snap))
 
     # day-range predicate prunes partition dirs
     day2 = (dt.datetime(2021, 3, 2), dt.datetime(2021, 3, 2, 23, 59, 59))
@@ -2482,3 +2483,97 @@ def test_expire_retains_commit_less_branch_head(spark, tmp_path):
     cat.write(spark.range(99), "t")
     expired = cat.expire_snapshots("t", keep_last=1)
     assert 1 in expired
+
+
+def _manifest_tier_bytes(root: str, table: str) -> dict[str, int]:
+    """Current size of every manifest-tier file (root + segments)."""
+    tdir = os.path.join(root, table)
+    out = {"manifest.json": os.path.getsize(os.path.join(tdir, "manifest.json"))}
+    segdir = os.path.join(tdir, "manifests")
+    if os.path.isdir(segdir):
+        for n in os.listdir(segdir):
+            out[os.path.join("manifests", n)] = os.path.getsize(
+                os.path.join(segdir, n)
+            )
+    return out
+
+
+def _commit_manifest_bytes(root: str, table: str, fn) -> int:
+    """Manifest-tier bytes WRITTEN by one commit: new/rewritten files
+    plus the root rewrite (the commit's total metadata I/O)."""
+    before = _manifest_tier_bytes(root, table)
+    fn()
+    after = _manifest_tier_bytes(root, table)
+    return sum(
+        sz for name, sz in after.items()
+        if name not in before or before[name] != sz
+    )
+
+
+def test_segmented_manifest_commit_cost_flat_in_table_size(spark, tmp_path):
+    """THE manifest-list property: an append's manifest-tier write cost
+    is O(new files), NOT O(table files).  A 1024-file table's append
+    writes ~the same metadata bytes as a 16-file table's — under the
+    old single-JSON design it rewrote all 1025 entries (~64× more)."""
+    root = str(tmp_path / "flat_cat")
+    cat = SnapshotCatalog(root)
+    cat.write(spark.range(20_000).selectExpr("id", "id*2 as v"),
+              "small", sort_by=("id",), n_files=16)
+    cat.write(spark.range(20_000).selectExpr("id", "id*2 as v"),
+              "big", sort_by=("id",), n_files=1024)
+    small_cost = _commit_manifest_bytes(
+        root, "small",
+        lambda: cat.write(spark.range(20_000, 20_100).selectExpr(
+            "id", "id*2 as v"), "small", sort_by=("id",), n_files=1,
+            mode="append"),
+    )
+    big_cost = _commit_manifest_bytes(
+        root, "big",
+        lambda: cat.write(spark.range(20_000, 20_100).selectExpr(
+            "id", "id*2 as v"), "big", sort_by=("id",), n_files=1,
+            mode="append"),
+    )
+    # 64x the table files must NOT mean 64x the commit metadata: the
+    # root grows by one tiny segment ref, the segment by one entry.
+    assert big_cost < 4 * small_cost, (small_cost, big_cost)
+    # and both reads resolve the full history correctly
+    assert cat.read(spark, "small").count() == 20_100
+    assert cat.read(spark, "big").count() == 20_100
+    # the append re-REFERENCED the parent's segment instead of
+    # rewriting it: first ref of snapshot 2 is snapshot 1's segment
+    s1, s2 = cat.snapshots("big")
+    assert s2["segments"][0] == s1["segments"][0]
+    assert len(s2["segments"]) == 2 and s2["segments"][1]["n_files"] == 1
+
+
+def test_segmented_manifest_scan_loads_only_intersecting_segments(
+    spark, tmp_path
+):
+    """Manifest-list pruning: scan() consults segment-ref bounds and
+    loads ONLY the segments a predicate can touch — on a long append
+    history a point lookup opens a handful of segment files, not the
+    whole manifest tier."""
+    root = str(tmp_path / "segprune_cat")
+    cat = SnapshotCatalog(root)
+    for i in range(8):
+        cat.write(
+            spark.range(i * 1000, (i + 1) * 1000).selectExpr("id", "id*2 as v"),
+            "t", sort_by=("id",), n_files=2,
+            mode="append" if i else "overwrite",
+        )
+    loads: list[str] = []
+    orig = cat._load_segment
+
+    def counting(tdir, name):
+        loads.append(name)
+        return orig(tdir, name)
+
+    cat._load_segment = counting
+    got = sorted(r.v for r in cat.scan(spark, "t", {"id": (2100, 2200)}).collect())
+    assert got == [v * 2 for v in range(2100, 2201)]
+    assert len(set(loads)) == 1, loads  # 1 of 8 segments touched
+    # an all-excluding predicate prunes every segment and returns a
+    # schema-correct empty relation (never a full-read fallback; the
+    # schema probe may load segments — metadata plane only)
+    empty = cat.scan(spark, "t", {"id": (10**9, 2 * 10**9)})
+    assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
