@@ -2199,15 +2199,43 @@ class SnapshotCatalog:
         self,
         spark: SparkSession,
         table: str,
-        n_files: int,
-    ) -> dict:
-        """Rewrite the current snapshot's data into ``n_files`` files as
-        a NEW overwrite snapshot (≡ Iceberg ``rewrite_data_files``):
-        long append chains accumulate many small files whose per-file
-        open cost eventually dominates scans; compaction restores the
-        target layout (including the sort order recorded at write time)
-        without changing a single row.  Old snapshots stay readable
-        until :meth:`expire_snapshots` reclaims them."""
+        n_files: int | None = None,
+        target_file_bytes: int | None = None,
+        min_input_files: int = 2,
+    ) -> dict | None:
+        """Compaction (≡ Iceberg ``rewrite_data_files``), two modes:
+
+        ``n_files`` — FULL rewrite of the current snapshot into
+        ``n_files`` files as a new overwrite snapshot: long append
+        chains accumulate many small files whose per-file open cost
+        eventually dominates scans; compaction restores the target
+        layout (including the sort order recorded at write time)
+        without changing a single row.
+
+        ``target_file_bytes`` — SELECTIVE binpack (Iceberg's binpack
+        strategy): only groups of ≥ ``min_input_files`` undersized
+        files (below the target, grouped per partition value where
+        partitioned) are rewritten; every other file is re-referenced
+        untouched — byte-identical on disk, O(small files) rewrite
+        cost instead of O(table).  Merge-on-read deletes are RE-BASED
+        for the rewritten rows only: the rewrite reads its inputs with
+        the snapshot's full delete semantics applied, so the new files
+        physically exclude deleted rows, while untouched files keep
+        their delete files in force (their sequence numbers are
+        unchanged).  Returns None when no group qualifies (nothing to
+        do — no empty commit).  See :meth:`_compact_binpack`.
+
+        Old snapshots stay readable until :meth:`expire_snapshots`
+        reclaims them."""
+        if (n_files is None) == (target_file_bytes is None):
+            raise ValueError(
+                "pass exactly one of n_files (full rewrite) or "
+                "target_file_bytes (selective binpack)"
+            )
+        if target_file_bytes is not None:
+            return self._compact_binpack(
+                spark, table, int(target_file_bytes), int(min_input_files)
+            )
         snap = self._get_snap(table, None)
         # carry any ingest marker forward: the compacted snapshot
         # represents the same committed state, and drain_to_catalog's
@@ -2249,6 +2277,205 @@ class SnapshotCatalog:
             bloom_bits=bcfg["bits"] if bcfg else 1 << 17,
             bloom_k=bcfg["k"] if bcfg else 7,
         )
+
+    def _compact_binpack(
+        self,
+        spark: SparkSession,
+        table: str,
+        target: int,
+        min_input: int,
+    ) -> dict | None:
+        """Selective small-file compaction (Iceberg binpack): rewrite
+        ONLY groups of ≥ ``min_input`` files below ``target`` bytes —
+        grouped per partition value on partitioned tables — into
+        ~ceil(group_bytes/target) files preserving the snapshot's
+        sort/z-order clustering.  Untouched files are re-referenced
+        byte-identical (their manifest segments reused verbatim), so a
+        100 TB table pays O(small files), never O(table).
+
+        Delete re-base: inputs are read through the snapshot's FULL
+        merge-on-read delete semantics, so the rewritten files
+        physically exclude deleted rows; untouched files keep their
+        delete files in force (sequence numbers unchanged), and the
+        new dir's sid exceeds every carried delete's, so no delete
+        re-applies to the rewrite.
+
+        Spec-evolution rail: on partitioned tables only files under
+        the CURRENT spec are candidates (rewriting an old-spec dir is
+        a relayout, not a binpack — use the full rewrite).  Returns
+        None when no group qualifies: nothing to do, no empty commit."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        man = self._load_manifest(table)
+        if not man["snapshots"]:
+            raise FileNotFoundError(f"no snapshots for table {table}")
+        snap = man["snapshots"][-1]
+        parent_files = self._snap_files(snap)
+        if not parent_files:
+            raise ValueError(
+                f"cannot binpack pre-stats snapshot "
+                f"{snap['snapshot_id']} — run a full compact() first"
+            )
+        tdir = self._tdir(table)
+        pspecs = snap.get("partition_specs") or {}
+        cur_spec = None
+        for cur_spec in pspecs.values():
+            pass  # insertion order: last = the current spec
+        groups: dict = {}
+        for f in parent_files:
+            try:
+                sz = os.path.getsize(os.path.join(tdir, f["dir"], f["name"]))
+            except OSError:
+                continue  # vanished → leave untouched, never rewrite blind
+            if sz >= target:
+                continue
+            spec = pspecs.get(f["dir"])
+            if cur_spec is not None:
+                if spec != cur_spec or not f.get("partition"):
+                    continue  # old-spec / unpartitioned stragglers: skip
+                key = tuple(sorted(f["partition"].items()))
+            else:
+                if f.get("partition"):
+                    continue
+                key = None
+            groups.setdefault(key, []).append((f, sz))
+        inputs: list[dict] = []
+        n_out = 0
+        n_groups = 0
+        for lst in groups.values():
+            if len(lst) < min_input:
+                continue
+            n_groups += 1
+            inputs.extend(f for f, _ in lst)
+            n_out += max(1, -(-sum(sz for _, sz in lst) // target))
+        if not inputs:
+            return None
+        schema_state = man.get("schema")
+        in_multi = len({f["dir"] for f in inputs}) > 1
+        rows = self._read_with_deletes(
+            spark,
+            table,
+            snap,
+            inputs,
+            merge=in_multi,
+            state=schema_state,
+            state_from_caller=True,
+        )
+        sort_by = tuple(snap.get("sort_by") or ())
+        zorder = tuple(snap.get("zorder") or ())
+        keys: list[str] = []
+        if zorder:
+            from eodal_spark import grid
+
+            za, zb = zorder
+            b = rows.agg(F.min(za), F.max(za), F.min(zb), F.max(zb)).first()
+            zk = grid.zorder_key_2d(
+                F.col(za), F.col(zb),
+                b[0] if b[0] is not None else 0.0,
+                b[1] if b[1] is not None else 1.0,
+                b[2] if b[2] is not None else 0.0,
+                b[3] if b[3] is not None else 1.0,
+                bits=16,
+            )
+            rows = rows.withColumn("_zorder_key", zk)
+            keys = ["_zorder_key"]
+        elif sort_by:
+            keys = list(sort_by)
+        pv = (
+            _partition_cols([tuple(e) for e in cur_spec])
+            if cur_spec is not None
+            else []
+        )
+        out = rows
+        for name, colx in pv:
+            out = out.withColumn(name, colx)
+        order_cols = [n for n, _ in pv] + keys
+        if order_cols:
+            # partition cols lead the range key → each partition's rows
+            # land in contiguous tasks (per-group packing), sort order
+            # preserved within files
+            out = out.repartitionByRange(n_out, *order_cols)
+            out = out.sortWithinPartitions(*order_cols)
+        else:
+            out = out.repartition(n_out)
+        if zorder:
+            out = out.drop("_zorder_key")
+        sid = max(
+            s["snapshot_id"]
+            for s in man["snapshots"] + (man.get("branch_snapshots") or [])
+        ) + 1
+        data_dir = os.path.join(tdir, f"v{sid}-{uuid.uuid4().hex[:8]}")
+        ts_conf = "spark.sql.parquet.outputTimestampType"
+        prev_ts = spark.conf.get(ts_conf)
+        try:
+            spark.conf.set(ts_conf, "TIMESTAMP_MICROS")
+            if pv:
+                out.write.mode("overwrite").partitionBy(
+                    *[n for n, _ in pv]
+                ).parquet(data_dir)
+            else:
+                out.write.mode("overwrite").parquet(data_dir)
+        finally:
+            spark.conf.set(ts_conf, prev_ts)
+        dname = os.path.basename(data_dir)
+        stat_cols = sort_by if sort_by else zorder
+        new_files = [
+            {**f, "dir": dname} for f in _file_stats(data_dir, stat_cols)
+        ]
+        if pv:
+            for f in new_files:
+                f["partition"] = _parse_partition(f["name"])
+        blooms = dict(snap.get("blooms") or {})
+        bcfg = None
+        for bcfg in blooms.values():
+            pass
+        if bcfg is not None and {f["dir"] for f in inputs} & set(blooms):
+            _write_bloom_sidecar(
+                spark, data_dir, tuple(bcfg["cols"]), bcfg["bits"], bcfg["k"]
+            )
+            blooms[dname] = dict(bcfg)
+        n_new = sum(f["rows"] for f in new_files)
+        in_rows = sum(int(f.get("rows") or 0) for f in inputs)
+        inset = {(f["dir"], f["name"]) for f in inputs}
+        untouched = [
+            f for f in parent_files if (f["dir"], f["name"]) not in inset
+        ]
+        new_pspecs = dict(pspecs)
+        if pv:
+            new_pspecs[dname] = [list(e) for e in cur_spec]
+        segments = self._seal_files(table, sid, untouched + new_files)
+        new_snap = {
+            "snapshot_id": sid,
+            "parent_id": snap["snapshot_id"],
+            "committed_at": time.time(),
+            "path": data_dir,
+            "row_count": snap["row_count"] - in_rows + n_new,
+            "sort_by": list(sort_by),
+            "zorder": list(zorder),
+            "mode": "compact",
+            "segments": segments,
+            "delete_files": list(snap.get("delete_files") or []),
+            "delete_ranges": list(snap.get("delete_ranges") or []),
+            "pos_delete_files": list(snap.get("pos_delete_files") or []),
+            "blooms": blooms,
+            "partition_specs": new_pspecs,
+            "meta": {
+                "binpack_inputs": len(inputs),
+                "binpack_groups": n_groups,
+                "compacted_from": snap["snapshot_id"],
+            },
+        }
+        man["snapshots"].append(new_snap)
+        try:
+            self._commit_manifest(table, man)
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            shutil.rmtree(_bloom_sidecar(data_dir), ignore_errors=True)
+            self._drop_new_segments(table, segments, sid)
+            raise
+        return new_snap
 
     # -- named refs (≡ Iceberg tags) ------------------------------------
 

@@ -198,6 +198,134 @@ oracle-gated by the `snapshot_deletes` driver query.
 """
 
 
+def _manifest_tier_bytes(root: str, table: str) -> dict[str, int]:
+    tdir = os.path.join(root, table)
+    out = {
+        "manifest.json": os.path.getsize(os.path.join(tdir, "manifest.json"))
+    }
+    segdir = os.path.join(tdir, "manifests")
+    if os.path.isdir(segdir):
+        for n in os.listdir(segdir):
+            out[n] = os.path.getsize(os.path.join(segdir, n))
+    return out
+
+
+def manifest_block(spark, cpus: int) -> str:
+    """Segmented-manifest commit cost at ≥10k files: the manifest-tier
+    bytes an append writes must be flat in TABLE file count (the
+    manifest-list property).  Throwaway tables at 256 and 10,240 files;
+    one-file appends measured on each."""
+    import shutil
+
+    bench_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR", "/tmp/eodal_spark_bench"
+    )
+    root = os.path.join(bench_dir, "manifest_scale_catalog")
+    shutil.rmtree(root, ignore_errors=True)
+    mcat = SnapshotCatalog(root)
+    sizes = {}
+    for name, nf in (("t256", 256), ("t10k", 10_240)):
+        df = spark.range(nf * 100).selectExpr("id", "id*2 as v")
+        t0 = time.time()
+        mcat.write(df, name, sort_by=("id",), n_files=nf)
+        init_s = time.time() - t0
+        before = _manifest_tier_bytes(root, name)
+        t0 = time.time()
+        mcat.write(
+            spark.range(10**9, 10**9 + 100).selectExpr("id", "id*2 as v"),
+            name, sort_by=("id",), n_files=1, mode="append",
+        )
+        append_s = time.time() - t0
+        after = _manifest_tier_bytes(root, name)
+        commit_bytes = sum(
+            sz for k, sz in after.items()
+            if k not in before or before[k] != sz
+        )
+        tier_total = sum(after.values())
+        sizes[name] = (nf, init_s, append_s, commit_bytes, tier_total)
+    (nf_a, _, s_a, b_a, _) = sizes["t256"]
+    (nf_b, _, s_b, b_b, tot_b) = sizes["t10k"]
+    shutil.rmtree(root, ignore_errors=True)
+    return f"""
+### Segmented-manifest commit cost ({cpus} cores)
+
+One-file append onto tables of very different file counts — the bytes
+the commit writes to the MANIFEST TIER (root + new segments):
+
+| table files | append manifest bytes | append wall (s) |
+|---|---|---|
+| {nf_a:,} | {b_a:,} | {s_a:.2f} |
+| {nf_b:,} | **{b_b:,}** | {s_b:.2f} |
+
+{nf_b // nf_a}× the table files costs {b_b / max(b_a, 1):.1f}× the
+commit metadata — flat, because the parent's segments are
+re-REFERENCED, not rewritten.  The single-JSON design this replaces
+serialized the full file list per commit: at {nf_b:,} files that is
+~{tot_b:,} bytes ({tot_b // max(b_b, 1)}× this append), growing
+linearly with the table; at 100 k files it was the last O(table)
+driver cost in the engine.
+"""
+
+
+def binpack_block(spark, cpus: int) -> str:
+    """Selective vs full compaction on a table where 3% of the bytes
+    sit in small files — binpack rewrites only those."""
+    import shutil
+
+    bench_dir = os.environ.get(
+        "SPARK_GRAFT_BENCH_DIR", "/tmp/eodal_spark_bench"
+    )
+    root = os.path.join(bench_dir, "binpack_catalog")
+    shutil.rmtree(root, ignore_errors=True)
+    bcat = SnapshotCatalog(root)
+    # md5 payload ≈ incompressible: healthy files land ~10 MB (above
+    # the 4 MB target), trickle files ~350 KB (below it)
+    bcat.write(
+        spark.range(20_000_000).selectExpr(
+            "id", "md5(cast(id as string)) as h"
+        ),
+        "t", sort_by=("id",), n_files=64,
+    )
+    for i in range(16):  # trickle ingestion: 32 small files
+        lo = 20_000_000 + i * 20_000
+        bcat.write(
+            spark.range(lo, lo + 20_000).selectExpr(
+                "id", "md5(cast(id as string)) as h"
+            ),
+            "t", sort_by=("id",), n_files=2, mode="append",
+        )
+    files = bcat._snap_files(bcat.current_snapshot("t"))
+    total_files = len(files)
+    t0 = time.time()
+    s = bcat.compact(spark, "t", target_file_bytes=4 << 20)
+    bin_s = time.time() - t0
+    n_in = s["meta"]["binpack_inputs"]
+    n_after = len(bcat._snap_files(s))
+    rows_total = s["row_count"]
+    t0 = time.time()
+    bcat.compact(spark, "t", n_files=64)
+    full_s = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return f"""
+### Binpack vs full compaction (20.3M rows, local[{cpus}])
+
+64 healthy files + 32 trickle-ingested small files:
+
+| strategy | files rewritten | wall (s) | files after |
+|---|---|---|---|
+| `compact(target_file_bytes=4MB)` | **{n_in} (small only)** | **{bin_s:.1f}** | {n_after} |
+| `compact(n_files=64)` full rewrite | {total_files} (all) | {full_s:.1f} | 64 |
+
+Binpack read {n_in} small files and left the {total_files - n_in}
+healthy ones byte-identical (their manifest segments re-referenced);
+the full rewrite re-shuffled all {rows_total:,} rows.  At 100 TB the
+full rewrite is a cluster-day; binpack stays proportional to the
+trickle — the same reason Iceberg's rewrite_data_files defaults to
+binpack.  Delete re-base and per-partition grouping are test-gated
+(test_binpack_*).
+"""
+
+
 def main() -> None:
     pos = [a for a in sys.argv[1:] if not a.startswith("--")]
     rows = int(pos[0]) if pos else 40_000_000
@@ -223,6 +351,7 @@ def main() -> None:
         )
         cat.write(geo, "pages_geo", sort_by=("morton",), n_files=N_FILES)
     snap = cat.current_snapshot("pages_geo")
+    n_snap_files = len(cat._snap_files(snap))
 
     lo_lon, hi_lon, lo_lat, hi_lat = E.BBOX_A
     cells = grid.np_bbox_cells_centi(lo_lon, hi_lon, lo_lat, hi_lat, E.RES)
@@ -252,16 +381,16 @@ def main() -> None:
     block = f"""<!-- CATALOG:BEGIN -->
 ## Manifest file skipping at bench scale ({rows:,} rows, local[{cpus}])
 
-Morton-sorted snapshot, {len(snap["files"])} data files; bbox query =
+Morton-sorted snapshot, {n_snap_files} data files; bbox query =
 {len(ranges)} Morton ranges ({full_n:,} matching rows).
 
 | path | files listed | best of {REPS} (s) |
 |---|---|---|
 | `catalog.scan` (manifest pruning) | **{kept}** | {pruned_s:.3f} |
-| full read + identical filter | {len(snap["files"])} | {full_s:.3f} |
+| full read + identical filter | {n_snap_files} | {full_s:.3f} |
 
-Driver-side manifest selection keeps {kept}/{len(snap["files"])} files
-({100 * kept // len(snap["files"])}%) before Spark lists anything; both
+Driver-side manifest selection keeps {kept}/{n_snap_files} files
+({100 * kept // n_snap_files}%) before Spark lists anything; both
 paths return identical rows (asserted).  At 100 TB the gap widens from
 "open fewer files" to "never even list 100k files" — the listing itself
 becomes the bottleneck manifest pruning removes.
@@ -277,13 +406,23 @@ becomes the bottleneck manifest pruning removes.
             "<!-- CATALOG:END -->",
             deletes_block(spark, cat, rows, cpus) + "<!-- CATALOG:END -->",
         )
+    if "--manifest" in sys.argv:
+        block = block.replace(
+            "<!-- CATALOG:END -->",
+            manifest_block(spark, cpus) + "<!-- CATALOG:END -->",
+        )
+    if "--binpack" in sys.argv:
+        block = block.replace(
+            "<!-- CATALOG:END -->",
+            binpack_block(spark, cpus) + "<!-- CATALOG:END -->",
+        )
 
     from _md import splice_block
 
     splice_block(os.path.join(REPO, "BENCH", "BASELINE.md"), "CATALOG", block)
     print(
         {
-            "files_total": len(snap["files"]), "files_kept": kept,
+            "files_total": n_snap_files, "files_kept": kept,
             "pruned_s": round(pruned_s, 3), "full_s": round(full_s, 3),
             "rows": full_n,
         }

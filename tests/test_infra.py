@@ -2577,3 +2577,138 @@ def test_segmented_manifest_scan_loads_only_intersecting_segments(
     # schema probe may load segments — metadata plane only)
     empty = cat.scan(spark, "t", {"id": (10**9, 2 * 10**9)})
     assert empty.count() == 0 and set(empty.columns) == {"id", "v"}
+
+
+def _md5_file(p: str) -> str:
+    import hashlib
+
+    return hashlib.md5(open(p, "rb").read()).hexdigest()
+
+
+def test_binpack_rewrites_only_small_file_groups(spark, tmp_path):
+    """Selective compaction: files at/above the target are untouched
+    (byte-identical on disk, manifest segment reused), only the
+    undersized group is rewritten — and rows/sort survive."""
+    root = str(tmp_path / "bp_cat")
+    cat = SnapshotCatalog(root)
+    cat.write(
+        spark.range(500_000).selectExpr("id", "id*2 as v"),
+        "t", sort_by=("id",), n_files=2,
+    )
+    for lo in (500_000, 501_000, 502_000):
+        cat.write(
+            spark.range(lo, lo + 1_000).selectExpr("id", "id*2 as v"),
+            "t", sort_by=("id",), n_files=2, mode="append",
+        )
+    before = cat.current_snapshot("t")
+    bfiles = cat._snap_files(before)
+    big = [f for f in bfiles if f["stats"]["id"]["max"] < 500_000]
+    big_paths = {
+        os.path.join(root, "t", f["dir"], f["name"]): None for f in big
+    }
+    for p in big_paths:
+        big_paths[p] = _md5_file(p)
+    s = cat.compact(spark, "t", target_file_bytes=200_000)
+    assert s is not None and s["mode"] == "compact"
+    assert s["meta"]["binpack_inputs"] == 6 and s["meta"]["binpack_groups"] == 1
+    # untouched files byte-identical
+    for p, h in big_paths.items():
+        assert _md5_file(p) == h, p
+    # the big files' manifest entries were re-referenced, not rewritten
+    after = cat._snap_files(s)
+    for f in big:
+        twin = next(
+            a for a in after if (a["dir"], a["name"]) == (f["dir"], f["name"])
+        )
+        assert twin["_seg"] == f["_seg"]
+    # the 6 small files collapsed into ~1 target-sized file; rows equal
+    new = [f for f in after if f["dir"] == os.path.basename(s["path"])]
+    assert 1 <= len(new) <= 2
+    assert sum(f["rows"] for f in new) == 3_000
+    assert sorted(r.id for r in cat.read(spark, "t").collect()) == sorted(
+        list(range(500_000)) + list(range(500_000, 503_000))
+    )
+    # sort preserved: new files carry usable id bounds for pruning
+    assert all(f["stats"]["id"]["min"] is not None for f in new)
+    # nothing left to do → None, and no empty commit
+    n_snaps = len(cat.snapshots("t"))
+    assert cat.compact(spark, "t", target_file_bytes=200_000) is None
+    assert len(cat.snapshots("t")) == n_snaps
+
+
+def test_binpack_rebases_merge_on_read_deletes(spark, tmp_path):
+    """Inputs are read through the snapshot's delete semantics: the
+    rewritten files physically exclude deleted rows, untouched files
+    keep their delete files in force, and reads are identical before
+    and after."""
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "bpd_cat"))
+    cat.write(
+        spark.range(300_000).selectExpr("id as cell_id", "id*3 as v"),
+        "t", sort_by=("cell_id",), n_files=1,
+    )
+    for lo in (300_000, 301_000):
+        cat.write(
+            spark.range(lo, lo + 1_000).selectExpr(
+                "id as cell_id", "id*3 as v"
+            ),
+            "t", sort_by=("cell_id",), n_files=2, mode="append",
+        )
+    # MoR delete hitting BOTH the big file and the small ones
+    kill = spark.createDataFrame(
+        [(5,), (300_005,), (301_005,)], "cell_id long"
+    )
+    cat.delete_keys(spark, "t", kill)
+    want = sorted(r.cell_id for r in cat.read(spark, "t").collect())
+    s = cat.compact(spark, "t", target_file_bytes=200_000)
+    assert s is not None
+    got = sorted(r.cell_id for r in cat.read(spark, "t").collect())
+    assert got == want
+    # physical re-base: 2000 input rows minus the 2 deleted small-file
+    # rows landed in the rewrite
+    new = [
+        f for f in cat._snap_files(s)
+        if f["dir"] == os.path.basename(s["path"])
+    ]
+    assert sum(f["rows"] for f in new) == 1_998
+    # the delete files still ride along (they guard the untouched file)
+    assert s["delete_files"]
+    assert 5 not in got and 300_005 not in got and 301_005 not in got
+
+
+def test_binpack_groups_per_partition(spark, tmp_path):
+    """Partitioned tables binpack per partition VALUE: each day's small
+    files merge within the day, partition values survive in the new
+    manifest entries, and reads are unchanged."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    cat = SnapshotCatalog(str(tmp_path / "bpp_cat"))
+    df = spark.range(4_000).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(1_614_556_800) + (F.col("id") % 2) * 86_400
+        ).alias("ts"),
+    )
+    for i in range(3):  # 3 appends × 2 day-partitions = small files
+        cat.write(
+            df.filter((F.col("id") % 3) == i), "t",
+            partition_by=[["day", "ts"]],
+            mode="append" if i else "overwrite",
+        )
+    want = sorted(r.id for r in cat.read(spark, "t").collect())
+    s = cat.compact(spark, "t", target_file_bytes=512 * 1024)
+    assert s is not None and s["meta"]["binpack_groups"] == 2
+    got = sorted(r.id for r in cat.read(spark, "t").collect())
+    assert got == want
+    new = [
+        f for f in cat._snap_files(s)
+        if f["dir"] == os.path.basename(s["path"])
+    ]
+    assert new and all(f.get("partition") for f in new)
+    days = {tuple(f["partition"].items()) for f in new}
+    assert len(days) == 2  # one merged group per day
+    # the new dir carries the spec so hidden-partition pruning works
+    assert s["partition_specs"][os.path.basename(s["path"])] == [["day", "ts"]]
