@@ -32,6 +32,7 @@ from eodal_spark import geometry, grid
 from eodal_spark.operators import asof as ASOF
 from eodal_spark.operators import dedup as D
 from eodal_spark.operators import export as EX
+from eodal_spark.operators import focal as FO
 from eodal_spark.operators import graph as GR
 from eodal_spark.operators import knn as K
 from eodal_spark.operators import multimodal as MM
@@ -445,6 +446,63 @@ def _q_tile_histogram(spark, sf_dir):
 def _q_knn(spark, sf_dir):
     q = spark.createDataFrame(KNN_QUERIES, ["query_id", "lat_centi", "lon_centi"])
     return K.knn(q, _pages_geo(spark), RES, k=5)
+
+
+def _q_knn_join(spark, sf_dir):
+    """Grid-bounded kNN JOIN (layer × layer, both sides large): a
+    deterministic ~1% hash-sample of the pages layer probes the FULL
+    layer for its 3 nearest pages within a 2-cell Chebyshev disk at
+    JOIN_RES — one static relational plan, no broadcast, no per-query
+    escalation (that is `knn`'s job for small query sets).  Oracle
+    reproduces the identical disk bound and wrapped metric."""
+    geo = _pages_geo(spark)
+    probes = TX.hash_sample(geo, "url", 10).select(
+        F.col("url").alias("query_id"), "lat_centi", "lon_centi"
+    )
+    return K.knn_join(probes, geo, JOIN_RES, k=3, radius=2)
+
+
+def _q_temporal_composite(spark, sf_dir):
+    """Per-cell temporal composite (the EO cloud-free-mosaic
+    reduction): every (res-6 cell, time bucket) collapses its
+    observation stack to {count, min, max, exact median, integer
+    mean} over the page-length band."""
+    geo = _pages_geo(spark)
+    df = geo.select(
+        grid.cell_parent("cell_id", RES, 6).alias("cell6"),
+        F.unix_timestamp("warc_ts").alias("ts_sec"),
+        F.length("text").alias("n_chars"),
+    )
+    return TS.temporal_composite(df, "cell6", "ts_sec", "n_chars", BUCKET)
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """Per-language deterministic rebalancing (training-data mix):
+    en 50% / de 25% / fr 12.5% / it 5%, 1% default tail — one
+    codegen'd map lookup + the md5-bucket filter, reproduced exactly
+    by the oracle's CASE."""
+    pages = P.synth_pages(spark, N_PAGES)
+    return TX.stratified_hash_sample(
+        pages.select("url", "lang"),
+        "url",
+        "lang",
+        {"en": 500, "de": 250, "fr": 125, "it": 50},
+        default_milli=10,
+        key_out="bucket",
+    )
+
+
+def _q_focal_mean(spark, sf_dir):
+    """Box-kernel focal statistics over the rasterized page-count
+    band: pages → per-cell counts at res 6, then every cell within
+    Chebyshev distance 1 of an occupied cell aggregates its occupied
+    neighbours (x wraps, y clamps — `grid.cell_ring` semantics,
+    mirrored in the oracle's modular arithmetic)."""
+    geo = _pages_geo(spark)
+    cells = geo.groupBy(
+        grid.cell_parent("cell_id", RES, 6).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return FO.focal_stats(cells, res=6, radius=1)
 
 
 def _q_sample_points(spark, sf_dir):
@@ -1905,24 +1963,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (87 registered): position 1 is the one never-driver-checked
-    query (spatial_join_biglayer, new this round — the non-broadcast
-    shuffle spatial-join plan); positions 2-37 are ALL 36 queries parked
-    in round 5 (every one r4-green, rotated back per the policy's
-    half-cycle); positions 38-50 are r5-green queries whose code paths
-    changed in round 6 and must re-prove hash-exactness: docs_bm25_topk
-    (df-cap default + runtime micro-scale), areal_interpolate
-    (conditional dim broadcast + Column-built apportionment),
-    spatial_join_exact (geometry.py constructor edits), and the ten
-    snapshot_* gates (the catalog's manifest tier was re-architected
-    into a root + immutable per-commit segments this round).  The 37
-    entries outside the window are ALL r5-green (stale by exactly one
-    round, never more): the 13 round-5 additions plus 24 untouched
-    r5-proven operators.
+    Round 6 (91 registered): positions 1-5 are the five
+    never-driver-checked queries (spatial_join_biglayer — the
+    non-broadcast shuffle spatial-join plan — plus the four round-6
+    operators: knn_join, temporal_composite, stratified_sample,
+    focal_mean); positions 6-41 are ALL 36 queries parked in round 5
+    (every one r4-green, rotated back per the policy's half-cycle);
+    positions 42-50 are r5-green queries whose code paths changed in
+    round 6 and must re-prove hash-exactness: docs_bm25_topk (df-cap
+    default + runtime micro-scale), areal_interpolate (conditional dim
+    broadcast + Column-built apportionment), spatial_join_exact
+    (geometry.py constructor edits), and six of the ten snapshot_*
+    gates (the catalog's manifest tier was re-architected into a root
+    + immutable per-commit segments, and selective binpack compaction
+    landed this round) — chosen as the six whose paths the rewrite
+    touches hardest (scan pruning, incremental reads, MoR deletes,
+    upsert, partition grouping, refs).  The 41 entries outside the
+    window are ALL r5-green (stale by exactly one round, never more):
+    the remaining four snapshot gates, the 13 round-5 additions, and
+    24 untouched r5-proven operators.
     """
     return {
         # -- never driver-checked (new this round) --------------------------
         "spatial_join_biglayer": _q_spatial_join_biglayer,
+        "knn_join": _q_knn_join,
+        "temporal_composite": _q_temporal_composite,
+        "stratified_sample": _q_stratified_sample,
+        "focal_mean": _q_focal_mean,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -1967,12 +2034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
         "snapshot_deletes": _q_snapshot_deletes,
-        "snapshot_range_delete": _q_snapshot_range_delete,
-        "snapshot_pos_delete": _q_snapshot_pos_delete,
         "snapshot_upsert": _q_snapshot_upsert,
         "snapshot_partition_scan": _q_snapshot_partition_scan,
-        "snapshot_zorder_scan": _q_snapshot_zorder_scan,
-        "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
         "snapshot_wap": _q_snapshot_wap,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
@@ -1980,6 +2043,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "snapshot_range_delete": _q_snapshot_range_delete,
+        "snapshot_pos_delete": _q_snapshot_pos_delete,
+        "snapshot_zorder_scan": _q_snapshot_zorder_scan,
+        "snapshot_bloom_lookup": _q_snapshot_bloom_lookup,
         "polygon_overlay": _q_polygon_overlay,
         "emb_ivfpq_topk": _q_emb_ivfpq_topk,
         "docs_decontaminate": _q_docs_decontaminate,
@@ -2314,6 +2381,74 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY sqdist, p.url) AS rank
               FROM {pages} p, ({knn_q}) q
             ) WHERE rank <= 5
+        """,
+        "knn_join": f"""
+            WITH p AS (
+              SELECT url, lat_centi, lon_centi,
+                     (lon_centi * {1 << JOIN_RES} // 36000) AS x,
+                     (lat_centi * {1 << JOIN_RES} // 18000) AS y
+              FROM {pages}
+            ),
+            q AS (
+              SELECT url AS qid, lat_centi AS qlat, lon_centi AS qlon,
+                     x AS qx, y AS qy
+              FROM p
+              WHERE CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 1000 < 10
+            )
+            SELECT qid AS query_id, url, sqdist, rank FROM (
+              SELECT q.qid, p.url,
+                     (p.lat_centi - q.qlat) * (p.lat_centi - q.qlat)
+                   + least(abs(p.lon_centi - q.qlon), 36000 - abs(p.lon_centi - q.qlon))
+                   * least(abs(p.lon_centi - q.qlon), 36000 - abs(p.lon_centi - q.qlon)) AS sqdist,
+                     row_number() OVER (PARTITION BY q.qid
+                                        ORDER BY sqdist, p.url) AS rank
+              FROM p, q
+              WHERE least(abs(p.x - q.qx), {1 << JOIN_RES} - abs(p.x - q.qx)) <= 2
+                AND abs(p.y - q.qy) <= 2
+            ) WHERE rank <= 3
+        """,
+        "temporal_composite": f"""
+            SELECT {_duck_cell(6)} AS cell_id, ts_sec // {BUCKET} AS ts_bucket,
+                   count(*) AS n_obs,
+                   min(length(text)) AS v_min,
+                   max(length(text)) AS v_max,
+                   median(length(text)) AS v_median,
+                   CAST(sum(length(text)) * 1000 // count(*) AS BIGINT) AS v_mean_milli
+            FROM {pages}
+            GROUP BY 1, 2
+        """,
+        "stratified_sample": f"""
+            SELECT url, lang,
+                   CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 1000 AS bucket
+            FROM {pages}
+            WHERE CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT) % 1000 <
+                  CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250
+                            WHEN 'fr' THEN 125 WHEN 'it' THEN 50 ELSE 10 END
+        """,
+        "focal_mean": f"""
+            WITH src AS (
+              SELECT (lon_centi * 64 // 36000) AS x,
+                     (lat_centi * 64 // 18000) AS y,
+                     count(*) AS v
+              FROM {pages}
+              GROUP BY 1, 2
+            ),
+            tgt AS (
+              SELECT CAST(6 AS BIGINT) * {1 << 58}
+                     + (((x + dx) % 64 + 64) % 64) * {1 << 29}
+                     + (y + dy) AS cell_id,
+                     v
+              FROM src,
+                   (SELECT unnest(generate_series(-1, 1)) AS dx) dxs,
+                   (SELECT unnest(generate_series(-1, 1)) AS dy) dys
+              WHERE y + dy >= 0 AND y + dy < 64
+            )
+            SELECT cell_id, count(*) AS n_src,
+                   CAST(sum(v) AS BIGINT) AS v_sum,
+                   min(v) AS v_min, max(v) AS v_max,
+                   CAST(sum(v) * 1000 // count(*) AS BIGINT) AS v_mean_milli
+            FROM tgt
+            GROUP BY 1
         """,
         "sample_points": f"""
             SELECT pts.id, p.url

@@ -388,3 +388,74 @@ def knn_brute(queries: DataFrame, pages_geo: DataFrame, k: int) -> DataFrame:
     return _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
         "query_id", "url", "sqdist", "rank"
     )
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int,
+    k: int,
+    radius: int = 2,
+    left_id: str = "query_id",
+    right_cell_col: str | None = None,
+) -> DataFrame:
+    """Grid-bounded kNN JOIN — both sides arbitrarily large.
+
+    For every ``left`` point, the ``k`` nearest ``right`` points (same
+    wrapped squared centi-degree metric and url tie-break as
+    :func:`knn`) among rights whose res-``res`` cell lies within
+    Chebyshev distance ``radius`` of the left point's cell.  This is
+    the LAYER × LAYER companion of :func:`knn`: `knn` broadcasts a
+    small query set and escalates per query until the global top-k is
+    proven; a kNN *join* has 10^9 points on BOTH sides, where
+    per-query escalation rounds (driver actions) are off the table.
+    The bounded-disk contract makes the operator one static relational
+    plan — the standard scale-out trade (PostGIS `<->` lateral joins
+    and Sedona's ST_KNN make the same cut per grid block); rows whose
+    true k-th neighbour lies outside the disk return what the disk
+    holds (``rank`` may stop short of k), and a caller needing exact
+    global kNN for the remainder feeds those ids to :func:`knn`.
+
+    Shape at scale: the left side explodes to its (2·radius+1)² disk
+    (`grid.cell_ring` — x wraps, y clamps), then ONE shuffle per side
+    co-partitions on ``cell_id`` for the equi-join and ONE shuffle
+    ranks per left id.  No broadcast, no driver action, no UDF —
+    whole-stage codegen end to end.
+
+    ``right_cell_col``: name of a STORED res-``res`` cell column on
+    ``right`` (e.g. the sorted layout's ``cell_id``) — reusing it keeps
+    the join key aligned with the file sort so footer min/max stats
+    prune the probe side; when absent the cell is computed from
+    ``lon_centi``/``lat_centi``.
+    """
+    cell_sql = grid.sql_cell_encode_centi(
+        "lon_centi", "lat_centi", res, "spark"
+    )
+    q = left.select(
+        F.col(left_id).alias("query_id"),
+        F.col("lat_centi").alias("q_lat_centi"),
+        F.col("lon_centi").alias("q_lon_centi"),
+        F.expr(cell_sql).alias("_qcell"),
+    )
+    probe = q.select(
+        "query_id",
+        "q_lat_centi",
+        "q_lon_centi",
+        F.explode(grid.cell_ring(F.col("_qcell"), radius, res)).alias(
+            "cell_id"
+        ),
+    )
+    if right_cell_col is None:
+        r = right.select(
+            "url", "lat_centi", "lon_centi",
+            F.expr(cell_sql).alias("cell_id"),
+        )
+    else:
+        r = right.select(
+            "url", "lat_centi", "lon_centi",
+            F.col(right_cell_col).alias("cell_id"),
+        )
+    cand = probe.join(r, "cell_id")
+    return _ranked(cand.withColumn("sqdist", _sqdist()), k).select(
+        F.col("query_id").alias(left_id), "url", "sqdist", "rank"
+    )

@@ -337,6 +337,42 @@ def hash_sample(
     return out
 
 
+def stratified_hash_sample(
+    df,
+    key_col: str,
+    strata_col: str,
+    rates_milli: dict[str, int],
+    default_milli: int = 0,
+    key_out: str | None = None,
+):
+    """Per-stratum deterministic sampling — the language/domain
+    REBALANCING step of a training-data mix (e.g. keep 50% of English,
+    12.5% of French, drop the tail): every stratum gets its own
+    ``hash_sample`` rate, with all of that operator's guarantees
+    (partition-independent, cross-engine reproducible, monotone per
+    stratum, and CONSISTENT across strata — a row's in/out bucket
+    depends only on its key, so raising one language's rate never
+    reshuffles another's sample).
+
+    ``rates_milli`` becomes a literal ``map<string,int>`` looked up in
+    whole-stage codegen — zero joins, zero shuffles, and the filter
+    still pushes into the scan.  Strata beyond ~10⁴ entries belong in
+    a broadcast-joined rates DataFrame instead of a literal; the dict
+    form covers the real case (languages, top-level domains, source
+    tags)."""
+    pairs: list = []
+    for s, r in sorted(rates_milli.items()):
+        pairs.extend([F.lit(s), F.lit(int(r))])
+    rate = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(int(default_milli))
+    )
+    b = hash_bucket_milli(F.col(key_col))
+    out = df.filter(b < rate)
+    if key_out:
+        out = out.withColumn(key_out, b)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination (n-gram overlap vs an evaluation set)
 # ---------------------------------------------------------------------------

@@ -105,3 +105,80 @@ def sql_reindex_buckets(
         FROM spine s LEFT JOIN d
           ON d.{key_col} = s.{key_col} AND d.{bucket_col} = s.{bucket_col}
     """
+
+
+def temporal_composite(
+    df: DataFrame,
+    cell_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Per-cell temporal composite — the EO "cloud-free mosaic"
+    reduction (≡ the median/percentile compositing applied downstream
+    of `SceneCollection.get_feature_timeseries`,
+    `/root/reference/eodal/core/scene.py:472-539`; the reference
+    composites scene-by-scene in pandas, this is the relational form):
+    every (cell, time-bucket) collapses its observation stack to
+    {count, min, max, exact median, integer mean}.
+
+    Scale shape: ONE shuffle on (cell, bucket) with map-side partial
+    aggregation for count/min/max/sum; the exact ``median`` is the
+    only non-combinable member and is why the composite groups by the
+    grid cell — the per-group stack is the number of revisits (tens to
+    hundreds), never the corpus.  Mean is integer-milli (sum·1000 div
+    n) and median is exact (revisit stacks are small), so outputs are
+    cross-engine hashable."""
+    v = F.col(value_col)
+    return df.groupBy(
+        F.col(cell_col).alias("cell_id"),
+        F.expr(f"{ts_col} div {bucket_seconds}").alias("ts_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.min(v).alias("v_min"),
+        F.max(v).alias("v_max"),
+        F.median(v).alias("v_median"),
+        F.expr(f"sum({value_col}) * 1000 div count(*)").alias(
+            "v_mean_milli"
+        ),
+    )
+
+
+def medoid_composite(
+    df: DataFrame,
+    cell_col: str,
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    id_col: str = "url",
+) -> DataFrame:
+    """Best-pixel selection: per (cell, bucket), the OBSERVATION whose
+    value sits closest to the stack median — the medoid composite EO
+    pipelines use when the output must be a real observation (with its
+    provenance id), not a synthetic statistic.  Total order
+    (|v−median|, v, id) ⇒ deterministic under any parallelism.  Two
+    window passes over the same (cell, bucket) partitioning — Catalyst
+    plans ONE shuffle and sorts once."""
+    b = F.expr(f"{ts_col} div {bucket_seconds}")
+    v = F.col(value_col)
+    marked = df.select(
+        F.col(cell_col).alias("cell_id"),
+        b.alias("ts_bucket"),
+        v.alias("v"),
+        F.col(id_col).alias(id_col),
+    )
+    part = Window.partitionBy("cell_id", "ts_bucket")
+    med = marked.withColumn("_med", F.median("v").over(part))
+    w = part.orderBy(
+        F.abs(F.col("v") - F.col("_med")).asc(),
+        F.col("v").asc(),
+        F.col(id_col).asc(),
+    )
+    return (
+        med.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "cell_id", "ts_bucket", F.col(id_col),
+            F.col("v").alias("v_medoid"),
+        )
+    )

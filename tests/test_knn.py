@@ -309,3 +309,61 @@ def test_knn_large_query_set_has_bounded_plan(spark):
     assert len(plan) < 200_000, f"plan string {len(plan)} chars — literal blowup?"
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert out.count() == 50_000
+
+
+def test_knn_join_matches_disk_bounded_brute(pages_geo, spark):
+    """knn_join == a driver-side brute force applying the identical
+    Chebyshev cell bound (wrap in x, clamp in y) and wrapped metric —
+    row-for-row including ranks (total order tie-break)."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark.operators import text as TX
+
+    radius, k, n = 2, 3, 1 << RES
+    probes = TX.hash_sample(pages_geo, "url", 20).select(
+        F.col("url").alias("query_id"), "lat_centi", "lon_centi"
+    )
+    got = sorted(
+        (r.query_id, r.url, r.sqdist, r.rank)
+        for r in K.knn_join(probes, pages_geo, RES, k=k, radius=radius).collect()
+    )
+    pages = pages_geo.select("url", "lat_centi", "lon_centi").collect()
+    want = []
+    for q in probes.collect():
+        qx, qy = q.lon_centi * n // 36000, q.lat_centi * n // 18000
+        cand = []
+        for p in pages:
+            px, py = p.lon_centi * n // 36000, p.lat_centi * n // 18000
+            dx = min(abs(px - qx), n - abs(px - qx))
+            if dx > radius or abs(py - qy) > radius:
+                continue
+            dlat = p.lat_centi - q.lat_centi
+            adlon = abs(p.lon_centi - q.lon_centi)
+            dlon = min(adlon, 36000 - adlon)
+            cand.append((dlat * dlat + dlon * dlon, p.url))
+        cand.sort()
+        for rank, (d, url) in enumerate(cand[:k], start=1):
+            want.append((q.query_id, url, d, rank))
+    assert got == sorted(want)
+    # left ⊂ right ⇒ every probe's rank-1 is itself at distance 0
+    top = {
+        r.query_id: (r.url, r.sqdist)
+        for r in K.knn_join(probes, pages_geo, RES, k=1, radius=radius).collect()
+    }
+    for qid, (url, d) in top.items():
+        assert d == 0 and url == qid
+
+
+def test_knn_join_plan_has_no_broadcast_of_big_sides(pages_geo, spark):
+    """The kNN join must stay a shuffle join: neither layer may be
+    planned as a broadcast build (both are 'large' by contract)."""
+    from pyspark.sql import functions as F
+
+    probes = pages_geo.select(
+        F.col("url").alias("query_id"), "lat_centi", "lon_centi"
+    )
+    plan = (
+        K.knn_join(probes, pages_geo, RES, k=3, radius=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan

@@ -310,3 +310,33 @@ def test_pii_scrub_plan_is_native(spark):
     assert "BatchEvalPython" not in plan
     assert "PythonUDF" not in plan
     assert "Exchange" not in plan  # one pass, no shuffle
+
+
+def test_stratified_hash_sample_properties(spark, pages_small):
+    """Per-stratum slice ≡ hash_sample at that stratum's rate (the
+    consistency guarantee), default applies to unlisted strata, and
+    raising one stratum's rate never changes another's sample."""
+    from pyspark.sql import functions as F
+
+    from eodal_spark.operators import text as TX
+
+    df = pages_small.select("url", "lang")
+    rates = {"en": 400, "de": 100}
+    out = TX.stratified_hash_sample(df, "url", "lang", rates, default_milli=0)
+    got_en = {r.url for r in out.filter("lang = 'en'").collect()}
+    want_en = {
+        r.url
+        for r in TX.hash_sample(df.filter("lang = 'en'"), "url", 400).collect()
+    }
+    assert got_en == want_en
+    # unlisted strata fall to default (0 ⇒ dropped entirely)
+    assert out.filter("lang NOT IN ('en','de')").count() == 0
+    # cross-stratum independence: bumping de leaves en untouched
+    out2 = TX.stratified_hash_sample(
+        df, "url", "lang", {"en": 400, "de": 900}, default_milli=0
+    )
+    assert {r.url for r in out2.filter("lang = 'en'").collect()} == got_en
+    # monotone per stratum
+    de_lo = {r.url for r in out.filter("lang = 'de'").collect()}
+    de_hi = {r.url for r in out2.filter("lang = 'de'").collect()}
+    assert de_lo < de_hi

@@ -53,3 +53,46 @@ def test_reindex_matches_duckdb_twin(spark):
     assert got == exp
 
 
+
+
+def _stack_df(spark):
+    # two cells × two buckets; cell 1/bucket 0 has an even stack (median .5)
+    rows = [
+        (1, 10, 100, "a"), (1, 20, 104, "b"), (1, 30, 101, "c"),
+        (1, 40, 109, "d"),                       # median 102.5
+        (1, 3600, 50, "e"),                      # lone obs in bucket 1
+        (2, 15, 7, "f"), (2, 25, 7, "g"), (2, 35, 9, "h"),  # median 7
+    ]
+    return spark.createDataFrame(rows, ["cell", "ts", "v", "obs_id"])
+
+
+def test_temporal_composite_stats(spark):
+    from eodal_spark.operators.timeseries import temporal_composite
+
+    out = {
+        (r.cell_id, r.ts_bucket): r
+        for r in temporal_composite(_stack_df(spark), "cell", "ts", "v", 3600).collect()
+    }
+    r = out[(1, 0)]
+    assert (r.n_obs, r.v_min, r.v_max) == (4, 100, 109)
+    assert r.v_median == 102.5
+    assert r.v_mean_milli == (100 + 104 + 101 + 109) * 1000 // 4
+    assert out[(1, 1)].v_median == 50.0
+    assert out[(2, 0)].v_median == 7.0
+
+
+def test_medoid_composite_picks_observation_nearest_median(spark):
+    from eodal_spark.operators.timeseries import medoid_composite
+
+    out = {
+        (r.cell_id, r.ts_bucket): (r.obs_id, r.v_medoid)
+        for r in medoid_composite(
+            _stack_df(spark), "cell", "ts", "v", 3600, id_col="obs_id"
+        ).collect()
+    }
+    # stack {100,104,101,109}, median 102.5 → |101-102.5|=1.5 beats |104|=1.5?
+    # both are 1.5 → tie broken by smaller v ⇒ 101 ("c")
+    assert out[(1, 0)] == ("c", 101)
+    assert out[(1, 1)] == ("e", 50)
+    # stack {7,7,9} median 7 → two obs at distance 0, tie → smaller obs_id "f"
+    assert out[(2, 0)] == ("f", 7)
