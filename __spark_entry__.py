@@ -35,6 +35,7 @@ from eodal_spark.operators import export as EX
 from eodal_spark.operators import focal as FO
 from eodal_spark.operators import graph as GR
 from eodal_spark.operators import knn as K
+from eodal_spark.operators import lm as LM
 from eodal_spark.operators import multimodal as MM
 from eodal_spark.operators import resample as RS
 from eodal_spark.operators import retrieval as RET
@@ -891,6 +892,27 @@ def _q_docs_line_scrub(spark, sf_dir):
     ORDER BY pos."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return TX.scrub_boilerplate_lines(docs.select("doc_id", "text"))
+
+
+def _q_docs_lm_bigram(spark, sf_dir):
+    """CCNet-style bigram-LM quality scoring (Wenzek et al. 2020 §4.3,
+    public method): train add-one-smoothed bigram counts on the
+    deterministic md5 reference slice (bucket < 200 — the same
+    cross-engine slice rule as `docs_hash_sample`), score EVERY doc by
+    joining its bigrams against the model relations.  Gated columns
+    are the integer-exact model-join statistics (bigram count, model
+    hits, context hits, count masses) that pin tokenization, slice,
+    both joins and the smoothing denominators; the float log/exp step
+    on top (`ppl`) is verified against a pure-Python reference in
+    tests/test_lm.py — same integers-at-the-gate stance as BM25's
+    micro-idf.  Engine: one explode, broadcast model joins, one
+    map-side-combinable groupBy.  Oracle: the same slice/counts in
+    DuckDB via unnest + generate_series bigrams."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = LM.train_bigram_lm(docs, ref_milli=200)
+    return LM.score_bigram_lm(docs, m).select(
+        "doc_id", "n_bigrams", "n_seen", "n_ctx", "sum_c2", "sum_c1"
+    )
 
 
 def _q_docs_decontaminate(spark, sf_dir):
@@ -1963,25 +1985,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (91 registered): positions 1-5 are the five
+    Round 6 (92 registered): positions 1-6 are the six
     never-driver-checked queries (spatial_join_biglayer — the
-    non-broadcast shuffle spatial-join plan — plus the four round-6
+    non-broadcast shuffle spatial-join plan — plus the five round-6
     operators: knn_join, temporal_composite, stratified_sample,
-    focal_mean); positions 6-41 are ALL 36 queries parked in round 5
-    (every one r4-green, rotated back per the policy's half-cycle);
-    positions 42-50 are r5-green queries whose code paths changed in
-    round 6 and must re-prove hash-exactness: docs_bm25_topk (df-cap
-    default + runtime micro-scale), areal_interpolate (conditional dim
-    broadcast + Column-built apportionment), spatial_join_exact
-    (geometry.py constructor edits), and six of the ten snapshot_*
-    gates (the catalog's manifest tier was re-architected into a root
-    + immutable per-commit segments, and selective binpack compaction
-    landed this round) — chosen as the six whose paths the rewrite
-    touches hardest (scan pruning, incremental reads, MoR deletes,
-    upsert, partition grouping, refs).  The 41 entries outside the
-    window are ALL r5-green (stale by exactly one round, never more):
-    the remaining four snapshot gates, the 13 round-5 additions, and
-    24 untouched r5-proven operators.
+    focal_mean, docs_lm_bigram); positions 7-42 are ALL 36 queries
+    parked in round 5 (every one r4-green, rotated back per the
+    policy's half-cycle); positions 43-50 are r5-green queries whose
+    code paths changed in round 6 and must re-prove hash-exactness:
+    docs_bm25_topk (df-cap default + runtime micro-scale),
+    areal_interpolate (conditional dim broadcast + Column-built
+    apportionment), and six of the ten snapshot_* gates (the catalog's
+    manifest tier was re-architected into a root + immutable
+    per-commit segments, and selective binpack compaction landed this
+    round) — chosen as the six whose paths the rewrite touches hardest
+    (scan pruning, incremental reads, MoR deletes, upsert, partition
+    grouping, refs).  spatial_join_exact (geometry.py box-constructor
+    edits, also r6-touched) sits just outside at position 51: its
+    touched path is exercised in-window by spatial_join_biglayer,
+    which runs the same cover/refine geometry over the same oracle
+    family.  The 42 entries outside the window are ALL r5-green (stale
+    by exactly one round, never more): the remaining four snapshot
+    gates, the 13 round-5 additions, and 25 untouched r5-proven
+    operators.
     """
     return {
         # -- never driver-checked (new this round) --------------------------
@@ -1990,6 +2016,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_composite": _q_temporal_composite,
         "stratified_sample": _q_stratified_sample,
         "focal_mean": _q_focal_mean,
+        "docs_lm_bigram": _q_docs_lm_bigram,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2030,7 +2057,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r5-green, code paths touched in round 6 ------------------------
         "docs_bm25_topk": _q_docs_bm25_topk,
         "areal_interpolate": _q_areal_interpolate,
-        "spatial_join_exact": _q_spatial_join_exact,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
         "snapshot_deletes": _q_snapshot_deletes,
@@ -2043,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "spatial_join_exact": _q_spatial_join_exact,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "snapshot_pos_delete": _q_snapshot_pos_delete,
         "snapshot_zorder_scan": _q_snapshot_zorder_scan,
@@ -2695,6 +2722,43 @@ def oracle_sql() -> dict[str, str]:
         # benchmark decontamination: train doc flagged iff it shares a
         # word-4-gram with the doc_id%50=3 benchmark slice; same
         # regexp tokenization as the Spark side
+        # CCNet bigram-LM gate: identical md5 slice rule, identical
+        # tokenization, bigrams via generate_series; the gated columns
+        # are all-integer (counts + coalesced count masses) so the
+        # hash is float-free — the log/exp perplexity on top is
+        # python-reference-tested locally (tests/test_lm.py)
+        "docs_lm_bigram": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM words, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+            ),
+            ref AS (
+              SELECT w1, w2, COUNT(*) AS c2
+              FROM bg
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 1000 < 200
+              GROUP BY 1, 2
+            ),
+            ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM ref GROUP BY 1)
+            SELECT b.doc_id,
+                   COUNT(*) AS n_bigrams,
+                   CAST(SUM(CASE WHEN r.c2 IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_seen,
+                   CAST(SUM(CASE WHEN c.c1 IS NULL THEN 0 ELSE 1 END)
+                        AS BIGINT) AS n_ctx,
+                   CAST(SUM(COALESCE(r.c2, 0)) AS BIGINT) AS sum_c2,
+                   CAST(SUM(COALESCE(c.c1, 0)) AS BIGINT) AS sum_c1
+            FROM bg b
+            LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
+            LEFT JOIN ctx c ON b.w1 = c.w1
+            GROUP BY 1
+        """,
         "docs_decontaminate": """
             WITH words AS (
               SELECT doc_id,
