@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from eodal_spark import geometry, grid
 from eodal_spark.operators import asof as ASOF
 from eodal_spark.operators import dedup as D
+from eodal_spark.operators import exact_substr as ES
 from eodal_spark.operators import export as EX
 from eodal_spark.operators import focal as FO
 from eodal_spark.operators import graph as GR
@@ -913,6 +914,20 @@ def _q_docs_lm_bigram(spark, sf_dir):
     return LM.score_bigram_lm(docs, m).select(
         "doc_id", "n_bigrams", "n_seen", "n_ctx", "sum_c2", "sum_c1"
     )
+
+
+def _q_docs_exact_substr(spark, sf_dir):
+    """ExactSubstr duplicate-span statistics (Lee et al. 2022, public
+    method): word-10-gram windows occurring ≥2 times corpus-wide,
+    merged into maximal spans per doc (gaps-and-islands over window
+    start positions).  All-integer output — window counts, span
+    counts, covered-token mass, per-mille coverage — hashed against a
+    DuckDB twin running the identical windows/HAVING/LAG plan.  The
+    gate runs ``hashed=False`` (exact string keys, collision-free by
+    construction); the scale path's xxhash64 keying is test-asserted
+    equal on fixtures (tests/test_exact_substr.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ES.duplicate_span_stats(docs, n=10, hashed=False)
 
 
 def _q_docs_decontaminate(spark, sf_dir):
@@ -1985,29 +2000,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (92 registered): positions 1-6 are the six
+    Round 6 (93 registered): positions 1-7 are the seven
     never-driver-checked queries (spatial_join_biglayer — the
-    non-broadcast shuffle spatial-join plan — plus the five round-6
+    non-broadcast shuffle spatial-join plan — plus the six round-6
     operators: knn_join, temporal_composite, stratified_sample,
-    focal_mean, docs_lm_bigram); positions 7-42 are ALL 36 queries
-    parked in round 5 (every one r4-green, rotated back per the
-    policy's half-cycle); positions 43-50 are r5-green queries whose
-    code paths changed in round 6 and must re-prove hash-exactness:
-    docs_bm25_topk (df-cap default + runtime micro-scale),
-    areal_interpolate (conditional dim broadcast + Column-built
-    apportionment), and six of the ten snapshot_* gates (the catalog's
-    manifest tier was re-architected into a root + immutable
-    per-commit segments, and selective binpack compaction landed this
-    round) — chosen as the six whose paths the rewrite touches hardest
-    (scan pruning, incremental reads, MoR deletes, upsert, partition
-    grouping, refs).  spatial_join_exact (geometry.py box-constructor
-    edits, also r6-touched) sits just outside at position 51: its
-    touched path is exercised in-window by spatial_join_biglayer,
-    which runs the same cover/refine geometry over the same oracle
-    family.  The 42 entries outside the window are ALL r5-green (stale
-    by exactly one round, never more): the remaining four snapshot
-    gates, the 13 round-5 additions, and 25 untouched r5-proven
-    operators.
+    focal_mean, docs_lm_bigram, docs_exact_substr); positions 8-43 are
+    ALL 36 queries parked in round 5 (every one r4-green, rotated back
+    per the policy's half-cycle); positions 44-50 are r5-green queries
+    whose code paths changed in round 6 and must re-prove
+    hash-exactness: docs_bm25_topk (df-cap default + runtime
+    micro-scale), areal_interpolate (conditional dim broadcast +
+    Column-built apportionment), and five of the ten snapshot_* gates
+    (the catalog's manifest tier was re-architected into a root +
+    immutable per-commit segments, and selective binpack compaction
+    landed this round) — chosen as the five whose paths the rewrite
+    touches hardest (scan pruning, incremental reads, MoR deletes,
+    upsert, partition grouping).  Just outside at positions 51-52:
+    snapshot_wap (refs path — r6-touched but branch semantics are
+    r5-proven and battery-tested in test_infra) and spatial_join_exact
+    (geometry.py box-constructor edits — exercised in-window by
+    spatial_join_biglayer, same cover/refine geometry, same oracle
+    family).  The 43 entries outside the window are ALL r5-green
+    (stale by exactly one round, never more) and remain gated every
+    round by the local DuckDB twin.
     """
     return {
         # -- never driver-checked (new this round) --------------------------
@@ -2017,6 +2032,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "focal_mean": _q_focal_mean,
         "docs_lm_bigram": _q_docs_lm_bigram,
+        "docs_exact_substr": _q_docs_exact_substr,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2062,13 +2078,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_upsert": _q_snapshot_upsert,
         "snapshot_partition_scan": _q_snapshot_partition_scan,
-        "snapshot_wap": _q_snapshot_wap,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
         # every one has a FRESH r5-green driver row (stale by exactly one
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "snapshot_wap": _q_snapshot_wap,
         "spatial_join_exact": _q_spatial_join_exact,
         "snapshot_range_delete": _q_snapshot_range_delete,
         "snapshot_pos_delete": _q_snapshot_pos_delete,
@@ -2758,6 +2774,51 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
             LEFT JOIN ctx c ON b.w1 = c.w1
             GROUP BY 1
+        """,
+        # ExactSubstr span stats: identical windows (10-gram, 1-based
+        # inclusive slices), identical HAVING >= 2 hot set, identical
+        # gaps-and-islands LAG merge; all-integer output
+        "docs_exact_substr": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS ng
+              FROM words, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+            ),
+            hot AS (SELECT ng FROM wins GROUP BY ng HAVING COUNT(*) >= 2),
+            dup AS (
+              SELECT doc_id, pos,
+                     pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS delta
+              FROM wins WHERE ng IN (SELECT ng FROM hot)
+            ),
+            spans AS (
+              SELECT doc_id,
+                     COUNT(*) AS n_dup_windows,
+                     CAST(SUM(CASE WHEN delta IS NULL OR delta > 10
+                                   THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                     CAST(SUM(CASE WHEN delta IS NULL OR delta > 10
+                                   THEN 10 ELSE LEAST(delta, 10) END)
+                          AS BIGINT) AS dup_tokens
+              FROM dup GROUP BY doc_id
+            )
+            SELECT w.doc_id,
+                   CAST(len(w.ws) AS BIGINT) AS n_tokens,
+                   CAST(GREATEST(len(w.ws) - 9, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(s.n_dup_windows, 0) AS BIGINT)
+                     AS n_dup_windows,
+                   CAST(COALESCE(s.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+                   CAST(COALESCE(s.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+                   CAST(CASE WHEN len(w.ws) <= 0 THEN 0
+                             ELSE (COALESCE(s.dup_tokens, 0) * 1000)
+                                  // len(w.ws) END AS BIGINT)
+                     AS dup_token_milli
+            FROM words w LEFT JOIN spans s USING (doc_id)
         """,
         "docs_decontaminate": """
             WITH words AS (
