@@ -916,6 +916,18 @@ def _q_docs_lm_bigram(spark, sf_dir):
     )
 
 
+def _q_docs_chunked(spark, sf_dir):
+    """Passage chunking (the embed/RAG prep stage): 32-token windows,
+    8-token overlap, tail kept, fully-contained tails never emitted.
+    Pure flatMap — split → strided sequence → slice → array_join →
+    posexplode, no shuffle (plan-asserted in test_text).  The gate
+    hashes the chunk TEXT itself plus ordinals and token counts, so
+    window arithmetic and join separators are pinned byte-for-byte
+    against the DuckDB twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return TX.chunk_tokens(docs, size=32, overlap=8)
+
+
 def _q_docs_exact_substr(spark, sf_dir):
     """ExactSubstr duplicate-span statistics (Lee et al. 2022, public
     method): word-10-gram windows occurring ≥2 times corpus-wide,
@@ -2000,29 +2012,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (93 registered): positions 1-7 are the seven
+    Round 6 (94 registered): positions 1-8 are the eight
     never-driver-checked queries (spatial_join_biglayer — the
-    non-broadcast shuffle spatial-join plan — plus the six round-6
+    non-broadcast shuffle spatial-join plan — plus the seven round-6
     operators: knn_join, temporal_composite, stratified_sample,
-    focal_mean, docs_lm_bigram, docs_exact_substr); positions 8-43 are
-    ALL 36 queries parked in round 5 (every one r4-green, rotated back
-    per the policy's half-cycle); positions 44-50 are r5-green queries
-    whose code paths changed in round 6 and must re-prove
-    hash-exactness: docs_bm25_topk (df-cap default + runtime
-    micro-scale), areal_interpolate (conditional dim broadcast +
-    Column-built apportionment), and five of the ten snapshot_* gates
-    (the catalog's manifest tier was re-architected into a root +
-    immutable per-commit segments, and selective binpack compaction
-    landed this round) — chosen as the five whose paths the rewrite
+    focal_mean, docs_lm_bigram, docs_exact_substr, docs_chunked);
+    positions 9-44 are ALL 36 queries parked in round 5 (every one
+    r4-green, rotated back per the policy's half-cycle); positions
+    45-50 are r5-green queries whose code paths changed in round 6 and
+    must re-prove hash-exactness: docs_bm25_topk (df-cap default +
+    runtime micro-scale), areal_interpolate (conditional dim broadcast
+    + Column-built apportionment), and four of the ten snapshot_*
+    gates (the catalog's manifest tier was re-architected into a root
+    + immutable per-commit segments, and selective binpack compaction
+    landed this round) — chosen as the four whose paths the rewrite
     touches hardest (scan pruning, incremental reads, MoR deletes,
-    upsert, partition grouping).  Just outside at positions 51-52:
-    snapshot_wap (refs path — r6-touched but branch semantics are
-    r5-proven and battery-tested in test_infra) and spatial_join_exact
-    (geometry.py box-constructor edits — exercised in-window by
-    spatial_join_biglayer, same cover/refine geometry, same oracle
-    family).  The 43 entries outside the window are ALL r5-green
-    (stale by exactly one round, never more) and remain gated every
-    round by the local DuckDB twin.
+    upsert).  Just outside at positions 51-53, r6-touched but
+    lighter-touched and battery-tested in test_infra/test_plans:
+    snapshot_partition_scan (per-dir spec grouping), snapshot_wap
+    (refs path), spatial_join_exact (geometry.py box-constructor
+    edits — exercised in-window by spatial_join_biglayer, same
+    cover/refine geometry, same oracle family).  The 44 entries
+    outside the window are ALL r5-green (stale by exactly one round,
+    never more) and remain gated every round by the local DuckDB twin.
     """
     return {
         # -- never driver-checked (new this round) --------------------------
@@ -2033,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "focal_mean": _q_focal_mean,
         "docs_lm_bigram": _q_docs_lm_bigram,
         "docs_exact_substr": _q_docs_exact_substr,
+        "docs_chunked": _q_docs_chunked,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2077,13 +2090,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental": _q_snapshot_incremental,
         "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_upsert": _q_snapshot_upsert,
-        "snapshot_partition_scan": _q_snapshot_partition_scan,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
         # every one has a FRESH r5-green driver row (stale by exactly one
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "snapshot_partition_scan": _q_snapshot_partition_scan,
         "snapshot_wap": _q_snapshot_wap,
         "spatial_join_exact": _q_spatial_join_exact,
         "snapshot_range_delete": _q_snapshot_range_delete,
@@ -2774,6 +2787,32 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
             LEFT JOIN ctx c ON b.w1 = c.w1
             GROUP BY 1
+        """,
+        # passage chunking: identical strided windows (size 32, overlap
+        # 8, step 24), 1-based inclusive slices, single-space joins;
+        # chunk_id = (start-1)//step since starts are exactly 1+k*step
+        "docs_chunked": """
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            sized AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) <= 0 THEN 0
+                          ELSE GREATEST((len(ws) - 8 - 1) // 24 + 1, 1)
+                     END AS n_chunks
+              FROM words
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+                   CAST(len(ws[s:s+31]) AS BIGINT) AS n_tokens,
+                   array_to_string(ws[s:s+31], ' ') AS chunk
+            FROM sized,
+                 UNNEST(generate_series(1, (n_chunks - 1) * 24 + 1, 24))
+                   AS t(s)
+            WHERE n_chunks > 0
         """,
         # ExactSubstr span stats: identical windows (10-gram, 1-based
         # inclusive slices), identical HAVING >= 2 hot set, identical

@@ -553,3 +553,58 @@ def scrub_pii(
     if mode == "drop":
         counted = counted.filter(F.col("pii_total") <= max_total)
     return counted.withColumn(text_col, redact_pii(t))
+
+
+def chunk_tokens(
+    df: DataFrame,
+    size: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with optional
+    overlap — the passage-chunking stage every embedding/RAG pipeline
+    runs before vectorization (chunk → embed → index), and the unit
+    the ANN tier (`operators/similarity`) indexes.
+
+    One row per chunk: ``(id, chunk_id, n_tokens, chunk)`` where
+    ``chunk_id`` is the 0-based ordinal, chunks start every
+    ``size - overlap`` tokens, the last chunk keeps the tail (shorter
+    than ``size``), and a doc shorter than ``size`` yields exactly one
+    chunk.  Empty docs yield none.  Whitespace inside chunks is
+    normalized to single spaces (token-granular surgery, same stance
+    as `scrub_boilerplate_lines`).
+
+    Engine shape: pure higher-order functions (split → sequence with
+    stride → slice → array_join) + one posexplode — a flatMap, NO
+    shuffle, whole-stage codegen, no UDF; at 10^12 docs it pipelines
+    straight into the embedding scorer.  ≡ the reference's tiling of a
+    raster into fixed windows for block processing
+    (`eodal/core/band.py` windowed reads), applied to the token axis."""
+    if size <= 0 or overlap < 0 or overlap >= size:
+        raise ValueError(f"need 0 <= overlap < size, got {size=} {overlap=}")
+    step = size - overlap
+    ws = _words(F.col(text_col))
+    n = F.size(ws)
+    # last start: the largest k*step+1 that still begins a NEW span
+    # (start <= n - overlap keeps tails that extend past a prior chunk)
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(_idiv(n - overlap - 1, F.lit(step)) + 1, F.lit(1))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest((n_chunks - 1) * step + 1, F.lit(1)), F.lit(step)
+    )
+    chunks = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            starts, lambda s: F.array_join(F.slice(ws, s, F.lit(size)), " ")
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split(F.col("chunk"), " ", -1)).cast("long").alias("n_tokens"),
+        "chunk",
+    )

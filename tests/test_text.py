@@ -340,3 +340,50 @@ def test_stratified_hash_sample_properties(spark, pages_small):
     de_lo = {r.url for r in out.filter("lang = 'de'").collect()}
     de_hi = {r.url for r in out2.filter("lang = 'de'").collect()}
     assert de_lo < de_hi
+
+
+def test_chunk_tokens_windows_and_tail(spark):
+    import pytest as _pytest
+
+    from eodal_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),   # size 4 overlap 1 -> [1..4], [4..5]
+            (2, "a b c"),            # shorter than size -> one chunk
+            (3, ""),                 # empty -> no chunks
+            (4, "  x  "),            # whitespace mess -> one 1-token chunk
+        ],
+        ["doc_id", "text"],
+    )
+    out = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk)
+        for r in chunk_tokens(df, size=4, overlap=1).collect()
+    )
+    assert out == [
+        (1, 0, 4, "w1 w2 w3 w4"),
+        (1, 1, 2, "w4 w5"),
+        (2, 0, 3, "a b c"),
+        (4, 0, 1, "x"),
+    ]
+    # no-overlap exact tiling: 6 tokens / size 2 -> 3 chunks
+    df2 = spark.createDataFrame([(9, "a b c d e f")], ["doc_id", "text"])
+    got = [r.chunk for r in chunk_tokens(df2, size=2).orderBy("chunk_id").collect()]
+    assert got == ["a b", "c d", "e f"]
+    # a chunk fully contained in the previous one is never emitted
+    df3 = spark.createDataFrame([(9, "a b c d")], ["doc_id", "text"])
+    assert chunk_tokens(df3, size=3, overlap=2).count() == 2  # [a b c], [b c d]
+    with _pytest.raises(ValueError):
+        chunk_tokens(df, size=4, overlap=4)
+
+
+def test_chunk_tokens_plan_is_native(spark):
+    from eodal_spark.operators.text import chunk_tokens
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    plan = (
+        chunk_tokens(df, size=2, overlap=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # flatMap only - no shuffle
