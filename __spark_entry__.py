@@ -507,6 +507,23 @@ def _q_focal_mean(spark, sf_dir):
     return FO.focal_stats(cells, res=6, radius=1)
 
 
+def _q_focal_gradient(spark, sf_dir):
+    """Horn (1981) gradients over the rasterized page-count band —
+    the directional-kernel generalization of `focal_mean` and the
+    integer core under `focal.slope_aspect` (terrain slope/aspect).
+    gx8/gy8 = 8×∂v/∂(x,y), integer-exact by construction (integer
+    Horn weights × integer counts); the float slope/aspect edge on
+    top is python-reference-tested in test_focal.  ONE explode over
+    the union footprint + ONE shuffle evaluates both kernels
+    (plan-asserted); x wraps, y clamps, mirrored by the oracle's
+    modular arithmetic and VALUES-table weights."""
+    geo = _pages_geo(spark)
+    cells = geo.groupBy(
+        grid.cell_parent("cell_id", RES, 6).alias("cell_id")
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return FO.gradient(cells, res=6)
+
+
 def _q_sample_points(spark, sf_dir):
     pts = spark.createDataFrame(SAMPLE_POINTS, ["id", "lon", "lat"])
     return SJ.sample_points(
@@ -2012,27 +2029,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (94 registered): positions 1-8 are the eight
+    Round 6 (95 registered): positions 1-9 are the nine
     never-driver-checked queries (spatial_join_biglayer — the
-    non-broadcast shuffle spatial-join plan — plus the seven round-6
+    non-broadcast shuffle spatial-join plan — plus the eight round-6
     operators: knn_join, temporal_composite, stratified_sample,
-    focal_mean, docs_lm_bigram, docs_exact_substr, docs_chunked);
-    positions 9-44 are ALL 36 queries parked in round 5 (every one
-    r4-green, rotated back per the policy's half-cycle); positions
-    45-50 are r5-green queries whose code paths changed in round 6 and
-    must re-prove hash-exactness: docs_bm25_topk (df-cap default +
-    runtime micro-scale), areal_interpolate (conditional dim broadcast
-    + Column-built apportionment), and four of the ten snapshot_*
-    gates (the catalog's manifest tier was re-architected into a root
-    + immutable per-commit segments, and selective binpack compaction
-    landed this round) — chosen as the four whose paths the rewrite
-    touches hardest (scan pruning, incremental reads, MoR deletes,
-    upsert).  Just outside at positions 51-53, r6-touched but
-    lighter-touched and battery-tested in test_infra/test_plans:
+    focal_mean, docs_lm_bigram, docs_exact_substr, docs_chunked,
+    focal_gradient); positions 10-45 are ALL 36 queries parked in
+    round 5 (every one r4-green, rotated back per the policy's
+    half-cycle); positions 46-50 are r5-green queries whose code paths
+    changed in round 6 and must re-prove hash-exactness:
+    docs_bm25_topk (df-cap default + runtime micro-scale),
+    areal_interpolate (conditional dim broadcast + Column-built
+    apportionment), and three of the ten snapshot_* gates (the
+    catalog's manifest tier was re-architected into a root + immutable
+    per-commit segments, and selective binpack compaction landed this
+    round) — chosen as the three whose paths the rewrite touches
+    hardest (scan pruning, incremental reads, MoR deletes).  Just
+    outside at positions 51-54, r6-touched but lighter-touched and
+    battery-tested in test_infra/test_plans: snapshot_upsert (composes
+    the in-window MoR delete machinery; write path in test_infra),
     snapshot_partition_scan (per-dir spec grouping), snapshot_wap
     (refs path), spatial_join_exact (geometry.py box-constructor
     edits — exercised in-window by spatial_join_biglayer, same
-    cover/refine geometry, same oracle family).  The 44 entries
+    cover/refine geometry, same oracle family).  The 45 entries
     outside the window are ALL r5-green (stale by exactly one round,
     never more) and remain gated every round by the local DuckDB twin.
     """
@@ -2046,6 +2065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_lm_bigram": _q_docs_lm_bigram,
         "docs_exact_substr": _q_docs_exact_substr,
         "docs_chunked": _q_docs_chunked,
+        "focal_gradient": _q_focal_gradient,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2089,13 +2109,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
         "snapshot_deletes": _q_snapshot_deletes,
-        "snapshot_upsert": _q_snapshot_upsert,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
         # every one has a FRESH r5-green driver row (stale by exactly one
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "snapshot_upsert": _q_snapshot_upsert,
         "snapshot_partition_scan": _q_snapshot_partition_scan,
         "snapshot_wap": _q_snapshot_wap,
         "spatial_join_exact": _q_spatial_join_exact,
@@ -2503,6 +2523,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(v) AS BIGINT) AS v_sum,
                    min(v) AS v_min, max(v) AS v_max,
                    CAST(sum(v) * 1000 // count(*) AS BIGINT) AS v_mean_milli
+            FROM tgt
+            GROUP BY 1
+        """,
+        # Horn gradients: scatter form (target = source - offset) with
+        # a VALUES weight table; x modular-wraps, y range-filters —
+        # identical to the Spark plan's arithmetic
+        "focal_gradient": f"""
+            WITH src AS (
+              SELECT (lon_centi * 64 // 36000) AS x,
+                     (lat_centi * 64 // 18000) AS y,
+                     count(*) AS v
+              FROM {pages}
+              GROUP BY 1, 2
+            ),
+            k(dx, dy, wx, wy) AS (VALUES
+              (1, -1, 1, -1), (1, 0, 2, 0), (1, 1, 1, 1),
+              (-1, -1, -1, -1), (-1, 0, -2, 0), (-1, 1, -1, 1),
+              (0, 1, 0, 2), (0, -1, 0, -2)
+            ),
+            tgt AS (
+              SELECT CAST(6 AS BIGINT) * {1 << 58}
+                     + (((x - dx) % 64 + 64) % 64) * {1 << 29}
+                     + (y - dy) AS cell_id,
+                     v, wx, wy
+              FROM src, k
+              WHERE y - dy >= 0 AND y - dy < 64
+            )
+            SELECT cell_id, count(*) AS n_src,
+                   CAST(sum(wx * v) AS BIGINT) AS gx8,
+                   CAST(sum(wy * v) AS BIGINT) AS gy8
             FROM tgt
             GROUP BY 1
         """,

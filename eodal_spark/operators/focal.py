@@ -58,3 +58,131 @@ def focal_stats(
         F.max("_v").alias("v_max"),
         F.expr("sum(_v) * 1000 div count(*)").alias("v_mean_milli"),
     )
+
+
+def focal_kernel(
+    cells: DataFrame,
+    res: int,
+    kernels: dict[str, dict[tuple[int, int], int]],
+    cell_col: str = "cell_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Arbitrary integer-weighted focal kernels — the directional
+    generalization of :func:`focal_stats` (gradients, Laplacians,
+    emboss/edge filters).  ``kernels`` maps output names to
+    ``{(dx, dy): weight}``; every named kernel is evaluated in the
+    SAME single pass: one explode over the union footprint (weights
+    ride along as struct fields), one map-side-combinable shuffle.
+
+    Gather convention: output(cell) = Σ w(dx,dy) · v(cell.x+dx,
+    cell.y+dy), computed in scatter form (each SOURCE contributes to
+    target = source − (dx,dy)) so there is no join.  x wraps at ±180°,
+    y clamps at the poles — identical to `grid.cell_ring`.  ``n_src``
+    counts occupied cells in the footprint; consumers needing a full
+    stencil (e.g. Horn gradients) filter ``n_src == len(footprint)``.
+    Integer weights × integer values keep every output bigint-exact —
+    gated outputs hash across engines."""
+    offsets = sorted({o for k in kernels.values() for o in k})
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                *[
+                    F.lit(int(kern.get((dx, dy), 0))).cast("long")
+                    .alias(f"w_{name}")
+                    for name, kern in kernels.items()
+                ],
+            )
+            for dx, dy in offsets
+        ]
+    )
+    n = 1 << res
+    e = cells.select(
+        F.col(cell_col).alias("_c"),
+        F.col(value_col).alias("_v"),
+        F.explode(entries).alias("k"),
+    )
+    x = grid.cell_x_of(F.col("_c"))
+    y = grid.cell_y_of(F.col("_c"))
+    ty = y - F.col("k.dy")
+    tid = (
+        F.lit(res << grid._RES_SHIFT).cast("long")
+        + F.shiftleft(
+            F.pmod(x - F.col("k.dx"), F.lit(n)).cast("long"), grid._X_SHIFT
+        )
+        + ty.cast("long")
+    )
+    e = e.filter((ty >= 0) & (ty < n)).select(
+        tid.alias("cell_id"), "_v", "k.*"
+    )
+    return e.groupBy("cell_id").agg(
+        F.count(F.lit(1)).alias("n_src"),
+        *[
+            F.sum(F.col(f"w_{name}") * F.col("_v")).cast("long").alias(name)
+            for name in kernels
+        ],
+    )
+
+
+#: Horn (1981) 3×3 gradient stencils — ×8 the true derivative, kept
+#: integral so the gate hashes; divide by 8·cellsize at the float edge.
+HORN_GX = {(1, -1): 1, (1, 0): 2, (1, 1): 1,
+           (-1, -1): -1, (-1, 0): -2, (-1, 1): -1}
+HORN_GY = {(-1, 1): 1, (0, 1): 2, (1, 1): 1,
+           (-1, -1): -1, (0, -1): -2, (1, -1): -1}
+
+
+def gradient(
+    cells: DataFrame,
+    res: int,
+    cell_col: str = "cell_id",
+    value_col: str = "v",
+) -> DataFrame:
+    """Horn gradients over the cell grid: ``(cell_id, n_src, gx8,
+    gy8)`` with gx8/gy8 = 8 × ∂v/∂x, 8 × ∂v/∂y — integer-exact (the
+    driver-gated form).  ``n_src`` = occupied 8-neighbours."""
+    return focal_kernel(
+        cells, res, {"gx8": HORN_GX, "gy8": HORN_GY}, cell_col, value_col
+    )
+
+
+def slope_aspect(
+    cells: DataFrame,
+    res: int,
+    cell_size: float = 1.0,
+    cell_col: str = "cell_id",
+    value_col: str = "v",
+    require_full: bool = True,
+) -> DataFrame:
+    """Slope/aspect from the Horn gradients — the terrain pair every
+    raster engine ships (≡ the numpy post-processing the reference
+    leaves to `Band.values` consumers, band.py:353-365).
+
+    ``slope_deg`` = atan(|∇v| / (8·cell_size)) in degrees;
+    ``aspect_deg`` = compass direction of steepest DESCENT,
+    (degrees(atan2(gx8, gy8)) + 360) % 360 with 0 = +y (north),
+    90 = +x (east).  Floats live only here — the integer gradients
+    underneath are the gated surface; this float edge is verified
+    against a python reference in tests (same stance as `lm.ppl`).
+    ``require_full`` drops cells lacking the full 8-neighbour stencil
+    (partial stencils bias the derivative toward the occupied side)."""
+    g = gradient(cells, res, cell_col, value_col)
+    if require_full:
+        g = g.filter(F.col("n_src") == 8)
+    denom = F.lit(8.0 * float(cell_size))
+    mag = F.sqrt(
+        (F.col("gx8") * F.col("gx8") + F.col("gy8") * F.col("gy8"))
+        .cast("double")
+    )
+    return g.select(
+        "cell_id",
+        "gx8",
+        "gy8",
+        F.degrees(F.atan(mag / denom)).alias("slope_deg"),
+        F.pmod(
+            F.degrees(F.atan2(-F.col("gx8").cast("double"),
+                              -F.col("gy8").cast("double"))) + 360.0,
+            F.lit(360.0),
+        ).alias("aspect_deg"),
+    )
