@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from eodal_spark import geometry, grid
 from eodal_spark.operators import asof as ASOF
+from eodal_spark.operators import bpe as BPE
 from eodal_spark.operators import dedup as D
 from eodal_spark.operators import exact_substr as ES
 from eodal_spark.operators import export as EX
@@ -930,6 +931,34 @@ def _q_docs_lm_bigram(spark, sf_dir):
     m = LM.train_bigram_lm(docs, ref_milli=200)
     return LM.score_bigram_lm(docs, m).select(
         "doc_id", "n_bigrams", "n_seen", "n_ctx", "sum_c2", "sum_c1"
+    )
+
+
+# Fixed demonstration merge table for the BPE APPLICATION gate — the
+# apply path is what runs corpus-wide at 10^12 tokens; training is
+# gated locally by python-reference equality (tests/test_bpe.py).
+# A literal table keeps the DuckDB twin a pure function of the same
+# constants (oracle_sql cannot train).
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("the", "</w>"), ("i", "n"), ("in", "g"),
+    ("ing", "</w>"), ("e", "r"), ("a", "n"), ("an", "d"), ("o", "n"),
+    ("e", "</w>"), ("s", "</w>"),
+]
+
+
+def _q_docs_bpe_pieces(spark, sf_dir):
+    """BPE tokenization (Sennrich et al. 2016) applied with the fixed
+    merge table — map-side only: split → per-word native replace
+    chain → re-split inside transforms, ZERO shuffles (plan-asserted
+    in test_bpe).  The gate hashes the full piece sequence
+    byte-for-byte (joined) plus word/piece counts against a DuckDB
+    twin running the identical replace chain, so the greedy
+    resume-after-match overlap semantics are pinned cross-engine."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = BPE.bpe_pieces(docs, _BPE_MERGES)
+    return out.select(
+        "doc_id", "n_words", "n_pieces",
+        F.array_join("pieces", " ").alias("piece_str"),
     )
 
 
@@ -2029,29 +2058,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (95 registered): positions 1-9 are the nine
+    Round 6 (96 registered): positions 1-10 are the ten
     never-driver-checked queries (spatial_join_biglayer — the
-    non-broadcast shuffle spatial-join plan — plus the eight round-6
+    non-broadcast shuffle spatial-join plan — plus the nine round-6
     operators: knn_join, temporal_composite, stratified_sample,
     focal_mean, docs_lm_bigram, docs_exact_substr, docs_chunked,
-    focal_gradient); positions 10-45 are ALL 36 queries parked in
-    round 5 (every one r4-green, rotated back per the policy's
-    half-cycle); positions 46-50 are r5-green queries whose code paths
-    changed in round 6 and must re-prove hash-exactness:
-    docs_bm25_topk (df-cap default + runtime micro-scale),
-    areal_interpolate (conditional dim broadcast + Column-built
-    apportionment), and three of the ten snapshot_* gates (the
-    catalog's manifest tier was re-architected into a root + immutable
-    per-commit segments, and selective binpack compaction landed this
-    round) — chosen as the three whose paths the rewrite touches
-    hardest (scan pruning, incremental reads, MoR deletes).  Just
-    outside at positions 51-54, r6-touched but lighter-touched and
-    battery-tested in test_infra/test_plans: snapshot_upsert (composes
-    the in-window MoR delete machinery; write path in test_infra),
+    focal_gradient, docs_bpe_pieces); positions 11-46 are ALL 36
+    queries parked in round 5 (every one r4-green, rotated back per
+    the policy's half-cycle); positions 47-50 are r5-green queries
+    whose code paths changed in round 6 and must re-prove
+    hash-exactness: docs_bm25_topk (df-cap default + runtime
+    micro-scale), areal_interpolate (conditional dim broadcast +
+    Column-built apportionment), and the two snapshot_* gates the
+    manifest-tier rewrite (root + immutable per-commit segments,
+    binpack compaction) touches hardest: snapshot_pruned_scan (segment
+    pruning) and snapshot_incremental (segment deltas).  Just outside
+    at positions 51-55, r6-touched but lighter-touched and
+    battery-tested in test_infra/test_plans: snapshot_deletes and
+    snapshot_upsert (MoR anti-join semantics unchanged by the rewrite;
+    only segment STORAGE moved — the in-window pruned_scan/incremental
+    pair exercises the new segment logic directly),
     snapshot_partition_scan (per-dir spec grouping), snapshot_wap
     (refs path), spatial_join_exact (geometry.py box-constructor
     edits — exercised in-window by spatial_join_biglayer, same
-    cover/refine geometry, same oracle family).  The 45 entries
+    cover/refine geometry, same oracle family).  The 46 entries
     outside the window are ALL r5-green (stale by exactly one round,
     never more) and remain gated every round by the local DuckDB twin.
     """
@@ -2066,6 +2096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_exact_substr": _q_docs_exact_substr,
         "docs_chunked": _q_docs_chunked,
         "focal_gradient": _q_focal_gradient,
+        "docs_bpe_pieces": _q_docs_bpe_pieces,
         # -- ALL 36 queries parked in round 5 — rotate back in --------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -2108,13 +2139,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "areal_interpolate": _q_areal_interpolate,
         "snapshot_pruned_scan": _q_snapshot_pruned_scan,
         "snapshot_incremental": _q_snapshot_incremental,
-        "snapshot_deletes": _q_snapshot_deletes,
         # ------------------------------------------------------------------
         # Entries below are OUTSIDE the driver's 50-row window this round —
         # every one has a FRESH r5-green driver row (stale by exactly one
         # round; rotate back in round 7 per the policy above).  All remain
         # gated by the local DuckDB twin in tests/test_entry_oracles.
         # ------------------------------------------------------------------
+        "snapshot_deletes": _q_snapshot_deletes,
         "snapshot_upsert": _q_snapshot_upsert,
         "snapshot_partition_scan": _q_snapshot_partition_scan,
         "snapshot_wap": _q_snapshot_wap,
@@ -2347,6 +2378,12 @@ def oracle_sql() -> dict[str, str]:
     pt_cell = grid.sql_cell_encode_centi("p_lon_centi", "p_lat_centi", JOIN_RES, "duckdb")
     cell6 = _duck_cell(6)
     cell9 = _duck_cell(9)
+    # the BPE replace chain, one nested replace per fixed merge, over
+    # the char-interleaved symbol string (\x1f separator, </w> marker)
+    _sep = "\x1f"
+    bpe_chain = f"regexp_replace(w, '(.)', '\\1{_sep}', 'g') || '</w>'"
+    for _a, _b in _BPE_MERGES:
+        bpe_chain = f"replace({bpe_chain}, '{_a}{_sep}{_b}', '{_a}{_b}')"
 
     en_words = TX.LANG_MARKERS["en"]
     count_word = lambda w: f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"  # noqa: E731
@@ -2837,6 +2874,29 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
             LEFT JOIN ctx c ON b.w1 = c.w1
             GROUP BY 1
+        """,
+        # BPE application: identical fixed merge table as one nested
+        # replace chain per word inside a list lambda — same greedy
+        # resume-after-match semantics both engines
+        "docs_bpe_pieces": f"""
+            WITH words AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            p AS (
+              SELECT doc_id,
+                     len(ws) AS n_words,
+                     flatten(list_transform(ws,
+                       w -> string_split({bpe_chain}, '{_sep}'))) AS pieces
+              FROM words
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   CAST(len(pieces) AS BIGINT) AS n_pieces,
+                   array_to_string(pieces, ' ') AS piece_str
+            FROM p
         """,
         # passage chunking: identical strided windows (size 32, overlap
         # 8, step 24), 1-based inclusive slices, single-space joins;
