@@ -806,6 +806,23 @@ def _q_docs_curation_pipeline(spark, sf_dir):
     )
 
 
+def _q_host_cap(spark, sf_dir):
+    """Per-host quota (C4/RefinedWeb-style domain cap): at most 3
+    pages per host, winners = the 3 url-smallest (deterministic total
+    order — reproducible across engines/partitionings/reruns, unlike
+    LIMIT).  Engine: the skew-proof two-phase salted window
+    (`text.cap_per_key`) — a mega-host ranks across 16 salt tasks
+    first, then only its ≤ 48 survivors meet in one task.  Oracle: a
+    single ROW_NUMBER per host (the two-phase plan is exact, so the
+    naive SQL form is the correct twin)."""
+    pages = P.synth_pages(spark, N_PAGES)
+    host = F.regexp_extract(P.canonical_url(F.col("url")), r"://([^/]*)", 1)
+    capped = TX.cap_per_key(
+        pages.withColumn("host", host), "host", 3, ["url"]
+    )
+    return capped.select("host", "url")
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host crawl statistics over canonical urls (host extraction +
     aggregation — the politeness/curation breakdown every crawl
@@ -2191,6 +2208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spatial_join_holes": _q_spatial_join_holes,
         "spatial_join_buffered": _q_spatial_join_buffered,
         "cell_encode": _q_cell_encode,
+        # -- registered after this round's window was frozen: never
+        # -- driver-checked, gated by the local DuckDB twin this round,
+        # -- front-loads into the round-7 window per the policy above
+        "host_cap": _q_host_cap,
     }
 
 
@@ -2729,6 +2750,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
             FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        """,
+        # per-host quota: the naive single ROW_NUMBER is the correct
+        # twin of the two-phase salted plan (phase 1 never drops a
+        # true winner - each ranks <= n inside its own salt bucket)
+        "host_cap": f"""
+            SELECT host, url FROM (
+              SELECT regexp_extract(url, '://([^/]*)', 1) AS host, url,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY regexp_extract(url, '://([^/]*)', 1)
+                       ORDER BY url) AS rn
+              FROM {pages}
+            ) WHERE rn <= 3
         """,
         "host_stats": f"""
             SELECT regexp_extract(url, '://([^/]*)', 1) AS host,

@@ -608,3 +608,46 @@ def chunk_tokens(
         F.size(F.split(F.col("chunk"), " ", -1)).cast("long").alias("n_tokens"),
         "chunk",
     )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    order_cols: list[str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Keep at most ``n`` rows per key — the per-host quota every crawl
+    curation pipeline applies (cap en.wikipedia.org at N pages so one
+    mega-host cannot dominate the training mix; C4 and RefinedWeb both
+    cap hosts/domains).  ``order_cols`` must be a deterministic total
+    order (e.g. the url): the SAME n rows win on every engine,
+    partitioning, and rerun — quota selection is reproducible like
+    `hash_sample`, not a `LIMIT`.
+
+    Skew-proof two-phase plan: a naive per-key window serializes a
+    mega-host into ONE task (the measured failure mode in
+    BENCH/BASELINE.md §Skew).  Phase 1 ranks within (key, salt) —
+    a hot key splits across ``salt_buckets`` tasks — and keeps ``n``
+    per bucket; phase 2 ranks the ≤ salt_buckets·n survivors per key.
+    Exactness: the true top-n of a key each rank ≤ n inside their own
+    bucket, so phase 1 never drops a winner.  Both phases are native
+    window row_numbers (sorts spill gracefully, no lists collected).
+    """
+    from pyspark.sql.window import Window
+
+    if n <= 0 or salt_buckets <= 0:
+        raise ValueError(f"need n > 0 and salt_buckets > 0, got {n=} {salt_buckets=}")
+    oc = [F.col(c) for c in order_cols]
+    w1 = Window.partitionBy(key_col, "_salt").orderBy(*oc)
+    w2 = Window.partitionBy(key_col).orderBy(*oc)
+    return (
+        df.withColumn(
+            "_salt", F.pmod(F.xxhash64(*order_cols), F.lit(salt_buckets))
+        )
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= n)
+        .withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= n)
+        .drop("_salt", "_r1", "_r2")
+    )

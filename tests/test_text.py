@@ -387,3 +387,44 @@ def test_chunk_tokens_plan_is_native(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Exchange" not in plan  # flatMap only - no shuffle
+
+
+def test_cap_per_key_quota_and_determinism(spark):
+    import pytest as _pytest
+
+    from eodal_spark.operators.text import cap_per_key
+
+    rows = [(f"h{i % 3}", f"u{j:03d}_{i % 3}") for i in range(3) for j in range(20)]
+    # one mega-key: h0 gets 200 extra rows
+    rows += [("h0", f"z{j:03d}") for j in range(200)]
+    df = spark.createDataFrame(rows, ["host", "url"])
+    out = cap_per_key(df, "host", 5, ["url"])
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.host, []).append(r.url)
+    assert all(len(v) == 5 for v in got.values())
+    # the winners are exactly the 5 smallest urls per host (total order)
+    want_h1 = sorted(u for h, u in rows if h == "h1")[:5]
+    assert sorted(got["h1"]) == want_h1
+    want_h0 = sorted(u for h, u in rows if h == "h0")[:5]
+    assert sorted(got["h0"]) == want_h0
+    # partitioning-invariant
+    again = cap_per_key(df.repartition(13), "host", 5, ["url"])
+    assert {(r.host, r.url) for r in again.collect()} == {
+        (h, u) for h, us in got.items() for u in us
+    }
+    with _pytest.raises(ValueError):
+        cap_per_key(df, "host", 0, ["url"])
+
+
+def test_cap_per_key_splits_hot_key_plan(spark):
+    from eodal_spark.operators.text import cap_per_key
+
+    df = spark.createDataFrame([("h", "u1"), ("h", "u2")], ["host", "url"])
+    plan = (
+        cap_per_key(df, "host", 1, ["url"])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two window phases: (key, salt) then key
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
