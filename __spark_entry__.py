@@ -823,6 +823,22 @@ def _q_host_cap(spark, sf_dir):
     return capped.select("host", "url")
 
 
+def _q_zonal_quantiles(spark, sf_dir):
+    """Exact per-zone quantiles (lower-nearest-rank, pure integer rank
+    arithmetic) of the text-length band per res-6 zone — the
+    percentile extension of Band.reduce.  Engine: per-(zone, value)
+    histogram first (map-side combine crushes hot zones), then the
+    cumulative window runs over DISTINCT VALUES, not rows
+    (`zonal.zonal_quantiles`); the oracle replicates the identical
+    histogram/cumsum/rank arithmetic."""
+    geo = _pages_geo(spark)
+    g = geo.select(
+        grid.cell_parent("cell_id", RES, 6).alias("zone"),
+        F.length("text").alias("v"),
+    )
+    return Z.zonal_quantiles(g, "v", by="zone")
+
+
 def _q_host_stats(spark, sf_dir):
     """Per-host crawl statistics over canonical urls (host extraction +
     aggregation — the politeness/curation breakdown every crawl
@@ -2212,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- driver-checked, gated by the local DuckDB twin this round,
         # -- front-loads into the round-7 window per the policy above
         "host_cap": _q_host_cap,
+        "zonal_quantiles": _q_zonal_quantiles,
     }
 
 
@@ -2750,6 +2767,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
             FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        """,
+        # exact per-zone quantiles: identical histogram -> cumulative
+        # span -> integer rank-pick arithmetic (lower nearest rank)
+        "zonal_quantiles": f"""
+            WITH g AS (
+              SELECT {cell6} AS zone, length(text) AS v FROM {pages}
+            ),
+            h AS (SELECT zone, v, COUNT(*) AS c FROM g GROUP BY 1, 2),
+            cum AS (
+              SELECT zone, v, c,
+                     SUM(c) OVER (PARTITION BY zone) AS n,
+                     SUM(c) OVER (PARTITION BY zone ORDER BY v
+                                  ROWS UNBOUNDED PRECEDING) AS hi
+              FROM h
+            )
+            SELECT zone, p_milli, v AS q_value, CAST(n AS BIGINT) AS n
+            FROM cum, (SELECT unnest([250, 500, 750, 900]) AS p_milli)
+            WHERE hi - c < 1 + (n - 1) * p_milli // 1000
+              AND 1 + (n - 1) * p_milli // 1000 <= hi
         """,
         # per-host quota: the naive single ROW_NUMBER is the correct
         # twin of the two-phase salted plan (phase 1 never drops a

@@ -133,3 +133,57 @@ def histogram(
         bins.join(counts, [*by, "bin"], "left")
         .withColumn("n", F.coalesce("n", F.lit(0)))
     )
+
+
+def zonal_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by: str = "poly_id",
+    ps_milli: tuple[int, ...] = (250, 500, 750, 900),
+) -> DataFrame:
+    """EXACT per-zone quantiles of an integer-valued band — the
+    percentile extension of ``Band.reduce``'s method set (the
+    reference's np.percentile post-processing on `Band.values`,
+    applied per zone).
+
+    Quantile definition (lower-nearest-rank, cross-engine exact): the
+    element at 1-based rank ``1 + (n-1)·p div 1000`` of the zone's
+    sorted values — pure integer arithmetic, no interpolation, so the
+    gated output hashes bit-for-bit.
+
+    Skew-proof by construction: most exact-percentile plans sort the
+    ROWS of each zone (a mega-zone serializes into one task).  This
+    one aggregates a per-(zone, value) HISTOGRAM first — map-side
+    combine crushes hot zones before the shuffle — then runs the
+    cumulative window over the zone's DISTINCT VALUES (bounded by the
+    value domain, not the row count) and picks each target rank from
+    the cumulative span that contains it.  One groupBy + one
+    distinct-value-sized window; a 10^9-row city zone with a 16-bit
+    band costs a 65k-row window partition.
+
+    Returns one row per (zone, p_milli): ``(by, p_milli, q_value,
+    n)``."""
+    h = df.groupBy(by, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    wz = Window.partitionBy(by)
+    wv = (
+        Window.partitionBy(by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        h.withColumn("_n", F.sum("_c").over(wz))
+        .withColumn("_hi", F.sum("_c").over(wv))
+        .withColumn("_lo", F.col("_hi") - F.col("_c"))
+    )
+    p = F.explode(F.array(*[F.lit(int(x)) for x in ps_milli])).alias("p_milli")
+    ranked = cum.select(by, value_col, "_lo", "_hi", "_n", p)
+    r = 1 + F.expr(f"(_n - 1) * p_milli div 1000")
+    return (
+        ranked.filter((F.col("_lo") < r) & (r <= F.col("_hi")))
+        .select(
+            by,
+            "p_milli",
+            F.col(value_col).alias("q_value"),
+            F.col("_n").cast("long").alias("n"),
+        )
+    )

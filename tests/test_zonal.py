@@ -177,3 +177,43 @@ def test_plot_spec_styling_vocabulary(spark):
 
     with pytest.raises(ValueError, match="distinct"):
         X.plot_spec(df, "v", discrete_values=True)
+
+
+def test_zonal_quantiles_exact_ranks(spark):
+    from eodal_spark.operators.zonal import zonal_quantiles
+
+    # zone a: values 1..10 (n=10): p250 -> rank 1+9*250//1000=3 -> 3
+    # p500 -> rank 5 -> 5; p900 -> rank 9 -> 9
+    # zone b: heavy ties: [7]*99 + [9]: p500 -> 7, p990+ boundary
+    rows = [("a", v) for v in range(1, 11)]
+    rows += [("b", 7)] * 99 + [("b", 9)]
+    df = spark.createDataFrame(rows, ["poly_id", "v"])
+    out = {
+        (r.poly_id, r.p_milli): (r.q_value, r.n)
+        for r in zonal_quantiles(df, "v", ps_milli=(250, 500, 900, 1000)).collect()
+    }
+    assert out[("a", 250)] == (3, 10)
+    assert out[("a", 500)] == (5, 10)
+    assert out[("a", 900)] == (9, 10)
+    assert out[("a", 1000)] == (10, 10)  # max
+    assert out[("b", 500)] == (7, 100)
+    assert out[("b", 1000)] == (9, 100)  # the single 9 at rank 100
+    # python reference over every p
+    import math
+    vals = sorted(v for z, v in rows if z == "a")
+    for (z, p), (q, n) in out.items():
+        if z == "a":
+            assert q == vals[(n - 1) * p // 1000]
+
+
+def test_zonal_quantiles_histogram_plan(spark):
+    from eodal_spark.operators.zonal import zonal_quantiles
+
+    df = spark.createDataFrame([("a", 1), ("a", 1), ("a", 2)], ["poly_id", "v"])
+    plan = (
+        zonal_quantiles(df, "v")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the window input is the AGGREGATED histogram, not raw rows
+    assert "HashAggregate" in plan
