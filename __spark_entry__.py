@@ -1963,6 +1963,26 @@ SEMDUP_PLANT_BASE = 3_000_000
 SEMDUP_PLANT_SCALES = [(0, "2.0"), (1, "4.0"), (2, "0.5")]
 
 
+def _q_emb_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization of the embeddings table (FAISS SQ8
+    storage prep) — `similarity.quantize_int8`: per-vector max-abs
+    scale as an integer micro (gate-safe), symmetric round-away-from-
+    zero values in [-127, 127]; zero vectors → zeros with scale 0.
+    Map-side only (no shuffle, plan-asserted).  The gate hashes the
+    FULL quantized vector (comma-joined) — float32→double is exact,
+    the multiply chain is identically associated in the DuckDB twin,
+    and both engines round ties away from zero."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = SIM.quantize_int8(emb)
+    return q.select(
+        "vec_id",
+        "scale_micro",
+        F.array_join(
+            F.transform(F.col("qvec"), lambda v: v.cast("string")), ","
+        ).alias("qvec_str"),
+    )
+
+
 def _q_emb_semantic_dedup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     parts = [emb.select("vec_id", "embedding")]
@@ -2229,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- front-loads into the round-7 window per the policy above
         "host_cap": _q_host_cap,
         "zonal_quantiles": _q_zonal_quantiles,
+        "emb_quantize_int8": _q_emb_quantize_int8,
     }
 
 
@@ -2767,6 +2788,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 AS bucket
             FROM documents
             WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000 < 200
+        """,
+        # SQ8 quantization: identical (127*x)*1e6/scale_micro chain
+        # (left-associated both engines), ties round away from zero in
+        # both; the full quantized vector is hashed comma-joined
+        "emb_quantize_int8": """
+            WITH s AS (
+              SELECT vec_id, embedding,
+                     CAST(FLOOR(list_aggregate(
+                       list_transform(embedding,
+                                      x -> abs(CAST(x AS DOUBLE))),
+                       'max') * 1e6) AS BIGINT) AS scale_micro
+              FROM embeddings
+            )
+            SELECT vec_id, scale_micro,
+                   CASE WHEN scale_micro <= 0 THEN
+                     array_to_string(list_transform(embedding, x -> '0'), ',')
+                   ELSE
+                     array_to_string(list_transform(embedding,
+                       x -> CAST(CAST(ROUND(127.0 * CAST(x AS DOUBLE)
+                                  * 1000000.0 / scale_micro)
+                                  AS INTEGER) AS VARCHAR)), ',')
+                   END AS qvec_str
+            FROM s
         """,
         # exact per-zone quantiles: identical histogram -> cumulative
         # span -> integer rank-pick arithmetic (lower nearest rank)

@@ -867,3 +867,53 @@ def ivfpq_topk(
     return _rank_topk(rr, k, "sqdist", asc=True).select(
         "query_id", "vec_id", "sqdist", "rank"
     )
+
+
+def quantize_int8(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar int8 quantization (FAISS SQ8; public method) — the
+    storage prep every billion-vector index runs: 4× smaller vectors,
+    per-vector max-abs scale, symmetric rounding.
+
+    ``(id, scale_micro, qvec)``: ``scale_micro`` = floor(1e6·max|x|)
+    (bigint — the gate-safe integer form of the scale) and ``qvec[i]``
+    = round(127·x_i·1e6 / scale_micro) ∈ [-127, 127].  Zero vectors
+    quantize to zeros with scale 0.  Entirely native higher-order
+    functions on the scan projection — no shuffle, no UDF; the
+    dequantization error bound (≤ scale/254 + quantizer ulp) is
+    test-asserted.  Cross-engine exactness: float32→double is exact,
+    the multiply/divide chain is identically associated in the DuckDB
+    twin, and both engines round ties away from zero, so the gate
+    hashes the full quantized vector byte-for-byte."""
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    sm = F.floor(scale * F.lit(1e6)).cast("long")
+    q = F.when(sm <= 0, F.transform(x, lambda v: F.lit(0))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.round(
+                F.lit(127.0) * v.cast("double") * F.lit(1e6) / sm
+            ).cast("int"),
+        )
+    )
+    return emb.select(
+        F.col(id_col),
+        sm.alias("scale_micro"),
+        q.alias("qvec"),
+    )
+
+
+def dequantize_int8(
+    q: DataFrame, qvec_col: str = "qvec", scale_col: str = "scale_micro"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8`: x̂_i = qvec_i · scale_micro /
+    (127·1e6) as float — for re-ranking stages that tolerate SQ8
+    error (brute/IVF top-k compose unchanged)."""
+    s = F.col(scale_col).cast("double") / F.lit(127.0 * 1e6)
+    return q.withColumn(
+        "embedding",
+        F.transform(F.col(qvec_col), lambda v: (v.cast("double") * s).cast("float")),
+    )

@@ -441,3 +441,47 @@ def test_ivfpq_empty_corpus_raises_actionable(spark):
     )
     with pytest.raises(ValueError, match="empty corpus sample"):
         S.pq_train_codebooks(empty)
+
+
+def test_quantize_int8_bounds_and_roundtrip(spark):
+    from eodal_spark.operators.similarity import dequantize_int8, quantize_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [0.5, -1.0, 0.25, 0.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),      # zero vector
+            (3, [1e-6, -2e-6, 0.0, 3e-6]),  # tiny scale
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(emb).collect()}
+    r = rows[1]
+    assert r.scale_micro == 1_000_000
+    assert list(r.qvec) == [64, -127, 32, 0]  # round(127*x/1.0)
+    assert max(abs(v) for v in r.qvec) <= 127
+    z = rows[2]
+    assert z.scale_micro == 0 and list(z.qvec) == [0, 0, 0, 0]
+    t = rows[3]
+    assert t.scale_micro == 3 and max(abs(v) for v in t.qvec) <= 127
+
+    # dequantization error <= scale/254 + ulp slack, elementwise
+    back = {
+        r.vec_id: list(r.embedding)
+        for r in dequantize_int8(quantize_int8(emb)).collect()
+    }
+    orig = {1: [0.5, -1.0, 0.25, 0.0], 3: [1e-6, -2e-6, 0.0, 3e-6]}
+    for vid, xs in orig.items():
+        scale = max(abs(v) for v in xs)
+        for a, b in zip(xs, back[vid]):
+            assert abs(a - b) <= scale / 254 + 1e-6 * scale + 1e-12
+
+
+def test_quantize_int8_plan_is_mapside(spark):
+    from eodal_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<float>"
+    )
+    plan = quantize_int8(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
