@@ -1007,6 +1007,34 @@ def _q_docs_chunked(spark, sf_dir):
     return TX.chunk_tokens(docs, size=32, overlap=8)
 
 
+def _q_docs_curation_v2(spark, sf_dir):
+    """Round-6 curation tail composed as ONE relational plan (the
+    composition gate, like `docs_curation_pipeline` for the r5 parts):
+    keep docs whose bigram-LM model-hit rate ≥ 500‰ (the integer-exact
+    core under the perplexity filter — n_seen·1000 div n_bigrams) AND
+    whose duplicated-substring coverage ≤ 300‰ (`exact_substr`), then
+    chunk the survivors into 32-token / 8-overlap passages.  Every
+    stage is individually hash-gated; this gate proves they COMPOSE —
+    semi-joins over the two filters feed the map-side chunker."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = LM.train_bigram_lm(docs, ref_milli=200)
+    lm_ok = (
+        LM.score_bigram_lm(docs, m)
+        .filter(
+            (F.col("n_bigrams") > 0)
+            & (F.col("n_seen") * 1000 >= F.col("n_bigrams") * 500)
+        )
+        .select("doc_id")
+    )
+    sub_ok = (
+        ES.duplicate_span_stats(docs, n=10, hashed=False)
+        .filter(F.col("dup_token_milli") <= 300)
+        .select("doc_id")
+    )
+    kept = docs.join(lm_ok, "doc_id", "semi").join(sub_ok, "doc_id", "semi")
+    return TX.chunk_tokens(kept, size=32, overlap=8)
+
+
 def _q_docs_exact_substr(spark, sf_dir):
     """ExactSubstr duplicate-span statistics (Lee et al. 2022, public
     method): word-10-gram windows occurring ≥2 times corpus-wide,
@@ -2250,6 +2278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_cap": _q_host_cap,
         "zonal_quantiles": _q_zonal_quantiles,
         "emb_quantize_int8": _q_emb_quantize_int8,
+        "docs_curation_v2": _q_docs_curation_v2,
     }
 
 
@@ -3027,6 +3056,87 @@ def oracle_sql() -> dict[str, str]:
                           ELSE GREATEST((len(ws) - 8 - 1) // 24 + 1, 1)
                      END AS n_chunks
               FROM words
+            )
+            SELECT doc_id,
+                   CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
+                   CAST(len(ws[s:s+31]) AS BIGINT) AS n_tokens,
+                   array_to_string(ws[s:s+31], ' ') AS chunk
+            FROM sized,
+                 UNNEST(generate_series(1, (n_chunks - 1) * 24 + 1, 24))
+                   AS t(s)
+            WHERE n_chunks > 0
+        """,
+        # curation v2 composition: the lm-hit and substr-coverage
+        # filters are the same CTE bodies as their individual gates;
+        # chunking runs on the RAW-case words (chunk_tokens does not
+        # lowercase), the filters on the lowercased stream
+        "docs_curation_v2": """
+            WITH raw AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            low AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+              FROM low, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+            ),
+            ref AS (
+              SELECT w1, w2, COUNT(*) AS c2
+              FROM bg
+              WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS BIGINT) % 1000 < 200
+              GROUP BY 1, 2
+            ),
+            lmok AS (
+              SELECT b.doc_id
+              FROM bg b LEFT JOIN ref r ON b.w1 = r.w1 AND b.w2 = r.w2
+              GROUP BY 1
+              HAVING SUM(CASE WHEN r.c2 IS NULL THEN 0 ELSE 1 END) * 1000
+                     >= COUNT(*) * 500
+            ),
+            wins AS (
+              SELECT doc_id, i AS pos, array_to_string(ws[i:i+9], ' ') AS ng
+              FROM low, UNNEST(generate_series(1, len(ws) - 9)) AS t(i)
+            ),
+            hot AS (SELECT ng FROM wins GROUP BY ng HAVING COUNT(*) >= 2),
+            dup AS (
+              SELECT doc_id, pos,
+                     pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                       AS delta
+              FROM wins WHERE ng IN (SELECT ng FROM hot)
+            ),
+            spans AS (
+              SELECT doc_id,
+                     CAST(SUM(CASE WHEN delta IS NULL OR delta > 10
+                                   THEN 10 ELSE LEAST(delta, 10) END)
+                          AS BIGINT) AS dup_tokens
+              FROM dup GROUP BY 1
+            ),
+            subok AS (
+              SELECT l.doc_id
+              FROM low l LEFT JOIN spans s USING (doc_id)
+              WHERE CASE WHEN len(l.ws) <= 0 THEN 0
+                         ELSE (COALESCE(s.dup_tokens, 0) * 1000)
+                              // len(l.ws) END <= 300
+            ),
+            kept AS (
+              SELECT r.doc_id, r.ws
+              FROM raw r
+              JOIN lmok USING (doc_id) JOIN subok USING (doc_id)
+            ),
+            sized AS (
+              SELECT doc_id, ws,
+                     CASE WHEN len(ws) <= 0 THEN 0
+                          ELSE GREATEST((len(ws) - 8 - 1) // 24 + 1, 1)
+                     END AS n_chunks
+              FROM kept
             )
             SELECT doc_id,
                    CAST((s - 1) // 24 AS BIGINT) AS chunk_id,
