@@ -106,6 +106,25 @@ def _minhash_params(num_perm: int, seed: int = 42):
     return a, b
 
 
+def _spread_for_udf(df: DataFrame, key_col: str) -> DataFrame:
+    """Repartition a small-file input up to the session's default
+    parallelism before an expensive per-row pandas UDF.
+
+    A compact parquet table (50k docs ≈ 15 MB) scans as 1-2 input
+    splits, so a signature UDF downstream of it runs on 1-2 cores no
+    matter how many the cluster has — measured 2/32 cores busy on the
+    sf1.0 documents table (guide §2: partitioning must come from the
+    work, not the file layout).  Hash-repartitioning on the id is
+    deterministic (safe under task retry, unlike round-robin) and a
+    no-op decision at scale: inputs with >= defaultParallelism
+    partitions are returned unchanged, so a 100 TB corpus never pays
+    an extra shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key_col))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -119,7 +138,8 @@ def minhash_signatures(
     Arrow-batched pandas UDF; per document the shingle hashing is a
     numpy sliding-window polynomial hash (zero per-byte Python) and the
     permutation mins are one (num_perm × shingles) matrix op.
-    Map-side only — no shuffle."""
+    Map-side only — no shuffle (beyond the small-input spread,
+    :func:`_spread_for_udf`)."""
     a, b = _minhash_params(num_perm, seed)
     a_u = a[:, None].astype(np.uint64)
     b_u = b[:, None].astype(np.uint64)
@@ -150,6 +170,7 @@ def minhash_signatures(
             out.append(mins.astype(np.int64))
         return pd.Series(out)
 
+    df = _spread_for_udf(df, id_col)
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("sig"))
 
 
@@ -258,6 +279,166 @@ def minhash_lsh_candidates(
     )
 
 
+def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, sig, band, bh) — one row per (document, band) with the
+    band's bucket hash; the full signature rides along for the fused
+    estimate (see :func:`_bucket_pairs_est`)."""
+    return sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+
+
+def _bucket_pairs_est(
+    banded: DataFrame, num_perm: int, est_min: int
+) -> DataFrame:
+    """LSH buckets → distinct candidate pairs that ALSO pass the
+    signature-agreement estimate, in ONE stage.
+
+    Replaces the candidate self-join + distinct + two signature
+    re-joins + zip_with filter chain.  That plan shuffled every raw
+    bucket collision three times (measured 47.1M collision pairs on
+    the sf1.0 corpus for 7.9M estimate survivors and 2.5k true pairs)
+    and its hottest bucket (4.7k members ⇒ 11.2M pairs) was emitted
+    and estimated by a single join task — the 199/200-straggler shape
+    of guide §2.5, unsplittable because the skew is join-OUTPUT
+    explosion, which AQE's skew handling cannot touch.
+
+    Here each bucket is processed as one numpy block: pairwise
+    signature match-counts via ``num_perm`` vectorized
+    equality-outer-products (uint8 accumulate, row-chunked so memory
+    is O(chunk × bucket)), and only pairs with
+    ``matches * 1000 >= est_min`` are ever materialized — the 47M
+    collision pairs become array scans inside the workers and the
+    shuffle carries just the 16-byte survivors (guide §2.3 "shuffle
+    keys and metadata, decide before you move").  The estimate is a
+    pure function of the two signatures, so filtering before the
+    pair-level distinct is output-identical to filtering after.
+
+    The hot bucket's block is ~bucket²·num_perm byte-ops of
+    sequential numpy (about 1.4e9 for the sf1.0 hot bucket — well
+    under a second) instead of 11M codegen'd zip_with evaluations, so
+    the straggler disappears without salting."""
+    # matches*1000 >= est_min  ⇔  matches >= ceil(est_min/1000)
+    min_matches = -(-est_min // 1000)
+    acc_t = np.uint8 if num_perm <= 255 else np.uint16
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+
+    # buckets above this size use the outer-product path; smaller ones
+    # are batched per size class so a partition's hundreds of thousands
+    # of 2-10-member buckets cost a handful of numpy calls, not 64
+    # tiny allocations each
+    big_n = 64
+
+    def gen(it):
+        frames = list(it)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        # group the partition's rows into buckets: sort by (band, bh)
+        key = df["band"].to_numpy(np.int64) * np.int64(1 << 33) + (
+            df["bh"].to_numpy(np.int64) + np.int64(1 << 32)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = df["id"].to_numpy(np.int64)[order]
+        sig_mat = np.vstack(df["sig"].to_numpy()[order]).astype(np.int64)
+        bounds = np.nonzero(np.diff(key))[0] + 1
+        seg_starts = np.concatenate(([0], bounds))
+        sizes = np.diff(np.concatenate((seg_starts, [len(key)])))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+
+        def emit(ii: np.ndarray, jj: np.ndarray) -> None:
+            # pairwise signature agreement for explicit index pairs,
+            # chunked so the gathered (pairs × num_perm) temp is bounded
+            for cs in range(0, len(ii), 1 << 20):
+                ic = ii[cs : cs + (1 << 20)]
+                jc = jj[cs : cs + (1 << 20)]
+                mc = (sig_mat[ic] == sig_mat[jc]).sum(axis=1)
+                keep = mc >= min_matches
+                if keep.any():
+                    ia = ids[ic[keep]]
+                    ib = ids[jc[keep]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+
+        # small buckets, one vectorized pass per distinct bucket size
+        small = (sizes >= 2) & (sizes <= big_n)
+        for n in np.unique(sizes[small]):
+            starts_n = seg_starts[small & (sizes == n)]
+            ti, tj = np.triu_indices(int(n), 1)
+            emit(
+                (starts_n[:, None] + ti[None, :]).ravel(),
+                (starts_n[:, None] + tj[None, :]).ravel(),
+            )
+        # big buckets: dense outer-product accumulation, row-chunked.
+        # Each signature column is first factorized WITHIN the bucket:
+        # a column with one distinct value (the band that DEFINES the
+        # bucket agrees on every member) contributes +1 to every pair
+        # and is folded into the threshold; a column with all-distinct
+        # values contributes 0 and is skipped; the rest compare as
+        # narrow integer codes instead of int64 — the dense pass is
+        # memory-bound, so code width is wall-clock (measured 15.3 s →
+        # ~2 s single-core on the sf1.0 hot buckets)
+        for s, n in zip(seg_starts[sizes > big_n], sizes[sizes > big_n]):
+            n = int(n)
+            bsig = sig_mat[s : s + n]
+            const_cols = 0
+            var_cols: list[np.ndarray] = []
+            for p in range(bsig.shape[1]):
+                u, inv = np.unique(bsig[:, p], return_inverse=True)
+                if len(u) == 1:
+                    const_cols += 1
+                elif len(u) < n:
+                    ct = np.uint8 if len(u) <= 255 else (
+                        np.uint16 if len(u) <= 65535 else np.int64
+                    )
+                    var_cols.append(inv.astype(ct))
+            thr = min_matches - const_cols
+            for cs in range(0, n, 2048):
+                ce = min(cs + 2048, n)
+                if thr <= 0:
+                    # every collision pair passes the estimate
+                    ii, jj = np.nonzero(np.ones((ce - cs, n), dtype=bool))
+                else:
+                    acc = np.zeros((ce - cs, n), dtype=acc_t)
+                    for col in var_cols:
+                        acc += col[cs:ce, None] == col[None, :]
+                    ii, jj = np.nonzero(acc >= thr)
+                keep = jj > (ii + cs)  # strict upper triangle only
+                if keep.any():
+                    ia = ids[s + ii[keep] + cs]
+                    ib = ids[s + jj[keep]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+
+    return (
+        banded.repartition(F.col("band"), F.col("bh"))
+        .mapInPandas(gen, schema)
+        .distinct()
+    )
+
+
 def _shingle_hash_set(t: str, w: int) -> np.ndarray:
     """Sorted distinct 64-bit polynomial hashes of the character
     ``w``-shingles of ``t`` (the whole string when shorter than ``w`` —
@@ -289,13 +470,38 @@ def _shingle_hash_set(t: str, w: int) -> np.ndarray:
         return np.unique(_mix64(pw[ends - 1] * (s[ends] - s[starts])))
 
 
+# Worker-level shingle-hash-set memo for the pair verifier: the same
+# text recurs across MANY candidate pairs and Arrow batches (a doc with
+# k candidates appears k times), and re-hashing it per batch dominated
+# the verify stage.  Keyed by the text itself (content-addressed, so
+# reuse across queries/corpora is always correct); bounded and cleared
+# wholesale rather than LRU-tracked — the working set per task is one
+# corpus partition's texts, far below the cap (guide §4.5: heavyweight
+# init once per worker, amortized across batches via worker reuse).
+_HSET_CACHE: dict[tuple[str, int], np.ndarray] = {}
+_HSET_CACHE_CAP = 200_000
+
+
+def _cached_hset(t: str, w: int) -> np.ndarray:
+    key = (t, w)
+    hs = _HSET_CACHE.get(key)
+    if hs is None:
+        if len(_HSET_CACHE) >= _HSET_CACHE_CAP:
+            _HSET_CACHE.clear()
+        hs = _shingle_hash_set(t, w)
+        _HSET_CACHE[key] = hs
+    return hs
+
+
 def _pair_jaccard_udf(w: int):
     """Arrow-batched exact shingle-Jaccard for candidate *pairs* — only
     over LSH candidates (a vanishing fraction of all pairs), never the
-    full corpus.  Each distinct text in the batch is shingle-hashed
-    ONCE into a sorted uint64 array (`_shingle_hash_set`); per pair the
-    intersection is a sorted-array ``searchsorted`` membership count —
-    no per-pair Python set arithmetic anywhere."""
+    full corpus.  Each distinct text is shingle-hashed ONCE per worker
+    (`_cached_hset`); pairs are then grouped by their left text and
+    verified with ONE ``searchsorted`` + ``add.reduceat`` per group
+    (probe all the group's right-hand sets into the shared left set in
+    a single vectorized call) — no per-pair numpy calls, no per-pair
+    Python set arithmetic."""
 
     @F.pandas_udf(
         T.StructType(
@@ -308,20 +514,31 @@ def _pair_jaccard_udf(w: int):
     def jac(ta: pd.Series, tb: pd.Series) -> pd.DataFrame:
         texts = pd.concat([ta, tb], ignore_index=True).fillna("")
         codes, uniq = pd.factorize(texts)
-        hsets = [_shingle_hash_set(t, w) for t in uniq]
+        hsets = [_cached_hset(t, w) for t in uniq]
+        sizes = np.fromiter((h.size for h in hsets), np.int64, len(hsets))
         m = len(ta)
         ia, ib = codes[:m], codes[m:]
         inters = np.empty(m, dtype=np.int64)
-        unis = np.empty(m, dtype=np.int64)
-        for j in range(m):
-            ha, hb = hsets[ia[j]], hsets[ib[j]]
-            if ha.size > hb.size:  # probe the smaller into the larger
-                ha, hb = hb, ha
-            idx = np.searchsorted(hb, ha)
-            idx[idx == hb.size] = 0  # any in-range slot; equality check decides
-            i = int((hb[idx] == ha).sum())
-            inters[j] = i
-            unis[j] = hsets[ia[j]].size + hsets[ib[j]].size - i
+        order = np.argsort(ia, kind="stable")
+        oa, ob = ia[order], ib[order]
+        pos = 0
+        while pos < m:
+            end = pos
+            a = oa[pos]
+            while end < m and oa[end] == a:
+                end += 1
+            ha = hsets[a]
+            grp = ob[pos:end]
+            seg = [hsets[c] for c in grp]
+            lens = np.fromiter((s.size for s in seg), np.int64, len(seg))
+            probe = np.concatenate(seg) if len(seg) > 1 else seg[0]
+            idx = np.searchsorted(ha, probe)
+            idx[idx == ha.size] = 0  # any in-range slot; equality decides
+            eq = (ha[idx] == probe).astype(np.int64)
+            starts = np.concatenate(([0], np.cumsum(lens[:-1])))
+            inters[order[pos:end]] = np.add.reduceat(eq, starts)
+            pos = end
+        unis = sizes[ia] + sizes[ib] - inters
         return pd.DataFrame({"inter": inters, "uni": unis})
 
     return jac
@@ -349,31 +566,34 @@ def _minhash_pairs_core(
     w: int,
     bucket_cap: int | None,
 ) -> DataFrame:
-    """signatures → LSH candidates → zip_with estimate prune → exact
+    """signatures → fused LSH-bucket + estimate pair generation → exact
     per-pair Jaccard verify, over ``docs(id, t)``.  Candidates only —
-    never the all-pairs inverted index."""
-    # persist: the signature UDF is the dominant cost and is consumed
-    # by the banding self-join (both sides) AND the sa/sb estimate joins
-    # — without the cache it would re-run up to 4x over the corpus
-    sigs = minhash_signatures(docs, "t", "id", num_perm, w).persist()
-    cand = minhash_lsh_candidates(sigs, bands, num_perm // bands, bucket_cap)
-    # signature-level Jaccard estimate (pure JVM zip_with) prunes the
-    # candidate set BEFORE the Python exact verifier — banding alone
-    # admits many mid-similarity pairs; the 150-milli margin keeps the
-    # false-negative probability of the estimate < 1% at 64 perms
+    never the all-pairs inverted index.
+
+    The signature-level Jaccard estimate (count of agreeing signature
+    positions, threshold ``threshold_milli - 150``: the margin keeps
+    the estimate's false-negative probability < 1% at 64 perms) is
+    applied INSIDE the bucket stage (:func:`_bucket_pairs_est`), so raw
+    bucket collisions are never shuffled, deduplicated, or re-joined
+    against the signature table — only estimate survivors reach the
+    pair-level distinct and the exact verifier.  The estimate is a pure
+    pair function, so the output is identical to the historical
+    candidates → distinct → estimate-join plan (and still gated by the
+    all-pairs oracle)."""
+    sigs = minhash_signatures(docs, "t", "id", num_perm, w)
     est_min = max(0, threshold_milli - 150) * num_perm
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
-    cand = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "_est",
-            F.size(F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)),
-        )
-        .filter(F.col("_est") * 1000 >= F.lit(est_min))
-        .select("id_a", "id_b")
-    )
+    banded = _banded_sigs(sigs, bands, num_perm // bands)
+    if bucket_cap is not None:
+        banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
+    cand = _bucket_pairs_est(banded, num_perm, est_min)
+    # cluster the candidate pairs by their left document before the
+    # verifier: the verify UDF vectorizes per id_a group (one
+    # searchsorted per group), which only pays off when a batch holds
+    # few long runs — unsorted, each id_a's ~hundreds of pairs scatter
+    # over every partition and the mean run length is ~2.  One cheap
+    # 16-byte-row exchange (the texts are attached AFTER, by broadcast
+    # join, so no payload is re-shuffled — guide §2.3/§8)
+    cand = cand.repartition(F.col("id_a")).sortWithinPartitions("id_a")
     paired = (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
@@ -538,6 +758,7 @@ def simhash_signatures(
             out[i] = np.int64(word & np.uint64(0x7FFFFFFFFFFFFFFF))
         return pd.Series(out)
 
+    df = _spread_for_udf(df, id_col)
     return df.select(F.col(id_col).alias("id"), sig(F.col(text_col)).alias("simhash"))
 
 

@@ -378,3 +378,54 @@ def test_bucket_cap_drops_oversized_buckets(spark):
     assert got == {(10, 11)}
     uncapped = D.minhash_lsh_candidates(sigs)
     assert uncapped.count() == 45 + 1
+
+
+def test_bucket_pairs_est_matches_historical_plan(spark):
+    """The fused bucket+estimate stage (r7 optimization) must emit
+    exactly the pairs of the historical plan: LSH candidate self-join →
+    distinct → signature re-join → zip_with agreement filter.  The
+    corpus plants a >64-member near-identical template family so the
+    dense (factorized outer-product) big-bucket path runs, not just the
+    size-class small-bucket path."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"t{j}" for j in range(60)]
+    rows = []
+    # 90 variations of one template -> giant LSH buckets (dense path)
+    base = " ".join(rng.choice(words) for _ in range(60))
+    toks = base.split()
+    for i in range(90):
+        v = list(toks)
+        v[i % 60] = f"X{i}"
+        rows.append((i, " ".join(v)))
+    # unrelated tail (small buckets / no collisions)
+    for i in range(90, 140):
+        rows.append((i, " ".join(rng.choice(words) for _ in range(60))))
+    docs = spark.createDataFrame(rows, ["id", "t"]).cache()
+
+    num_perm, bands, rpb, tm = 64, 16, 4, 500
+    est_min = max(0, tm - 150) * num_perm
+    sigs = D.minhash_signatures(docs, "t", "id", num_perm, 5).cache()
+
+    fused = D._bucket_pairs_est(
+        D._banded_sigs(sigs, bands, rpb), num_perm, est_min
+    )
+    cand = D.minhash_lsh_candidates(sigs, bands, rpb)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("_sb"))
+    historical = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "_est",
+            F.size(
+                F.filter(F.zip_with("_sa", "_sb", lambda x, y: x == y), lambda v: v)
+            ),
+        )
+        .filter(F.col("_est") * 1000 >= F.lit(est_min))
+        .select("id_a", "id_b")
+    )
+    got = {(r["id_a"], r["id_b"]) for r in fused.collect()}
+    want = {(r["id_a"], r["id_b"]) for r in historical.collect()}
+    assert got == want and len(want) > 100
