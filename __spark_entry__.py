@@ -609,9 +609,17 @@ def _q3_shipping_priority(spark, sf_dir):
     )
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
+    # Stream the fact table, broadcast the selective dimension chain
+    # (guide §3.1): the planner's post-filter size estimates made it
+    # BROADCAST the filtered lineitem (5.7M rows ≈ 180 MB built on one
+    # thread) into the customer×orders side.  customer(BUILDING)×orders
+    # projected to the single o_orderkey join/group key is the genuinely
+    # small side — broadcast it explicitly and lineitem is never moved;
+    # only the post-join partial aggregate crosses the wire.  Join
+    # reordering only — the joined set and the aggregate are unchanged.
+    co = cust.join(orders, cust.c_custkey == orders.o_custkey).select("o_orderkey")
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
-        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        li.join(F.broadcast(co), F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(F.sum(rev.cast("decimal(28,8)")).alias("_rev"))
         .orderBy(F.col("_rev").desc(), F.col("o_orderkey").asc())
@@ -629,12 +637,29 @@ def _q5_region_revenue(spark, sf_dir):
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     rev = (F.col("l_extendedprice").cast("decimal(18,4)")
            * (F.lit(1).cast("decimal(18,4)") - F.col("l_discount").cast("decimal(18,4)")))
-    return (
+    # Stream the fact table, broadcast the dimension chain (guide
+    # §3.1): written dimension-first, the planner kept the accumulated
+    # region×nation×customer chain as the probe side and BROADCAST
+    # both orders (1.5M rows) and lineitem (6M rows ≈ 200 MB) — the two
+    # largest tables built single-threaded on the driver.  Collapsing
+    # the dimensions into one compact (o_orderkey, c_nationkey, n_name)
+    # relation (ASIA-selective: ~1/5 of orders, three narrow columns)
+    # and probing it from lineitem leaves the fact table in place;
+    # supplier joins broadcast as before.  Inner-join reordering only —
+    # same joined set, same aggregate.
+    dims = (
         region.join(nation, nation.n_regionkey == region.r_regionkey)
         .join(cust, cust.c_nationkey == nation.n_nationkey)
         .join(orders, orders.o_custkey == cust.c_custkey)
-        .join(li, li.l_orderkey == orders.o_orderkey)
-        .join(supp, (supp.s_suppkey == li.l_suppkey) & (supp.s_nationkey == cust.c_nationkey))
+        .select("o_orderkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(F.broadcast(dims), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (supp.s_suppkey == F.col("l_suppkey"))
+            & (supp.s_nationkey == F.col("c_nationkey")),
+        )
         .groupBy("n_name")
         .agg(F.sum(rev.cast("decimal(28,8)")).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("cnt"))
