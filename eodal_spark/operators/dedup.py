@@ -298,7 +298,7 @@ def _banded_sigs(sigs: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
 
 
 def _bucket_pairs_est(
-    banded: DataFrame, num_perm: int, est_min: int
+    banded: DataFrame, num_perm: int, est_min: int, dedup: bool = True
 ) -> DataFrame:
     """LSH buckets → distinct candidate pairs that ALSO pass the
     signature-agreement estimate, in ONE stage.
@@ -432,11 +432,14 @@ def _bucket_pairs_est(
                 {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
             )
 
-    return (
-        banded.repartition(F.col("band"), F.col("bh"))
-        .mapInPandas(gen, schema)
-        .distinct()
+    out = banded.repartition(F.col("band"), F.col("bh")).mapInPandas(
+        gen, schema
     )
+    # a pair sharing several bands is emitted once per collision;
+    # ``dedup=False`` lets a caller that already dedups downstream
+    # (e.g. the verifier's partition-local unique over id_a-partitioned
+    # pairs) skip this exchange
+    return out.distinct() if dedup else out
 
 
 def _shingle_hash_set(t: str, w: int) -> np.ndarray:
@@ -544,6 +547,98 @@ def _pair_jaccard_udf(w: int):
     return jac
 
 
+def _verify_pairs_stage(paired: DataFrame, w: int, threshold_milli: int) -> DataFrame:
+    """Candidate (id_a, id_b, ta, tb) rows → verified near-dup pairs
+    (id_a, id_b, inter, uni) with exact shingle-Jaccard ≥ threshold —
+    duplicate candidates (one per shared band) removed, verified, and
+    filtered in ONE partition-level pass.
+
+    The input must be partitioned so both copies of a pair co-locate
+    (any partitioning on id_a does: duplicates agree on both ids).
+    Per partition: unique (id_a, id_b) rows; distinct texts hashed once
+    (worker-memoized, `_cached_hset`); the per-pair probes are gathered
+    from one flat concatenation with a vectorized repeat/cumsum index —
+    no per-pair numpy calls — and each id_a run costs a single
+    ``searchsorted`` + ``add.reduceat``.  Only passing pairs are ever
+    yielded, so the downstream plan sees the ~0.03% survivors, not the
+    candidate stream."""
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("inter", T.LongType()),
+            T.StructField("uni", T.LongType()),
+        ]
+    )
+
+    def gen(it):
+        frames = list(it)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        ia_raw = df["id_a"].to_numpy(np.int64)
+        ib_raw = df["id_b"].to_numpy(np.int64)
+        # partition-local distinct on the pair key (order-insensitive:
+        # lexsort + adjacent-difference, no reliance on input order)
+        perm = np.lexsort((ib_raw, ia_raw))
+        ia_s, ib_s = ia_raw[perm], ib_raw[perm]
+        first = np.ones(len(ia_s), dtype=bool)
+        first[1:] = (np.diff(ia_s) != 0) | (np.diff(ib_s) != 0)
+        sel = perm[first]
+        sel.sort()  # keep text/pair rows aligned with the original frame
+        ia, ib = ia_raw[sel], ib_raw[sel]
+        texts = pd.concat(
+            [df["ta"].iloc[sel], df["tb"].iloc[sel]], ignore_index=True
+        ).fillna("")
+        codes, uniq = pd.factorize(texts)
+        hsets = [_cached_hset(t, w) for t in uniq]
+        sizes = np.fromiter((h.size for h in hsets), np.int64, len(hsets))
+        m = len(ia)
+        ca, cb = codes[:m], codes[m:]
+        # sort pairs by left code so each id_a group is a contiguous
+        # run, then gather every pair's right-hand set from ONE flat
+        # concatenation of the distinct hsets with a single vectorized
+        # repeat+arange index — no per-pair numpy calls anywhere
+        run = np.argsort(ca, kind="stable")
+        ca_s, cb_s = ca[run], cb[run]
+        flat = np.concatenate(hsets) if len(hsets) > 1 else hsets[0]
+        offs = np.concatenate(([0], np.cumsum(sizes[:-1])))
+        lens_b = sizes[cb_s]
+        starts_b = offs[cb_s]
+        total = int(lens_b.sum())
+        bound = np.concatenate(([0], np.cumsum(lens_b)))
+        gather = np.repeat(starts_b - bound[:-1], lens_b) + np.arange(total)
+        probe = flat[gather]
+        run_bounds = np.nonzero(np.diff(ca_s))[0] + 1
+        grp_starts = np.concatenate(([0], run_bounds))
+        grp_ends = np.concatenate((run_bounds, [m]))
+        inters_s = np.empty(m, dtype=np.int64)
+        for gs, ge in zip(grp_starts, grp_ends):
+            ha = hsets[ca_s[gs]]
+            seg = probe[bound[gs] : bound[ge]]
+            loc = np.searchsorted(ha, seg)
+            loc[loc == ha.size] = 0  # any in-range slot; equality decides
+            eq = (ha[loc] == seg).astype(np.int64)
+            inters_s[gs:ge] = np.add.reduceat(eq, bound[gs:ge] - bound[gs])
+        inters = np.empty(m, dtype=np.int64)
+        inters[run] = inters_s
+        unis = sizes[ca] + sizes[cb] - inters
+        keep = inters * 1000 >= threshold_milli * unis
+        if keep.any():
+            yield pd.DataFrame(
+                {
+                    "id_a": ia[keep],
+                    "id_b": ib[keep],
+                    "inter": inters[keep],
+                    "uni": unis[keep],
+                }
+            )
+
+    return paired.mapInPandas(gen, schema)
+
+
 def _shingle_size_udf(w: int):
     """|distinct w-shingle set| per text — the (inter, uni) both equal
     this for an exact-duplicate pair, letting the expansion step emit
@@ -585,26 +680,25 @@ def _minhash_pairs_core(
     banded = _banded_sigs(sigs, bands, num_perm // bands)
     if bucket_cap is not None:
         banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
-    cand = _bucket_pairs_est(banded, num_perm, est_min)
-    # cluster the candidate pairs by their left document before the
-    # verifier: the verify UDF vectorizes per id_a group (one
-    # searchsorted per group), which only pays off when a batch holds
-    # few long runs — unsorted, each id_a's ~hundreds of pairs scatter
-    # over every partition and the mean run length is ~2.  One cheap
-    # 16-byte-row exchange (the texts are attached AFTER, by broadcast
-    # join, so no payload is re-shuffled — guide §2.3/§8)
-    cand = cand.repartition(F.col("id_a")).sortWithinPartitions("id_a")
+    # one exchange between candidates and output: pairs co-partition on
+    # id_a (both copies of a band-duplicated pair agree on both ids, so
+    # any id_a partitioning co-locates them), texts attach by broadcast
+    # join, and the verify stage dedups + verifies + filters in a
+    # single partition-level pass — the pair-level distinct exchange
+    # and the post-UDF filter both collapse into it (guide §2.4)
+    cand = _bucket_pairs_est(banded, num_perm, est_min, dedup=False)
+    cand = cand.repartition(F.col("id_a"))
+    # (A broadcast-{id: text} variant that streamed only 16-byte id
+    # pairs was measured SLOWER here: each task re-unpickles the
+    # broadcast dict and every partition re-derives ~all right-hand
+    # hash sets, costing more than the per-pair text transfer saves.
+    # The broadcast joins below attach texts without moving the
+    # candidate stream.)
     paired = (
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
     )
-    jac = _pair_jaccard_udf(w)
-    out = paired.withColumn("j", jac(F.col("ta"), F.col("tb"))).select(
-        "id_a", "id_b", F.col("j.inter").alias("inter"), F.col("j.uni").alias("uni")
-    )
-    return out.filter(
-        F.col("inter") * 1000 >= F.lit(threshold_milli) * F.col("uni")
-    )
+    return _verify_pairs_stage(paired, w, threshold_milli)
 
 
 def minhash_dedup(
