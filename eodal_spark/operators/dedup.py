@@ -442,6 +442,250 @@ def _bucket_pairs_est(
     return out.distinct() if dedup else out
 
 
+def _sigs_banded_bm(
+    docs: DataFrame,
+    universe: np.ndarray,
+    num_perm: int,
+    w: int,
+    bands: int,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, sig, bm, band, bh) — signatures AND the exact shingle-set
+    bitmap over the corpus ``universe``, one Arrow pass per doc, then
+    the band explode.  The bitmap (V/8 bytes ≈ 260 B at the measured
+    V≈2k universe) rides the bucket shuffle so the bucket workers can
+    verify pairs EXACTLY in place — the per-pair text attach and its
+    ~600 B × 2 payload per candidate disappear (guide §2.3/§8: move
+    per-doc metadata once, never per-pair payloads).
+
+    Raises inside the worker if a text holds a shingle outside
+    ``universe`` — impossible when the universe was computed from the
+    same deterministic relation (loud failure beats silent wrong
+    counts)."""
+    a, b = _minhash_params(num_perm, seed)
+    a_u = a[:, None].astype(np.uint64)
+    b_u = b[:, None].astype(np.uint64)
+    base = np.uint64(1099511628211)
+    weights = np.empty(w, dtype=np.uint64)
+    weights[0] = 1
+    with np.errstate(over="ignore"):
+        for i in range(1, w):
+            weights[i] = weights[i - 1] * base
+    words = (universe.size + 63) >> 6
+
+    @F.pandas_udf(
+        T.StructType(
+            [
+                T.StructField("sig", T.ArrayType(T.LongType())),
+                T.StructField("bm", T.BinaryType()),
+            ]
+        )
+    )
+    def sig_bm(texts: pd.Series) -> pd.DataFrame:
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        sigs_out = []
+        bms_out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            if len(raw) < w:
+                raw = raw + b"\x00" * (w - len(raw))
+            wins = sliding_window_view(np.frombuffer(raw, dtype=np.uint8), w)
+            hv = np.unique(
+                (wins.astype(np.uint64) * weights[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+            ) & np.uint64(0x7FFFFFFFFFFFFFFF)
+            mins = ((a_u * hv[None, :] + b_u) % np.uint64(_MERSENNE)).min(axis=1)
+            sigs_out.append(mins.astype(np.int64))
+            hs = _cached_hset(t or "", w)
+            idx = np.searchsorted(universe, hs)
+            idx_c = np.minimum(idx, universe.size - 1)
+            if not (universe[idx_c] == hs).all():
+                raise RuntimeError(
+                    "shingle outside the precomputed universe — the docs "
+                    "relation is not the one the universe was built from"
+                )
+            bm = np.zeros(words, dtype=np.uint64)
+            np.bitwise_or.at(
+                bm, idx_c >> 6, np.uint64(1) << (idx_c & 63).astype(np.uint64)
+            )
+            bms_out.append(bm.tobytes())
+        return pd.DataFrame({"sig": sigs_out, "bm": bms_out})
+
+    docs = _spread_for_udf(docs, "id")
+    sigs = docs.select(
+        F.col("id"), sig_bm(F.col("t")).alias("_sb")
+    ).select("id", F.col("_sb.sig").alias("sig"), F.col("_sb.bm").alias("bm"))
+    rows_per_band = num_perm // bands
+    return sigs.select(
+        "id",
+        "sig",
+        "bm",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda i: F.hash(
+                    F.slice("sig", i * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "bh"),
+    )
+
+
+def _bucket_pairs_verified(
+    banded_bm: DataFrame, num_perm: int, est_min: int, threshold_milli: int
+) -> DataFrame:
+    """LSH buckets → EXACT-verified near-dup pairs (id_a, id_b, inter,
+    uni), fused into the single bucket stage.
+
+    Extends :func:`_bucket_pairs_est`: the same in-worker bucket
+    grouping and signature-estimate prefilter, then — instead of
+    shipping ~10⁶-10⁷ estimate survivors to a separate text-attach +
+    verify stage — each surviving pair's exact |A∩B| is one
+    popcount(AND) over the docs' shingle bitmaps, right where the pair
+    is born.  Only TRUE near-dup pairs (×bands duplicates) ever leave
+    the worker (measured 8.5M estimate survivors → 80 verified on the
+    sf1.0 bench corpus), so the pair repartition, the two text joins
+    and the 5 GB/query Arrow text transfer vanish (guide §2.4 "remove
+    shuffles outright", §8 "decide with small rows").  Output-identical
+    to the est → attach → verify chain: the bitmap encodes exactly the
+    hash-set membership the verifier probed."""
+    min_matches = -(-est_min // 1000)
+    acc_t = np.uint8 if num_perm <= 255 else np.uint16
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+            T.StructField("inter", T.LongType()),
+            T.StructField("uni", T.LongType()),
+        ]
+    )
+    big_n = 64
+    lut = _POPCOUNT16
+
+    def gen(it):
+        frames = list(it)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        key = df["band"].to_numpy(np.int64) * np.int64(1 << 33) + (
+            df["bh"].to_numpy(np.int64) + np.int64(1 << 32)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = df["id"].to_numpy(np.int64)[order]
+        sig_mat = np.vstack(df["sig"].to_numpy()[order]).astype(np.int64)
+        bm_mat = np.vstack(
+            [
+                np.frombuffer(buf, dtype=np.uint64)
+                for buf in df["bm"].to_numpy()[order]
+            ]
+        )
+        nsh = lut[bm_mat.view(np.uint16)].sum(axis=1, dtype=np.int64)
+        bounds = np.nonzero(np.diff(key))[0] + 1
+        seg_starts = np.concatenate(([0], bounds))
+        sizes = np.diff(np.concatenate((seg_starts, [len(key)])))
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_u: list[np.ndarray] = []
+
+        def emit(ii: np.ndarray, jj: np.ndarray) -> None:
+            # estimate prefilter, then exact popcount verify, chunked
+            for cs in range(0, len(ii), 1 << 20):
+                ic = ii[cs : cs + (1 << 20)]
+                jc = jj[cs : cs + (1 << 20)]
+                mc = (sig_mat[ic] == sig_mat[jc]).sum(axis=1)
+                est = mc >= min_matches
+                if not est.any():
+                    continue
+                ie, je = ic[est], jc[est]
+                inter = lut[(bm_mat[ie] & bm_mat[je]).view(np.uint16)].sum(
+                    axis=1, dtype=np.int64
+                )
+                uni = nsh[ie] + nsh[je] - inter
+                keep = inter * 1000 >= threshold_milli * uni
+                if keep.any():
+                    ia = ids[ie[keep]]
+                    ib = ids[je[keep]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_i.append(inter[keep])
+                    out_u.append(uni[keep])
+
+        small = (sizes >= 2) & (sizes <= big_n)
+        for n in np.unique(sizes[small]):
+            starts_n = seg_starts[small & (sizes == n)]
+            ti, tj = np.triu_indices(int(n), 1)
+            emit(
+                (starts_n[:, None] + ti[None, :]).ravel(),
+                (starts_n[:, None] + tj[None, :]).ravel(),
+            )
+        # big buckets: estimate via factorized-code accumulation as in
+        # _bucket_pairs_est, exact popcount only on the survivors
+        for s, n in zip(seg_starts[sizes > big_n], sizes[sizes > big_n]):
+            n = int(n)
+            bsig = sig_mat[s : s + n]
+            const_cols = 0
+            var_cols: list[np.ndarray] = []
+            for p in range(bsig.shape[1]):
+                u, inv = np.unique(bsig[:, p], return_inverse=True)
+                if len(u) == 1:
+                    const_cols += 1
+                elif len(u) < n:
+                    ct = np.uint8 if len(u) <= 255 else (
+                        np.uint16 if len(u) <= 65535 else np.int64
+                    )
+                    var_cols.append(inv.astype(ct))
+            thr = min_matches - const_cols
+            for cs in range(0, n, 2048):
+                ce = min(cs + 2048, n)
+                if thr <= 0:
+                    ii, jj = np.nonzero(np.ones((ce - cs, n), dtype=bool))
+                else:
+                    acc = np.zeros((ce - cs, n), dtype=acc_t)
+                    for col in var_cols:
+                        acc += col[cs:ce, None] == col[None, :]
+                    ii, jj = np.nonzero(acc >= thr)
+                keep = jj > (ii + cs)  # strict upper triangle only
+                if not keep.any():
+                    continue
+                ie = s + ii[keep] + cs
+                je = s + jj[keep]
+                inter = lut[(bm_mat[ie] & bm_mat[je]).view(np.uint16)].sum(
+                    axis=1, dtype=np.int64
+                )
+                uni = nsh[ie] + nsh[je] - inter
+                kx = inter * 1000 >= threshold_milli * uni
+                if kx.any():
+                    ia = ids[ie[kx]]
+                    ib = ids[je[kx]]
+                    out_a.append(np.minimum(ia, ib))
+                    out_b.append(np.maximum(ia, ib))
+                    out_i.append(inter[kx])
+                    out_u.append(uni[kx])
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "inter": np.concatenate(out_i),
+                    "uni": np.concatenate(out_u),
+                }
+            )
+
+    out = banded_bm.repartition(F.col("band"), F.col("bh")).mapInPandas(
+        gen, schema
+    )
+    # a pair sharing several bands is verified once per collision with
+    # identical (inter, uni) — a plain distinct de-duplicates the tiny
+    # survivor stream
+    return out.distinct()
+
+
 def _shingle_hash_set(t: str, w: int) -> np.ndarray:
     """Sorted distinct 64-bit polynomial hashes of the character
     ``w``-shingles of ``t`` (the whole string when shorter than ``w`` —
@@ -547,7 +791,89 @@ def _pair_jaccard_udf(w: int):
     return jac
 
 
-def _verify_pairs_stage(paired: DataFrame, w: int, threshold_milli: int) -> DataFrame:
+# Shared-universe bitmap verify (see _verify_pairs_stage): boilerplate
+# corpora draw their shingles from a tiny shared universe (measured
+# ~2,000 distinct shingle hashes across 50k bench docs), so each doc
+# compresses to V/64 uint64 words and a pair's exact intersection is
+# popcount(A & B) — ~30 word-ops instead of gathering + binary-searching
+# ~325 hash probes per pair.  The universe is discovered ONCE per query
+# by a bounded aggregate (below); per-text bitmaps are then pure
+# functions of (text, universe) and live in the worker's
+# content-addressed cache, so a text is encoded once per worker, not
+# once per partition × repetition (guide §4.5).
+_BITMAP_UNIVERSE_CAP = 8192
+_POPCOUNT16 = np.unpackbits(
+    np.arange(1 << 16, dtype=np.uint16).view(np.uint8)[:, None], axis=1
+).sum(axis=1, dtype=np.uint8).reshape(-1, 2).sum(axis=1, dtype=np.uint8)
+
+_BITMAP_CACHE: dict[tuple, np.ndarray] = {}
+_BITMAP_CACHE_CAP = 200_000
+
+
+def _shingle_universe(docs: DataFrame, w: int) -> np.ndarray | None:
+    """The corpus's distinct shingle-hash universe, or None when it is
+    wider than `_BITMAP_UNIVERSE_CAP` (the driver action is bounded by
+    the cap — a diverse 10^12-doc corpus short-circuits to None after
+    cap+1 rows, it never materializes its shingle space)."""
+    schema = T.StructType([T.StructField("h", T.LongType())])
+
+    def local_unique(it):
+        # int64 bit-view: LongType-safe transport of the uint64 hash
+        # domain (values above 2^63 ride as negatives).  One np.unique
+        # per partition — no per-element python; a partition whose own
+        # distinct count exceeds the cap truncates to cap+1 rows, which
+        # still drives the global count over the cap → None.
+        chunks: list[np.ndarray] = []
+        for df in it:
+            chunks.extend(
+                _cached_hset(t or "", w).view(np.int64) for t in df["t"]
+            )
+        if chunks:
+            u = np.unique(np.concatenate(chunks))
+            yield pd.DataFrame({"h": u[: _BITMAP_UNIVERSE_CAP + 1]})
+
+    rows = (
+        _spread_for_udf(docs.select("id", "t"), "id")
+        .select("t")
+        .mapInPandas(local_unique, schema)
+        .distinct()
+        .limit(_BITMAP_UNIVERSE_CAP + 1)
+        .collect()
+    )
+    if len(rows) > _BITMAP_UNIVERSE_CAP:
+        return None
+    signed = np.array([r["h"] for r in rows], dtype=np.int64)
+    return np.sort(signed.view(np.uint64))
+
+
+def _cached_bitmap(
+    t: str, w: int, universe: np.ndarray, utoken: int
+) -> np.ndarray | None:
+    """(text → universe bitmap), worker-memoized; None if the text has
+    a shingle outside the universe (caller falls back to hash sets)."""
+    key = (t, w, utoken)
+    bm = _BITMAP_CACHE.get(key)
+    if bm is None:
+        hs = _cached_hset(t, w)
+        idx = np.searchsorted(universe, hs)
+        idx_c = np.minimum(idx, universe.size - 1)
+        if not (universe[idx_c] == hs).all():
+            return None
+        words = (universe.size + 63) >> 6
+        bm = np.zeros(words, dtype=np.uint64)
+        np.bitwise_or.at(bm, idx_c >> 6, np.uint64(1) << (idx_c & 63).astype(np.uint64))
+        if len(_BITMAP_CACHE) >= _BITMAP_CACHE_CAP:
+            _BITMAP_CACHE.clear()
+        _BITMAP_CACHE[key] = bm
+    return bm
+
+
+def _verify_pairs_stage(
+    paired: DataFrame,
+    w: int,
+    threshold_milli: int,
+    universe: np.ndarray | None = None,
+) -> DataFrame:
     """Candidate (id_a, id_b, ta, tb) rows → verified near-dup pairs
     (id_a, id_b, inter, uni) with exact shingle-Jaccard ≥ threshold —
     duplicate candidates (one per shared band) removed, verified, and
@@ -593,10 +919,37 @@ def _verify_pairs_stage(paired: DataFrame, w: int, threshold_milli: int) -> Data
             [df["ta"].iloc[sel], df["tb"].iloc[sel]], ignore_index=True
         ).fillna("")
         codes, uniq = pd.factorize(texts)
-        hsets = [_cached_hset(t, w) for t in uniq]
-        sizes = np.fromiter((h.size for h in hsets), np.int64, len(hsets))
         m = len(ia)
         ca, cb = codes[:m], codes[m:]
+        if universe is not None:
+            utoken = int(universe[0] ^ universe[-1] ^ np.uint64(universe.size))
+            bitmaps = [_cached_bitmap(t, w, universe, utoken) for t in uniq]
+            if all(b is not None for b in bitmaps):
+                mat = np.vstack(bitmaps)
+                lut = _POPCOUNT16
+                sizes = lut[mat.view(np.uint16)].sum(axis=1, dtype=np.int64)
+                inters = np.empty(m, dtype=np.int64)
+                chunk = max(1, (1 << 22) // max(mat.shape[1], 1))
+                for cs in range(0, m, chunk):
+                    ce = min(cs + chunk, m)
+                    andw = mat[ca[cs:ce]] & mat[cb[cs:ce]]
+                    inters[cs:ce] = lut[andw.view(np.uint16)].sum(
+                        axis=1, dtype=np.int64
+                    )
+                unis = sizes[ca] + sizes[cb] - inters
+                keep = inters * 1000 >= threshold_milli * unis
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": ia[keep],
+                            "id_b": ib[keep],
+                            "inter": inters[keep],
+                            "uni": unis[keep],
+                        }
+                    )
+                return
+        hsets = [_cached_hset(t, w) for t in uniq]
+        sizes = np.fromiter((h.size for h in hsets), np.int64, len(hsets))
         # sort pairs by left code so each id_a group is a contiguous
         # run, then gather every pair's right-hand set from ONE flat
         # concatenation of the distinct hsets with a single vectorized
@@ -675,8 +1028,21 @@ def _minhash_pairs_core(
     pair function, so the output is identical to the historical
     candidates → distinct → estimate-join plan (and still gated by the
     all-pairs oracle)."""
-    sigs = minhash_signatures(docs, "t", "id", num_perm, w)
     est_min = max(0, threshold_milli - 150) * num_perm
+    # boilerplate-corpus fast path: when the corpus's distinct shingle
+    # universe is small (bounded discovery job — None above the cap),
+    # each doc's exact shingle set compresses to a V-bit bitmap that
+    # rides the bucket shuffle, and pairs are estimate-filtered AND
+    # exact-verified inside the bucket workers — only true near-dup
+    # pairs ever leave the stage (guide §2.4/§8).  Wide-universe
+    # corpora keep the est → text-attach → verify chain.
+    universe = _shingle_universe(docs, w)
+    if universe is not None and bucket_cap is None:
+        banded_bm = _sigs_banded_bm(docs, universe, num_perm, w, bands)
+        return _bucket_pairs_verified(
+            banded_bm, num_perm, est_min, threshold_milli
+        )
+    sigs = minhash_signatures(docs, "t", "id", num_perm, w)
     banded = _banded_sigs(sigs, bands, num_perm // bands)
     if bucket_cap is not None:
         banded = _cap_buckets(banded, ["band", "bh"], bucket_cap)
@@ -698,7 +1064,7 @@ def _minhash_pairs_core(
         cand.join(docs.select(F.col("id").alias("id_a"), F.col("t").alias("ta")), "id_a")
         .join(docs.select(F.col("id").alias("id_b"), F.col("t").alias("tb")), "id_b")
     )
-    return _verify_pairs_stage(paired, w, threshold_milli)
+    return _verify_pairs_stage(paired, w, threshold_milli, universe)
 
 
 def minhash_dedup(
