@@ -575,7 +575,7 @@ def _q_asof_join(spark, sf_dir):
     )
     out = ASOF.asof_join(
         events, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
-        right_vals=("o_orderkey",),
+        right_vals=("o_orderkey",), left_vals=("event_id",),
     )
     return out.select("event_id", F.col("asof_o_orderkey").alias("okey"))
 

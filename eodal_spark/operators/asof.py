@@ -27,9 +27,20 @@ def asof_join(
     right_ts: str,
     right_vals: tuple[str, ...],
     tolerance_seconds: int | None = None,
+    left_vals: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """For each left row: values of the latest right row at-or-before
-    its timestamp (NULLs when none / outside tolerance)."""
+    its timestamp (NULLs when none / outside tolerance).
+
+    ``left_vals`` prunes the left payload carried through the merge to
+    the named columns (default: every left column).  The union/window
+    merge ships the whole left row through its one exchange + sort, and
+    Catalyst's nested-column pruning does NOT reach through the Window
+    operator — an unpruned 100 TB left side would sort payload bytes
+    that the caller immediately drops (guide §2.3 "project before the
+    exchange"; plan-verified: plans/r07/asof_join_*.txt)."""
+    if left_vals is None:
+        left_vals = tuple(left.columns)
     # the right side is carried as ONE struct (_rts + all value columns)
     # so every output value comes from the SAME latest right row — a
     # per-column last(ignorenulls) would stitch columns from different
@@ -48,7 +59,7 @@ def asof_join(
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(r_tag.schema["_rrow"].dataType).alias("_rrow"),
-        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.struct(*[F.col(c) for c in left_vals]).alias("_lrow"),
     )
     r_tag = r_tag.withColumn(
         "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
