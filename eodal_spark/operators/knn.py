@@ -30,6 +30,13 @@ from pyspark.sql.window import Window
 from eodal_spark import grid
 
 
+# see knn(): below this driver-side size estimate (~ a few hundred
+# query points) an unprunable-scan kNN goes straight to the one-pass
+# brute plan instead of the ring ladder
+_BRUTE_QUERIES_MAX_BYTES = 16 * 1024
+_BRUTE_QUERIES_MAX_ROWS = 256
+
+
 def _ranked(cand: DataFrame, k: int) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.col("sqdist").asc(), F.col("url").asc()
@@ -205,6 +212,34 @@ def knn(
     # shorten the ladder so stragglers reach the (equally full-pass,
     # but final) brute fallback sooner
     rounds_budget = max_rounds if scan_prune else min(max_rounds, 2)
+
+    # tiny query set over an UNPRUNABLE corpus: go straight to the
+    # brute pass.  Every ring round is already a full corpus
+    # materialization there, so the ladder can only add rounds × (scan
+    # + driver action) on top of what one brute pass costs; brute's
+    # per-row work is q distance evals and its rank shuffle is bounded
+    # map-side by WindowGroupLimit (top-k per task before the
+    # exchange), so the single pass is scale-sane for small q at any
+    # corpus size.  Decided from the driver-side size estimate alone
+    # (zero jobs — LocalRelation/range stats are exact); an unknown or
+    # large estimate keeps the ladder.  Output-identical: the ladder's
+    # contract is row-for-row brute equality.
+    if not scan_prune:
+        try:
+            q_bytes = int(
+                queries._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            q_bytes = None
+        if q_bytes is not None and q_bytes <= _BRUTE_QUERIES_MAX_BYTES:
+            return knn_brute(queries, pages_geo, k)
+        if q_bytes is None or q_bytes >= (1 << 60):
+            # no usable estimate (ExistingRDD reports the sentinel):
+            # one bounded probe — cheaper than the ladder's extra
+            # rounds whenever it answers "tiny"
+            n_q = queries.limit(_BRUTE_QUERIES_MAX_ROWS + 1).count()
+            if n_q <= _BRUTE_QUERIES_MAX_ROWS:
+                return knn_brute(queries, pages_geo, k)
 
     q_y = grid.cell_y_of(F.col("q_cell"))
     # radius at which the disk provably covers the whole grid

@@ -119,14 +119,44 @@ def test_knn_escalation_resolves_sparse_without_brute(spark, tmp_path):
 
 def test_knn_dense_first_round_plan_has_no_cartesian(pages_geo, spark):
     """All-dense queries resolve in round one: the returned plan must be
-    the broadcast ring join only — no CartesianProduct fallback branch."""
+    the broadcast ring join only — no CartesianProduct fallback branch.
+    The query set sits above the tiny-set brute threshold (replicated
+    hotspot points), so the ladder path is the one under test."""
+    rows = [
+        (i, 13737, 18854) if i % 2 == 0 else (i, 13070, 10600)
+        for i in range(2000)
+    ]
+    q = spark.createDataFrame(rows, ["query_id", "lat_centi", "lon_centi"])
+    out = K.knn(q, pages_geo, RES, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_knn_tiny_query_set_unprunable_goes_brute(pages_geo, spark):
+    """A handful of queries over an UNPRUNABLE (computed, uncached
+    cell_id) corpus short-circuit to the one-pass brute plan: no ring
+    ladder, and rows equal to knn_brute exactly.  (The cached fixture
+    counts as stored — prunable — so it keeps the ladder.)"""
+    # distinct row count so the CacheManager cannot substitute the
+    # cached pages_geo fixture (plan-equality match would make cell_id
+    # a stored column of the InMemoryRelation leaf)
+    geo = P.geocode(P.synth_pages(spark, 9_000), RES)
     q = spark.createDataFrame(
         [(1, 13737, 18854), (2, 13070, 10600)],
         ["query_id", "lat_centi", "lon_centi"],
     )
-    out = K.knn(q, pages_geo, RES, k=3)
+    out = K.knn(q, geo, RES, k=3)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastNestedLoop" in plan, "tiny-set shortcut not engaged"
+    got = [
+        (r["query_id"], r["url"], r["sqdist"], r["rank"])
+        for r in out.orderBy("query_id", "rank").collect()
+    ]
+    brute = [
+        (r["query_id"], r["url"], r["sqdist"], r["rank"])
+        for r in K.knn_brute(q, geo, k=3).orderBy("query_id", "rank").collect()
+    ]
+    assert got == brute
 
 
 def test_knn_wraps_date_line(spark):
