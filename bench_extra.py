@@ -96,6 +96,38 @@ def bench_suite(spark, names=None) -> None:
     print(json.dumps(out))
 
 
+def bench_headline_stages(spark) -> None:
+    """noop-isolated stages of the headline pipeline (guide §1.4)."""
+    from eodal_spark.operators import spatial_join as SJ
+    from eodal_spark.operators import tiling as TIL
+    from eodal_spark.sources import pages as P
+
+    path = "/tmp/eodal_spark_bench/pages_40000000"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        print("materialize pages first via bench.py")
+        return
+    pages = spark.read.parquet(path)
+    spark.sparkContext.setJobDescription("headline: scan only")
+    timed("scan", lambda: noop(pages.select("html")))
+    spark.sparkContext.setJobDescription("headline: +extract")
+    timed("extract", lambda: noop(pages.select(P.extract_text(F.col("html")).alias("t"))))
+    spark.sparkContext.setJobDescription("headline: +geocode")
+    geo = P.geocode(pages, E.RES)
+    timed("geocode", lambda: noop(geo.select("url", "warc_ts", "cell_id")))
+    spark.sparkContext.setJobDescription("headline: +join")
+    joined = SJ.spatial_join(
+        geo, E._polys_spark(spark), E.JOIN_RES, rule="centroid",
+        page_cols=("url", "warc_ts", "cell_id"), page_res=E.RES,
+    )
+    timed("join", lambda: noop(joined))
+    spark.sparkContext.setJobDescription("headline: full")
+    def full():
+        tiled = TIL.assign_tiles(joined, E.RES, E.TILE_RES)
+        return noop(TIL.mosaic_dedup(tiled, keys=("cell_id", "ts_bucket")))
+    timed("full", full)
+    spark.sparkContext.setJobDescription(None)
+
+
 def main() -> None:
     sections = sys.argv[1:] or ["minhash"]
     spark = get_spark(
@@ -106,7 +138,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for s in sections:
-        if s == "minhash":
+        if s == "headline":
+            bench_headline_stages(spark)
+        elif s == "minhash":
             bench_minhash(spark)
         elif s == "knn":
             bench_knn(spark)

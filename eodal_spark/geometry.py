@@ -49,6 +49,17 @@ from eodal_spark import grid
 # Layer construction
 # ---------------------------------------------------------------------------
 
+# driver-side row mirror of POLY_SCHEMA (same field order) — attached
+# by polygons_df as `_eodal_local_rows` so planners can read a small
+# literal layer without a Spark job (see polygon_cover_cells)
+_PolyRow = __import__("collections").namedtuple(
+    "_PolyRow",
+    [
+        "poly_id", "xs", "ys", "rings_x", "rings_y",
+        "xmin", "ymin", "xmax", "ymax", "is_convex",
+    ],
+)
+
 POLY_SCHEMA = T.StructType(
     [
         T.StructField("poly_id", T.LongType(), False),
@@ -358,6 +369,15 @@ def polygons_df(
         ]
         adf = spark.createDataFrame(attr_rows, ["poly_id", *attr_keys])
         df = df.join(adf, "poly_id", "left")
+        return df
+    # the layer was just materialized ON the driver — pin the rows to
+    # the DataFrame so downstream planning (cover explode, broadcast
+    # decision) reads them directly instead of running a probe/collect
+    # job against the RDD-backed plan, whose Catalyst stats are the
+    # unknown-size sentinel.  Pure plumbing, not result caching: the
+    # data already lives here, and any derived DataFrame (join, filter)
+    # drops the attribute and falls back to the probing paths.
+    df._eodal_local_rows = [_PolyRow(*r) for r in rows]
     return df
 
 
@@ -710,6 +730,9 @@ def buffer_cells(cover: DataFrame, k: int, res: int) -> DataFrame:
 # collect of an already-small dimension) — avoids paying Python-worker
 # startup on the query's critical path; larger layers distribute.
 DRIVER_COVER_MAX_POLYS = 10_000
+# driver-side covers at or below this many cells become literal VALUES
+# relations (JVM LocalRelation); larger ones stay createDataFrame
+_COVER_VALUES_MAX_ROWS = 8_192
 
 
 def polygon_cover_cells(
@@ -749,6 +772,16 @@ def polygon_cover_cells(
     ]
 
     rows = None
+    local_rows = getattr(polys, "_eodal_local_rows", None)
+    if (
+        distributed is None
+        and local_rows is not None
+        and len(local_rows) <= DRIVER_COVER_MAX_POLYS
+    ):
+        # the layer was built driver-side (polygons_df literal form):
+        # its rows are already here — zero probe jobs
+        rows = local_rows
+        distributed = False
     if distributed is None:
         # ONE bounded probe decides AND fetches: collect up to MAX+1
         # rows — small layers keep them (the collect was needed anyway
@@ -779,6 +812,20 @@ def polygon_cover_cells(
             cell, full = _cover_one(row, res, mode)
             out.extend(
                 (int(row.poly_id), int(c), bool(f)) for c, f in zip(cell, full)
+            )
+        if 0 < len(out) <= _COVER_VALUES_MAX_ROWS:
+            # literal VALUES relation: pure-JVM LocalRelation with exact
+            # stats — a createDataFrame cover is an RDD-backed plan that
+            # re-pickles through a Python worker on EVERY job touching
+            # it and reports sentinel stats to the planner
+            vals = ",".join(
+                f"({p}," f"{c}," f"{'true' if f else 'false'})"
+                for p, c, f in out
+            )
+            return spark.sql(
+                "SELECT CAST(poly_id AS BIGINT) AS poly_id, "
+                "CAST(cell_id AS BIGINT) AS cell_id, full "
+                f"FROM (VALUES {vals}) AS t(poly_id, cell_id, full)"
             )
         return spark.createDataFrame(out, out_schema)
 

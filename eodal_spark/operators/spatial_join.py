@@ -84,6 +84,12 @@ def spatial_join(
     rename; plan-asserted in tests)."""
     from eodal_spark import grid
 
+    if broadcast_layer is None and hasattr(polys, "_eodal_local_rows"):
+        # driver-literal layer (polygons_df): row count known without
+        # any job or estimate
+        broadcast_layer = (
+            len(polys._eodal_local_rows) <= BROADCAST_LAYER_MAX_POLYS
+        )
     if broadcast_layer is None:
         # broadcastability is about COVER SIZE, not where the cover is
         # computed (DRIVER_COVER_MAX_POLYS governs the latter): a layer
@@ -339,7 +345,12 @@ def areal_interpolate(
     # above it, fall through to shuffle joins and let AQE re-plan from
     # observed sizes (forcing a broadcast of O(|A|) rows would OOM on
     # the large layers the mapInPandas cover path exists for)
-    n_a = layer_a.select("poly_id").limit(BROADCAST_LAYER_MAX_POLYS + 1).count()
+    lr = getattr(layer_a, "_eodal_local_rows", None)
+    n_a = (
+        len(lr)
+        if lr is not None
+        else layer_a.select("poly_id").limit(BROADCAST_LAYER_MAX_POLYS + 1).count()
+    )
     dim = F.broadcast if n_a <= BROADCAST_LAYER_MAX_POLYS else (lambda d: d)
     tot = ca.groupBy("a_id").agg(F.count("*").alias("a_cells"))
     ov = (
