@@ -1028,6 +1028,8 @@ def _minhash_pairs_core(
     threshold_milli: int,
     w: int,
     bucket_cap: int | None,
+    universe: np.ndarray | None = None,
+    universe_known: bool = False,
 ) -> DataFrame:
     """signatures → fused LSH-bucket + estimate pair generation → exact
     per-pair Jaccard verify, over ``docs(id, t)``.  Candidates only —
@@ -1051,7 +1053,8 @@ def _minhash_pairs_core(
     # exact-verified inside the bucket workers — only true near-dup
     # pairs ever leave the stage (guide §2.4/§8).  Wide-universe
     # corpora keep the est → text-attach → verify chain.
-    universe = _shingle_universe(docs, w)
+    if not universe_known:
+        universe = _shingle_universe(docs, w)
     if universe is not None and bucket_cap is None:
         banded_bm = _sigs_banded_bm(docs, universe, num_perm, w, bands)
         return _bucket_pairs_verified(
@@ -1134,6 +1137,12 @@ def minhash_dedup(
             docs, num_perm, bands, threshold_milli, w, bucket_cap
         )
     docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("t"))
+    # the shingle universe of the RAW corpus equals the universe of its
+    # distinct-text representatives (duplicate texts add no shingles) —
+    # discover it BEFORE the collapse machinery so the bounded discovery
+    # job scans the plain corpus instead of materializing the
+    # sha2/groupBy/semi-join chain a first time
+    universe = _shingle_universe(docs, w) if bucket_cap is None else None
     # hash the corpus ONCE: keyed is the tiny (id, 32-byte digest)
     # projection, persisted so reps and mapping both read it instead of
     # re-running sha2 over the full text column
@@ -1148,7 +1157,8 @@ def minhash_dedup(
         reps.select(F.col("rep_id").alias("id")), "id", "semi"
     )
     rep_pairs = _minhash_pairs_core(
-        rep_docs, num_perm, bands, threshold_milli, w, bucket_cap
+        rep_docs, num_perm, bands, threshold_milli, w, bucket_cap,
+        universe=universe, universe_known=bucket_cap is None,
     )
     # exact groups with >1 member need |shingle set| for their
     # within-group pairs — computed once per such representative
@@ -1186,12 +1196,16 @@ def minhash_dedup(
             "uni",
         )
     )
-    w1 = mapping.select("rep_id", F.col("id").alias("_xa"))
-    w2 = mapping.select("rep_id", F.col("id").alias("_xb"))
+    # restrict the mapping to multi-member groups FIRST (the sizes
+    # dimension is exactly those groups): the within self-join then
+    # pairs only duplicate families instead of self-pairing every
+    # singleton of the corpus and filtering afterwards
+    m_multi = mapping.join(sizes, "rep_id")
+    w1 = m_multi.select("rep_id", "_ss", F.col("id").alias("_xa"))
+    w2 = m_multi.select("rep_id", F.col("id").alias("_xb"))
     within = (
         w1.join(w2, "rep_id")
         .filter(F.col("_xa") < F.col("_xb"))
-        .join(sizes, "rep_id")
         .select(
             F.col("_xa").alias("id_a"),
             F.col("_xb").alias("id_b"),
