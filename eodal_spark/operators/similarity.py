@@ -97,13 +97,29 @@ def _rank_topk(cand: DataFrame, k: int, order_col: str, asc: bool) -> DataFrame:
     )
 
 
+def _spread_corpus(corpus: DataFrame, key: str = "vec_id") -> DataFrame:
+    """Repartition a small-file corpus up to the session's default
+    parallelism before a compute-dense scan: a compact embeddings
+    parquet (20k × 64 doubles ≈ 10 MB) is ONE input split, so the
+    distance evaluation and the map-side WindowGroupLimit top-k run on
+    a single core no matter how many exist (guide §2: parallelism must
+    come from the work, not the file layout).  Hash-partitioning on the
+    id is deterministic under retries, and a corpus that already has ≥
+    defaultParallelism partitions is returned unchanged — a billion-row
+    corpus never pays the extra exchange."""
+    target = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() >= target:
+        return corpus
+    return corpus.repartition(target, F.col(key))
+
+
 def brute_force_topk_l2(
     queries: DataFrame, corpus: DataFrame, k: int
 ) -> DataFrame:
     """queries: (query_id, qvec); corpus: (vec_id, embedding).
     Returns (query_id, vec_id, sqdist, rank) — integer-exact quantized
     ranking, tie-broken by vec_id. Corpus scans once; queries broadcast."""
-    cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
+    cand = _spread_corpus(corpus).crossJoin(F.broadcast(queries)).withColumn(
         "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
     )
     return _rank_topk(cand, k, "sqdist", asc=True).select(
@@ -114,7 +130,7 @@ def brute_force_topk_l2(
 def brute_force_topk_cosine(
     queries: DataFrame, corpus: DataFrame, k: int
 ) -> DataFrame:
-    cand = corpus.crossJoin(F.broadcast(queries)).withColumn(
+    cand = _spread_corpus(corpus).crossJoin(F.broadcast(queries)).withColumn(
         "sim", cosine_sim(F.col("embedding"), F.col("qvec"))
     )
     return _rank_topk(cand, k, "sim", asc=False).select(
