@@ -2159,12 +2159,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     queries parked outside the window LAST round, then fill the remaining
     slots with the queries whose code paths changed THIS round (they must
     re-prove hash-exactness); park only queries that are green as of the
-    previous round and untouched this round.  With 86 registered queries and
+    previous round and untouched this round.  With 100 registered queries and
     a 50-row window, parked entries are stale by exactly one round — never
     more.  All parked entries remain gated every round by the local DuckDB
     twin in tests/test_entry_oracles.
 
-    Round 6 (96 registered): positions 1-10 are the ten
+    Round 6 (100 registered, incl. the four post-freeze entries
+    documented below the dict): positions 1-10 are the ten
     never-driver-checked queries (spatial_join_biglayer — the
     non-broadcast shuffle spatial-join plan — plus the nine round-6
     operators: knn_join, temporal_composite, stratified_sample,

@@ -179,7 +179,11 @@ def scrub_duplicated_spans(
     covered = dup.groupBy(id_col).agg(
         F.collect_set("pos").alias("_starts")
     )
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"),
+    # reconstruction keeps the ORIGINAL case: lowercasing exists only
+    # inside window_positions for matching, and token positions are
+    # identical either way (case does not move whitespace) — lowering
+    # here would silently rewrite all surviving text
+    toks = F.filter(F.split(F.col(text_col), r"\s+"),
                     lambda t: t != F.lit(""))
     out = docs.join(covered, id_col, "left")
     keep = F.filter(

@@ -76,6 +76,18 @@ def test_scrub_surgery(spark):
     assert got[5] == ""
 
 
+def test_scrub_preserves_original_case(spark):
+    """Lowercasing exists only for window MATCHING; surviving text must
+    keep its original bytes (token positions are case-invariant)."""
+    df = spark.createDataFrame(
+        [(1, "Keep Me p q r s Tail"), (2, "x y p q r s z")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.text for r in scrub_duplicated_spans(df, n=N).collect()}
+    assert got[1] == "Keep Me Tail"
+    assert got[2] == "x y z"
+
+
 def test_drop_duplicated_docs(spark):
     df = spark.createDataFrame(DOCS, ["doc_id", "text"])
     kept = sorted(
