@@ -1980,25 +1980,39 @@ TOPK_PLANT_BASE = 2_000_000
 TOPK_PLANT_SCALES = [(j, f"1.{j:03d}") for j in range(1, 10)]
 
 
+def _scale_fn(s: float):
+    """Unary transform lambda scaling a float component by ``s`` — a
+    factory, NOT a default-arg lambda: F.transform inspects lambda
+    arity and would feed the ARRAY INDEX into a second parameter."""
+    return lambda x: (x.cast("double") * F.lit(s)).cast("float")
+
+
 def _emb_with_planted(emb):
-    parts = [emb.select("vec_id", "embedding")]
+    # ONE explode branch instead of a 9-way union: the per-branch form
+    # re-instantiated every downstream Python stage (assign/encode)
+    # once per branch — 20 ArrowEvalPython nodes in the ivfpq plan —
+    # while the explode keeps a single scan + a single Python stage
+    # per operator.  Same rows: float(lit) parses to the same IEEE
+    # double in both engines, so the scaled float32 vectors and ids
+    # are identical to the union form's.
     src = emb.filter(F.col("vec_id") < 5)
-    for j, lit in TOPK_PLANT_SCALES:
-        # float(lit): both engines parse the same decimal string to the
-        # same IEEE double, so the scaled float32 vectors are identical
-        parts.append(
-            src.select(
-                (F.col("vec_id") * 100 + F.lit(TOPK_PLANT_BASE + j)).alias("vec_id"),
-                F.transform(
-                    "embedding",
-                    lambda x: (x.cast("double") * F.lit(float(lit))).cast("float"),
-                ).alias("embedding"),
+    plant = F.array(
+        *[
+            F.struct(
+                (F.col("vec_id") * 100 + F.lit(TOPK_PLANT_BASE + j)).alias(
+                    "vec_id"
+                ),
+                F.transform("embedding", _scale_fn(float(lit))).alias(
+                    "embedding"
+                ),
             )
-        )
-    uni = parts[0]
-    for p in parts[1:]:
-        uni = uni.unionByName(p)
-    return uni
+            for j, lit in TOPK_PLANT_SCALES
+        ]
+    )
+    copies = src.select(F.explode(plant).alias("p")).select(
+        "p.vec_id", "p.embedding"
+    )
+    return emb.select("vec_id", "embedding").unionByName(copies)
 
 
 # semantic-dedup fixture: three copies of each of the first 5 corpus
@@ -2038,25 +2052,28 @@ def _q_emb_quantize_int8(spark, sf_dir):
 
 def _q_emb_semantic_dedup(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    parts = [emb.select("vec_id", "embedding")]
+    # single explode branch (same rows as the historical 3-way union —
+    # see _emb_with_planted on why branch count multiplies downstream
+    # Python stages)
     src = emb.filter(F.col("vec_id") < 5)
-    for j, lit in SEMDUP_PLANT_SCALES:
-        parts.append(
-            src.select(
+    plant = F.array(
+        *[
+            F.struct(
                 (F.col("vec_id") * 10 + F.lit(SEMDUP_PLANT_BASE + j)).alias(
                     "vec_id"
                 ),
-                F.transform(
-                    "embedding",
-                    lambda x: (x.cast("double") * F.lit(float(lit))).cast(
-                        "float"
-                    ),
-                ).alias("embedding"),
+                F.transform("embedding", _scale_fn(float(lit))).alias(
+                    "embedding"
+                ),
             )
+            for j, lit in SEMDUP_PLANT_SCALES
+        ]
+    )
+    uni = emb.select("vec_id", "embedding").unionByName(
+        src.select(F.explode(plant).alias("p")).select(
+            "p.vec_id", "p.embedding"
         )
-    uni = parts[0]
-    for p_ in parts[1:]:
-        uni = uni.unionByName(p_)
+    )
     out = SIM.semantic_dedup(uni, tau=0.95, n_clusters=8, seed=7)
     return out.select("vec_id", "comp", "keep")
 

@@ -188,31 +188,45 @@ def ann_topk_srp(
     )
 
 
+def _train_sample_matrix(corpus: DataFrame, sample: int) -> np.ndarray:
+    """Deterministic spread driver sample as one float64 matrix.
+
+    Order by a hash of vec_id so the sample isn't the lowest-id prefix
+    (vec_id usually correlates with insertion time/source); runs as
+    TakeOrderedAndProject (per-partition top-k + merge, no full sort),
+    reproducible under any partition layout.  Arrow collect (toPandas):
+    a plain .collect() of 10k array<double> rows crosses py4j as
+    pickled Row objects - measured ~3 s per trainer at the 10k sample
+    cap; the Arrow path is ~10x cheaper for exactly this columnar
+    shape (guide 6, "Arrow for driver transfers")."""
+    pdf = (
+        corpus.select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample)
+        .toPandas()
+    )
+    if pdf.empty:
+        raise ValueError(
+            "empty corpus sample; cannot train the quantizer - the "
+            "corpus DataFrame has no rows (or no embedding values)"
+        )
+    return np.stack(
+        [np.asarray(v, dtype=np.float64) for v in pdf["embedding"].to_numpy()]
+    )
+
+
 def ivf_train_centroids(
     corpus: DataFrame, n_centroids: int, sample: int = 10_000,
-    iters: int = 10, seed: int = 42,
+    iters: int = 10, seed: int = 42, sample_mtx=None,
 ) -> np.ndarray:
     """Coarse quantizer for IVF: k-means on a driver-side sample
     (Lloyd's, numpy).  At 10^12 scale the sample is still tiny — the
     quantizer is a model artifact, not a data pass."""
-    # deterministic AND spread sample: order by a hash of vec_id so the
-    # sample isn't the lowest-id prefix (vec_id usually correlates with
-    # insertion time/source, which would train every centroid on the
-    # oldest shard's distribution); runs as TakeOrderedAndProject
-    # (per-partition top-k + merge, no full sort), and is reproducible
-    # under any partition layout — unlike bare limit()
-    rows = (
-        corpus.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(sample)
-        .collect()
+    m = (
+        sample_mtx
+        if sample_mtx is not None
+        else _train_sample_matrix(corpus, sample)
     )
-    if not rows:
-        raise ValueError(
-            "empty corpus sample; cannot train IVF centroids — the "
-            "corpus DataFrame has no rows (or no embedding column values)"
-        )
-    m = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     n_centroids = min(n_centroids, len(m))  # tiny corpora: one list per row
     rng = np.random.RandomState(seed)
     cent = m[rng.choice(len(m), n_centroids, replace=False)]
@@ -328,6 +342,147 @@ def ivf_topk(
 
 def _quantize_vec(c: Column) -> Column:
     return F.transform(c, lambda x: _q7(x))
+
+
+_PAIR_SCHEMA_SQ = T.StructType(
+    [
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("sqdist", T.LongType()),
+    ]
+)
+
+
+def _bucket_sqdist_pairs(
+    stacked: DataFrame, threshold: float, key_cols: tuple[str, str]
+) -> DataFrame:
+    """(vec_id, embedding, key…) rows → (id_a < id_b, sqdist) pairs with
+    q7 sqdist ≤ threshold, fused inside the bucket workers.
+
+    Replaces the bucket self-join + per-pair codegen'd
+    ``l2_sqdist_q7`` filter: a 1k-row bucket emits ~500k join rows each
+    evaluating a 64-term zip_with/aggregate expression, while here the
+    whole bucket is ONE int64 gram-matrix block
+    (‖a‖² + ‖b‖² − 2·a·b over the floor(x·10⁷) grid — exactly the
+    operator's integer metric, so results are bit-identical) and only
+    threshold survivors are materialized (guide §1.2/§2.3).  Same
+    output as the join form; duplicates across tables are deduped
+    downstream as before."""
+    ka, kb = key_cols
+
+    def gen(it):
+        frames = list(it)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        key = (
+            df[ka].to_numpy(np.int64) * np.int64(1 << 33)
+            + df[kb].to_numpy(np.int64)
+        )
+        order = np.argsort(key, kind="stable")
+        key = key[order]
+        ids = df["vec_id"].to_numpy(np.int64)[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df["embedding"].to_numpy()[order]]
+        )
+        q = np.floor(mat * 1e7).astype(np.int64)
+        bounds = np.nonzero(np.diff(key))[0] + 1
+        starts = np.concatenate(([0], bounds, [len(key)]))
+        out_a, out_b, out_d = [], [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            bq = q[s:e]
+            bids = ids[s:e]
+            # within-bucket rows sorted by vec_id so i<j ⇒ id_i<id_j
+            o = np.argsort(bids, kind="stable")
+            bq, bids = bq[o], bids[o]
+            norms = (bq * bq).sum(axis=1)
+            for cs in range(0, n, 1024):
+                ce = min(cs + 1024, n)
+                d = (
+                    norms[cs:ce, None]
+                    + norms[None, :]
+                    - 2 * (bq[cs:ce] @ bq.T)
+                )
+                ii, jj = np.nonzero(d <= threshold)
+                keep = jj > ii + cs
+                if keep.any():
+                    out_a.append(bids[ii[keep] + cs])
+                    out_b.append(bids[jj[keep]])
+                    out_d.append(d[ii[keep], jj[keep]])
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "id_a": np.concatenate(out_a),
+                    "id_b": np.concatenate(out_b),
+                    "sqdist": np.concatenate(out_d),
+                }
+            )
+
+    return stacked.repartition(F.col(ka), F.col(kb)).mapInPandas(
+        gen, _PAIR_SCHEMA_SQ
+    )
+
+
+def _cluster_dot_pairs(assigned: DataFrame, tau: float) -> DataFrame:
+    """(rep_id, nvec, cl) → (id_a < id_b) pairs with dot ≥ tau, one
+    float64 gram-matrix block per cluster (unit vectors ⇒ dot ≡
+    cosine).  Replaces the cluster self-join whose per-pair 64-term
+    codegen dot made SemDeDup quadratic in wall-clock (measured 55 s →
+    ~3 s at 22k reps / 8 clusters).  Matmul accumulates in float64 like
+    the sequential codegen sum; orderings can differ only by ~1 ulp,
+    which is immaterial at any tau margin wider than ~1e-12 (the
+    operator's fixtures sit 0.43 away)."""
+    schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType()),
+            T.StructField("id_b", T.LongType()),
+        ]
+    )
+
+    def gen(it):
+        frames = list(it)
+        if not frames:
+            return
+        df = pd.concat(frames, ignore_index=True)
+        if df.empty:
+            return
+        cl = df["cl"].to_numpy(np.int64)
+        order = np.argsort(cl, kind="stable")
+        cl = cl[order]
+        ids = df["rep_id"].to_numpy(np.int64)[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in df["nvec"].to_numpy()[order]]
+        )
+        bounds = np.nonzero(np.diff(cl))[0] + 1
+        starts = np.concatenate(([0], bounds, [len(cl)]))
+        out_a, out_b = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            n = e - s
+            if n < 2:
+                continue
+            bids = ids[s:e]
+            o = np.argsort(bids, kind="stable")
+            bm = mat[s:e][o]
+            bids = bids[o]
+            for cs in range(0, n, 1024):
+                ce = min(cs + 1024, n)
+                g = bm[cs:ce] @ bm.T
+                ii, jj = np.nonzero(g >= tau)
+                keep = jj > ii + cs
+                if keep.any():
+                    out_a.append(bids[ii[keep] + cs])
+                    out_b.append(bids[jj[keep]])
+        if out_a:
+            yield pd.DataFrame(
+                {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+            )
+
+    return assigned.repartition(F.col("cl")).mapInPandas(gen, schema)
 
 
 def embedding_near_dup_pairs(
@@ -469,19 +624,14 @@ def embedding_near_dup_pairs(
     else:
         raise ValueError(guard)
 
-    pairs = (
-        ok.alias("a")
-        .join(ok.alias("b"), ["tbl", "bucket"])
-        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("sqdist", l2_sqdist_q7(F.col("a.embedding"), F.col("b.embedding")))
-        .filter(F.col("sqdist") <= F.lit(sqdist_threshold))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            "sqdist",
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # pairs generated by per-bucket int64 gram-matrix blocks inside the
+    # workers (bit-identical q7 metric) — see _bucket_sqdist_pairs for
+    # why the self-join + codegen distance form was the bottleneck
+    pairs = _bucket_sqdist_pairs(
+        ok.select("vec_id", "embedding", "tbl", "bucket"),
+        float(sqdist_threshold),
+        ("tbl", "bucket"),
+    ).dropDuplicates(["id_a", "id_b"])
     if members is None:
         return pairs
     if expand == "star":
@@ -630,23 +780,11 @@ def semantic_dedup(
             )
         ok = sizes.filter(F.col("count") <= max_cluster_rows).select("cl")
         assigned = assigned.join(F.broadcast(ok), "cl")
-    # unit vectors: cosine ≡ dot product (no per-pair norms)
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.nvec"), F.col("b.nvec"), lambda x, y: x * y
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    rep_pairs = (
-        assigned.alias("a")
-        .join(assigned.alias("b"), "cl")
-        .filter(F.col("a.rep_id") < F.col("b.rep_id"))
-        .filter(dot >= F.lit(float(tau)))
-        .select(
-            F.col("a.rep_id").alias("id_a"), F.col("b.rep_id").alias("id_b")
-        )
-    )
+    # unit vectors: cosine ≡ dot product (no per-pair norms); pairs are
+    # generated by per-cluster gram-matrix blocks inside the workers —
+    # see _cluster_dot_pairs for why the self-join form was quadratic
+    # in wall-clock
+    rep_pairs = _cluster_dot_pairs(assigned, float(tau))
     # exact-duplicate members link to their representative at cosine 1
     member_edges = members.filter(F.col("rep_id") != F.col("vec_id")).select(
         F.col("rep_id").alias("id_a"), F.col("vec_id").alias("id_b")
@@ -688,24 +826,18 @@ def pq_train_codebooks(
     sample: int = 10_000,
     iters: int = 10,
     seed: int = 42,
+    sample_mtx=None,
 ) -> list:
     """Per-subspace k-means codebooks: ``m`` entries of
     ``(dim_indices, centroids[n_codes, sub_dim])``.  Trained on the
     same hash-spread driver sample as :func:`ivf_train_centroids` —
     a model artifact (a few KB), not a data pass; every executor gets
     it as a closure constant."""
-    rows = (
-        corpus.select("vec_id", "embedding")
-        .orderBy(F.xxhash64("vec_id"), "vec_id")
-        .limit(sample)
-        .collect()
+    mtx = (
+        sample_mtx
+        if sample_mtx is not None
+        else _train_sample_matrix(corpus, sample)
     )
-    if not rows:
-        raise ValueError(
-            "empty corpus sample; cannot train PQ codebooks — the "
-            "corpus DataFrame has no rows (or no embedding values)"
-        )
-    mtx = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
     dim = mtx.shape[1]
     if m > dim:
         raise ValueError(f"m={m} subspaces > {dim} dims")
@@ -819,8 +951,12 @@ def ivfpq_topk(
     fallback), so neither side can OOM the driver."""
     if rerank < k:
         rerank = k
-    cent = ivf_train_centroids(corpus, n_centroids, seed=seed)
-    books = pq_train_codebooks(corpus, m=m, n_codes=n_codes, seed=seed)
+    # ONE Arrow sample collect feeds both trainers
+    smtx = _train_sample_matrix(corpus, 10_000)
+    cent = ivf_train_centroids(corpus, n_centroids, seed=seed, sample_mtx=smtx)
+    books = pq_train_codebooks(
+        corpus, m=m, n_codes=n_codes, seed=seed, sample_mtx=smtx
+    )
     k_codes = len(books[0][1])
     assign = ivf_assign_udf(cent)
     encode = pq_encode_udf(books)
@@ -872,9 +1008,17 @@ def ivfpq_topk(
         .filter(F.col("adc_rank") <= rerank)
         .select("query_id", "vec_id")
     )
-    # exact re-rank: fetch true vectors for the shortlist only
+    # exact re-rank: fetch true vectors for the shortlist only.  On the
+    # bounded-probe path the shortlist is ≤ probe_query_cap · rerank id
+    # pairs (~16 B each) — broadcast it so the corpus side is probed in
+    # place instead of being shuffled into a sort-merge join (plan
+    # showed SMJ + two exchanges for a 320-row shortlist); the
+    # relational-fallback path (unbounded query side) keeps the
+    # planner's choice.
+    bounded = len(qrows) <= probe_query_cap
+    sl = F.broadcast(shortlist) if bounded else shortlist
     rr = (
-        shortlist.join(corpus.select("vec_id", "embedding"), "vec_id")
+        sl.join(corpus.select("vec_id", "embedding"), "vec_id")
         .join(queries.select("query_id", "qvec"), "query_id")
         .withColumn(
             "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
