@@ -735,6 +735,32 @@ def _q_segment_mode(spark, sf_dir):
     )
 
 
+def _docs_spread(spark, sf_dir):
+    """documents scan spread to the session's parallelism: the compact
+    parquet (50k docs ≈ 15 MB at sf1.0) is ONE input split, so every
+    compute-dense per-doc expression chain (regexp batteries, n-gram
+    windows, md5 fingerprints, Arrow UDFs) otherwise runs on a single
+    core.  Deterministic hash repartition on doc_id (~0.2 s exchange of
+    the 15 MB) vs a 32× parallelism unlock; inputs that already have ≥
+    defaultParallelism partitions pass through untouched, so a real
+    100 TB corpus never pays the exchange.  Row set unchanged (gates
+    compare sorted)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() >= target:
+        return docs
+    # lazy localCheckpoint = lineage barrier: Catalyst pushes
+    # deterministic filters below a bare repartition, so a query that
+    # filters on its computed columns would inline the whole expression
+    # battery into the filter and evaluate it on the ONE pre-spread
+    # split (measured 6 s vs 1 s for docs_quality_filter).  The barrier
+    # pins evaluation above the spread; materialization is one 15 MB
+    # in-memory write on first action of each invocation.
+    return docs.repartition(target, F.col("doc_id")).localCheckpoint(
+        eager=False
+    )
+
+
 def _q_docs_exact_dedup(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     survivors = D.exact_dedup(docs)
@@ -742,7 +768,7 @@ def _q_docs_exact_dedup(spark, sf_dir):
 
 
 def _q_docs_jaccard(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return D.jaccard_pairs(docs, threshold_milli=500)
 
 
@@ -817,7 +843,7 @@ def _q_docs_curation_pipeline(spark, sf_dir):
     is an independently-gated operator; this query gates their
     COMPOSITION (filter ordering, semi-join survivorship, sample
     stability under the combined plan)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     scored = docs.select(
         "doc_id",
@@ -888,13 +914,13 @@ def _q_docs_dup_groups(spark, sf_dir):
     labeled with its component's min id (singletons label themselves).
     Oracle: the same pair SQL + a DuckDB recursive CTE computing min
     reachable id."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     pairs = D.jaccard_pairs(docs, threshold_milli=500)
     return D.dup_groups(docs, pairs)
 
 
 def _q_docs_token_stats(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -910,7 +936,7 @@ def _q_docs_quality_filter(spark, sf_dir):
     """The canonical corpus-filter op: keep documents passing a quality
     threshold AND a language gate — the composition every training-data
     pipeline runs before dedup."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -926,7 +952,7 @@ def _q_docs_repetition(spark, sf_dir):
     mass, bullet/ellipsis line fraction, and the composite keep flag —
     all integer per-mille arithmetic, native higher-order functions
     (whole-stage codegen, no UDF); DuckDB list-lambda oracle."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return TX.repetition_signals(docs.select("doc_id", "text")).drop("text")
 
 
@@ -939,7 +965,7 @@ def _q_docs_pii_scrub(spark, sf_dir):
     RE2/Java-identical patterns over the same text, so natural matches
     (if any) agree too.  Output hashes the redacted text (md5) so the
     replacement semantics — not just the counts — are value-gated."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     d = F.col("doc_id").cast("string")
     planted = docs.select(
         "doc_id",
@@ -967,7 +993,7 @@ def _q_docs_line_scrub(spark, sf_dir):
     order-preserving agg reassembly (`text.scrub_boilerplate_lines`).
     Oracle: the same definition via DuckDB zipped unnest + string_agg
     ORDER BY pos."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return TX.scrub_boilerplate_lines(docs.select("doc_id", "text"))
 
 
@@ -985,7 +1011,7 @@ def _q_docs_lm_bigram(spark, sf_dir):
     micro-idf.  Engine: one explode, broadcast model joins, one
     map-side-combinable groupBy.  Oracle: the same slice/counts in
     DuckDB via unnest + generate_series bigrams."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     m = LM.train_bigram_lm(docs, ref_milli=200)
     return LM.score_bigram_lm(docs, m).select(
         "doc_id", "n_bigrams", "n_seen", "n_ctx", "sum_c2", "sum_c1"
@@ -1012,7 +1038,7 @@ def _q_docs_bpe_pieces(spark, sf_dir):
     byte-for-byte (joined) plus word/piece counts against a DuckDB
     twin running the identical replace chain, so the greedy
     resume-after-match overlap semantics are pinned cross-engine."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     out = BPE.bpe_pieces(docs, _BPE_MERGES)
     return out.select(
         "doc_id", "n_words", "n_pieces",
@@ -1028,7 +1054,7 @@ def _q_docs_chunked(spark, sf_dir):
     hashes the chunk TEXT itself plus ordinals and token counts, so
     window arithmetic and join separators are pinned byte-for-byte
     against the DuckDB twin."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return TX.chunk_tokens(docs, size=32, overlap=8)
 
 
@@ -1041,7 +1067,7 @@ def _q_docs_curation_v2(spark, sf_dir):
     chunk the survivors into 32-token / 8-overlap passages.  Every
     stage is individually hash-gated; this gate proves they COMPOSE —
     semi-joins over the two filters feed the map-side chunker."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     m = LM.train_bigram_lm(docs, ref_milli=200)
     lm_ok = (
         LM.score_bigram_lm(docs, m)
@@ -1070,7 +1096,7 @@ def _q_docs_exact_substr(spark, sf_dir):
     gate runs ``hashed=False`` (exact string keys, collision-free by
     construction); the scale path's xxhash64 keying is test-asserted
     equal on fixtures (tests/test_exact_substr.py)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return ES.duplicate_span_stats(docs, n=10, hashed=False)
 
 
@@ -1083,7 +1109,7 @@ def _q_docs_decontaminate(spark, sf_dir):
     higher-order fns (no UDF) → flatMap explode → map-side semi-join;
     only contaminated ids shuffle.  Oracle: DuckDB unnest +
     generate_series sliding window over the same tokenization."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 50 == 3)
     train = docs.filter(F.col("doc_id") % 50 != 3)
     return TX.decontaminate(train, bench, n=4).select(
@@ -1092,12 +1118,12 @@ def _q_docs_decontaminate(spark, sf_dir):
 
 
 def _q_docs_lang_id(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang_guess"))
 
 
 def _q_docs_fingerprint(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
 
 
@@ -1938,7 +1964,7 @@ def _q_docs_minhash_pairs(spark, sf_dir):
 
 
 def _q_docs_simhash_pairs(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     sigs = D.simhash_signatures(docs)
     return D.simhash_near_pairs(sigs, max_hamming=SIMHASH_MAX_HAMMING)
 
@@ -2115,7 +2141,7 @@ def _q_docs_bm25_topk(spark, sf_dir):
     df-cap hot-bucket defense is ACTIVE (see BM25_DF_CAP): terms above
     the cap leave the index, and query 3's stopword-heavy text proves
     the pruned path end to end."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs_spread(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, ["query_id", "qtext"])
     return RET.bm25_topk(docs, q, k=10, max_df_frac=BM25_DF_CAP)
 

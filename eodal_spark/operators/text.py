@@ -29,9 +29,21 @@ def _count_word(text: Column, word: str) -> Column:
     return F.regexp_count(F.lower(text), F.lit(rf"\b{word}\b"))
 
 
+def _count_words(text: Column, words: list[str]) -> Column:
+    """Total occurrences of a set of whole words in ONE regexp pass.
+
+    Equal to the per-word sum: \\b-delimited matches of distinct words
+    are disjoint spans, so the alternation counts each hit exactly
+    once — but the text is lowered and scanned once instead of once
+    per word (5 marker words × 4 languages was 20 regexp passes per
+    row in lang_id)."""
+    pat = r"\b(?:" + "|".join(words) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pat))
+
+
 def lang_scores(text: Column) -> dict[str, Column]:
     return {
-        lang: sum((_count_word(text, w) for w in words), F.lit(0))
+        lang: _count_words(text, words)
         for lang, words in LANG_MARKERS.items()
     }
 
@@ -96,7 +108,7 @@ def punct_ratio_milli(text: Column) -> Column:
 
 def stopword_ratio_milli(text: Column) -> Column:
     """English stopword tokens per 1000 tokens (integer div)."""
-    hits = sum((_count_word(text, w) for w in LANG_MARKERS["en"]), F.lit(0))
+    hits = _count_words(text, LANG_MARKERS["en"])
     return _idiv(hits * 1000, F.greatest(token_count(text), F.lit(1)))
 
 
@@ -216,16 +228,106 @@ def repetition_flags(text: Column) -> Column:
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """The repetition-quality battery as one fused projection."""
+    """The repetition-quality battery, staged through MATERIALIZED
+    array columns.
+
+    Why not one fused projection of the per-column functions: Spark's
+    higher-order functions are interpreted (never codegen'd) and a
+    lambda body re-evaluates every non-attribute subtree PER ELEMENT —
+    ``filter(grams, x == g)`` inside ``transform(distinct(grams), …)``
+    re-built the gram array (a ConcatWs transform) for every outer
+    element: O(words³) per document, measured as a 500+ s single-task
+    straggler on 50k bench docs.  Binding ``_rl``/``_rw``/``_rgs`` as
+    projection columns makes every inner reference an O(1) attribute
+    read, and the top-2-gram count runs over the SORTED gram array
+    (run boundaries via adjacent inequality — counts per distinct gram
+    are identical to the per-gram filter's).  Same integer outputs,
+    same NULL propagation."""
     t = F.col(text_col)
-    return df.select(
-        "*",
-        dup_line_frac_milli(t).alias("dup_line_milli"),
-        dup_line_char_frac_milli(t).alias("dup_line_char_milli"),
-        top2gram_char_frac_milli(t).alias("top2gram_milli"),
-        bullet_ellipsis_frac_milli(t).alias("bullet_ellipsis_milli"),
-        repetition_flags(t).alias("repetition_ok"),
+    staged = (
+        df.select("*", _lines(t).alias("_rl"), _words(t).alias("_rw"))
+        .select(
+            "*",
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("_rw") - 1, F.lit(1))
+                ),
+                # try_element_at: docs with < 2 words index past the
+                # array here (the old fused form never evaluated this
+                # branch — `when` is lazy, a projection column is not);
+                # their gram value is masked by the n<2 output guard
+                lambda i: F.concat_ws(
+                    " ",
+                    F.try_element_at("_rw", i),
+                    F.try_element_at("_rw", i + 1),
+                ),
+            ).alias("_rg"),
+        )
+        .select("*", F.array_sort("_rg").alias("_rgs"))
     )
+    lines = F.col("_rl")
+    nl = F.size(lines)
+    dup_line = F.when(nl <= 0, F.lit(0).cast("long")).otherwise(
+        _idiv((nl - F.size(F.array_distinct(lines))) * 1000, nl)
+    )
+    dup_chars = F.aggregate(
+        F.filter(
+            lines,
+            lambda x: F.size(F.filter(lines, lambda y: y == x)) > 1,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.length(x),
+    )
+    dup_line_char = _idiv(
+        dup_chars * 1000, F.greatest(F.length(t), F.lit(1))
+    )
+    s = F.col("_rgs")
+    ng = F.size(s)
+    bstarts = F.filter(
+        F.sequence(F.lit(1), ng),
+        lambda i: (i == 1) | (F.element_at(s, i) != F.element_at(s, i - 1)),
+    )
+    bends = F.concat(
+        F.slice(bstarts, 2, F.greatest(F.size(bstarts) - 1, F.lit(0))),
+        F.array(ng + 1),
+    )
+    mass = F.array_max(
+        F.zip_with(
+            bstarts,
+            bends,
+            lambda st, en: (en - st) * F.length(F.element_at(s, st)),
+        )
+    )
+    top2 = F.when(F.size(F.col("_rw")) < 2, F.lit(0).cast("long")).otherwise(
+        _idiv(mass.cast("long") * 1000, F.greatest(F.length(t), F.lit(1)))
+    )
+    hits = F.size(
+        F.filter(
+            lines,
+            lambda x: x.startswith("-")
+            | x.startswith("*")
+            | x.endswith("..."),
+        )
+    )
+    bullets = F.when(nl <= 0, F.lit(0).cast("long")).otherwise(
+        _idiv(hits * 1000, nl)
+    )
+    out = staged.select(
+        "*",
+        dup_line.alias("dup_line_milli"),
+        dup_line_char.alias("dup_line_char_milli"),
+        top2.alias("top2gram_milli"),
+        bullets.alias("bullet_ellipsis_milli"),
+    )
+    return out.select(
+        "*",
+        (
+            (F.col("dup_line_milli") < 300)
+            & (F.col("dup_line_char_milli") < 200)
+            & (F.col("top2gram_milli") < 200)
+            & (F.col("bullet_ellipsis_milli") < 900)
+        ).alias("repetition_ok"),
+    ).drop("_rl", "_rw", "_rg", "_rgs")
 
 
 def scrub_boilerplate_lines(
