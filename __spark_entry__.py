@@ -909,13 +909,21 @@ def _q_host_stats(spark, sf_dir):
 
 def _q_docs_dup_groups(spark, sf_dir):
     """Pairs → canonical duplicate GROUPS (transitive closure): the
-    retention step of a dedup pipeline.  Engine: exact-Jaccard pairs →
+    retention step of a dedup pipeline.  Engine: verified near-dup
+    pairs (the LSH pipeline — candidates + exact shingle-Jaccard
+    verify, the SAME pair set the all-pairs inverted index yields:
+    banding recall is total on these corpora, machine-checked by the
+    docs_minhash_pairs gate against the identical all-pairs oracle) →
     `dedup.connected_components` min-label propagation → every doc
     labeled with its component's min id (singletons label themselves).
-    Oracle: the same pair SQL + a DuckDB recursive CTE computing min
+    The historical `jaccard_pairs` input computed the identical set
+    through a full inverted-index self-join — Σf² pair explosion on a
+    small-shingle-universe corpus (~10¹¹ aggregate rows at 50k bench
+    docs, unfinishable) where LSH candidates stay linear-ish.
+    Oracle: the all-pairs SQL + a DuckDB recursive CTE computing min
     reachable id."""
     docs = _docs_spread(spark, sf_dir)
-    pairs = D.jaccard_pairs(docs, threshold_milli=500)
+    pairs = D.minhash_dedup(docs, threshold_milli=500)
     return D.dup_groups(docs, pairs)
 
 
