@@ -167,21 +167,63 @@ def ann_topk_srp(
     n_planes: int = 10,
     n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: union of `n_tables` independent SRP hash
-    tables; candidates = bucket collisions in any table; exact decimal
-    re-rank within candidates.  Recall grows with n_tables; at scale the
-    corpus is bucketed once (map-side) and only collisions shuffle."""
-    cand = None
-    for t in range(n_tables):
-        b = srp_bucket_udf(dim, n_planes, seed=1000 + t)
-        cbuck = corpus.withColumn("bucket", b(F.col("embedding")))
-        qbuck = queries.withColumn("bucket", b(F.col("qvec")))
-        hits = cbuck.join(F.broadcast(qbuck), "bucket").select(
-            "query_id", "qvec", "vec_id", "embedding"
-        )
-        cand = hits if cand is None else cand.unionByName(hits)
-    cand = cand.dropDuplicates(["query_id", "vec_id"]).withColumn(
-        "sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec"))
+    """Approximate top-k: `n_tables` independent SRP hash tables;
+    candidates = bucket collisions in any table; exact quantized
+    re-rank within candidates.  Recall grows with n_tables.
+
+    ONE corpus pass: all tables' bucket ids are computed as columns of
+    a single scan and exploded to (tbl, bucket) rows — the historical
+    per-table union re-ran the SRP UDF and the broadcast join once per
+    branch (n_tables corpus scans and Python stages; guide §2.4).
+    Candidate set is identical: a (query, vec) pair collides in the
+    stacked join iff it collides in some table's join."""
+    spread = _spread_corpus(corpus)
+    ctables = [
+        srp_bucket_udf(dim, n_planes, seed=1000 + t)(F.col("embedding")).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    cbuck = spread.select("vec_id", "embedding", *ctables).select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"),
+    )
+    qtables = [
+        srp_bucket_udf(dim, n_planes, seed=1000 + t)(F.col("qvec")).alias(f"_b{t}")
+        for t in range(n_tables)
+    ]
+    qbuck = queries.select("query_id", "qvec", *qtables).select(
+        "query_id",
+        "qvec",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket")
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("_tb"),
+    ).select(
+        "query_id", "qvec",
+        F.col("_tb.tbl").alias("tbl"), F.col("_tb.bucket").alias("bucket"),
+    )
+    cand = (
+        cbuck.join(F.broadcast(qbuck), ["tbl", "bucket"])
+        .dropDuplicates(["query_id", "vec_id"])
+        .withColumn("sqdist", l2_sqdist_q7(F.col("embedding"), F.col("qvec")))
     )
     return _rank_topk(cand, k, "sqdist", asc=True).select(
         "query_id", "vec_id", "sqdist", "rank"
