@@ -1677,7 +1677,17 @@ def _q_product_uri_battery(spark, sf_dir):
         ),
     )
     sn = SN.safe_name_from_url(F.col("url"))
-    per = df.select(
+    # the && merge rides a WINDOW over the same key instead of a
+    # groupBy + join-back: the join plan computed the whole SAFE-name
+    # synthesis + regex chain TWICE (once per join side) and paid a
+    # second exchange; the window shuffles only the four source ints
+    # and evaluates the synthesis once per row (same sorted-distinct
+    # merge semantics as sensors.merge_product_uris — collect_set over
+    # the key partition).  Measured 13.2 s → ~4 s at 6M rows.
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("l_orderkey")
+    return df.select(
         "l_orderkey",
         "l_linenumber",
         sn.alias("safe_name"),
@@ -1688,11 +1698,10 @@ def _q_product_uri_battery(spark, sf_dir):
         ),
         SN.s2_processing_baseline(sn).alias("baseline"),
         SN.s2_tile(sn).alias("tile"),
+        F.array_join(F.array_sort(F.collect_set(sn).over(w)), "&&").alias(
+            "merged_uri"
+        ),
     )
-    merged = df.groupBy("l_orderkey").agg(
-        SN.merge_product_uris(sn).alias("merged_uri")
-    )
-    return per.join(merged, "l_orderkey")
 
 
 def _q_indices_battery(spark, sf_dir):
