@@ -89,18 +89,25 @@ def test_knn_pages_side_not_shuffled(spark, pages_parquet):
     from eodal_spark.operators import knn as K
 
     geo = P.geocode(spark.read.parquet(pages_parquet), E.RES)
-    q = spark.createDataFrame(
-        E.KNN_QUERIES, ["query_id", "lat_centi", "lon_centi"]
-    )
+    # enough queries to stay above the tiny-set brute threshold — this
+    # test pins the LADDER's plan shape (tiny sets short-circuit to the
+    # brute pass, covered by test_knn_tiny_query_set_unprunable_goes_brute)
+    rows = [
+        (i, E.KNN_QUERIES[i % len(E.KNN_QUERIES)][1],
+         E.KNN_QUERIES[i % len(E.KNN_QUERIES)][2])
+        for i in range(600)
+    ]
+    q = spark.createDataFrame(rows, ["query_id", "lat_centi", "lon_centi"])
     out = K.knn(q, geo, E.RES, k=3)
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan  # ring side broadcast, pages probe
 
 
-def test_driver_cover_runs_exactly_one_job(spark):
-    """polygon_cover_cells(distributed=None) must not run a separate
-    count() job: the bounded limit-collect decides AND fetches in ONE
-    Spark job (the data was needed driver-side anyway)."""
+def test_driver_cover_runs_zero_jobs(spark):
+    """polygon_cover_cells over a polygons_df literal layer must run
+    ZERO Spark jobs: the driver-built rows ride the DataFrame handle
+    (_eodal_local_rows) so the cover is computed without the bounded
+    limit-collect probe (which itself replaced a separate count job)."""
     from eodal_spark import geometry
 
     polys = E.geometry.polygons_df(spark, E.PAGE_POLYS)
@@ -108,7 +115,7 @@ def test_driver_cover_runs_exactly_one_job(spark):
     before = set(tracker.getJobIdsForGroup())
     cover = geometry.polygon_cover_cells(polys, E.JOIN_RES)
     after = set(tracker.getJobIdsForGroup())
-    assert len(after - before) == 1, sorted(after - before)
+    assert len(after - before) == 0, sorted(after - before)
     assert cover.count() > 0  # cover itself is a local relation
 
 
