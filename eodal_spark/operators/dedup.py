@@ -520,11 +520,13 @@ def _sigs_banded_bm(
     rows_per_band = num_perm // bands
     # the bucket hash uses the FULL signature values; the signature that
     # rides the shuffle for the estimate prefilter is truncated to
-    # 15-bit codes (array<smallint>, 128 B vs 512 B at 64 perms —
-    # measured 5.7× collision→estimate reduction keeps the prefilter
-    # worth shipping).  Truncation collisions can only ADD estimate
-    # matches, i.e. only let MORE pairs through to the exact popcount
-    # verify — the verified output is unchanged.
+    # 7-bit codes (array<tinyint>, 64 B vs 512 B at 64 perms — measured
+    # 5.7× collision→estimate reduction keeps the prefilter worth
+    # shipping, and the estimate gathers two code rows per collision
+    # pair, so code width is the stage's memory traffic).  Truncation
+    # collisions (~1/128 per position) can only ADD estimate matches,
+    # i.e. only let MORE pairs through to the exact popcount verify —
+    # the verified output is unchanged.
     return sigs.select(
         "id",
         "sig",
@@ -540,7 +542,7 @@ def _sigs_banded_bm(
     ).select(
         "id",
         F.transform(
-            "sig", lambda x: x.bitwiseAND(F.lit(32767)).cast("smallint")
+            "sig", lambda x: x.bitwiseAND(F.lit(127)).cast("tinyint")
         ).alias("sig"),
         "bm",
         "band",
@@ -592,7 +594,7 @@ def _bucket_pairs_verified(
         order = np.argsort(key, kind="stable")
         key = key[order]
         ids = df["id"].to_numpy(np.int64)[order]
-        sig_mat = np.vstack(df["sig"].to_numpy()[order])  # int16 codes
+        sig_mat = np.vstack(df["sig"].to_numpy()[order])  # int8 codes
         bm_mat = np.vstack(
             [
                 np.frombuffer(buf, dtype=np.uint64)
