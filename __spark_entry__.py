@@ -1145,7 +1145,9 @@ def _q_emb_l2_topk(spark, sf_dir):
 
 
 def _q_multimodal_bytes(spark, sf_dir):
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    # spread: the per-payload codec loop is single-core on the one
+    # input split otherwise (see _docs_spread)
+    docs = _docs_spread(spark, sf_dir).select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return MM.extract_features(docs).select("doc_id", "n_bytes", "byte_mean_milli")
